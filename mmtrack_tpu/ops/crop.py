@@ -1,0 +1,133 @@
+"""Target-centered square crop + resize — the per-frame preprocessing kernel.
+
+The reference does this on host per frame with cv2 (sample_target,
+ViPT/lib/train/data/processing_utils.py:14-81): integer crop around the box,
+constant-pad, then bilinear resize. Here the same map is expressed as ONE
+bilinear gather directly from the full frame with traced crop geometry, so it
+jits, vmaps over sequences, and fuses with normalization — the frame never
+makes an extra host round-trip and there is no dynamic intermediate shape.
+
+A host numpy/cv2 twin (`sample_target_np`) reproduces the reference
+bit-for-bit for parity evaluation and testing.
+"""
+
+from __future__ import annotations
+
+import math
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+
+
+def crop_resize(image: jnp.ndarray, box_xywh: jnp.ndarray, search_area_factor: float,
+                out_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Square crop of area factor^2 x box area, resized to (out_size, out_size).
+
+    Args:
+      image: (H, W, C) float or uint frame (static H, W).
+      box_xywh: (4,) traced box.
+      search_area_factor: static float (2.0 template / 4.0-5.0 search).
+      out_size: static int.
+
+    Returns:
+      (crop (out_size, out_size, C) float32, resize_factor () = out/crop_sz).
+
+    Geometry matches sample_target (processing_utils.py:32-41): crop side
+    ceil(sqrt(w*h)*factor), origin round(center - side/2); out-of-image area
+    is zero (BORDER_CONSTANT); sampling uses cv2's half-pixel convention with
+    edge clamping inside the crop.
+    """
+    H, W = image.shape[0], image.shape[1]
+    x, y, w, h = box_xywh[0], box_xywh[1], box_xywh[2], box_xywh[3]
+
+    crop_sz = jnp.ceil(jnp.sqrt(w * h) * search_area_factor)
+    crop_sz = jnp.maximum(crop_sz, 1.0)
+    x1 = jnp.round(x + 0.5 * w - crop_sz * 0.5)
+    y1 = jnp.round(y + 0.5 * h - crop_sz * 0.5)
+    resize_factor = out_size / crop_sz
+
+    # source coordinate in crop space for each output pixel (cv2 convention)
+    s = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (crop_sz / out_size) - 0.5
+    s = jnp.clip(s, 0.0, crop_sz - 1.0)
+
+    xs = x1 + s  # (out,) image-space coords
+    ys = y1 + s
+
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    fx = (xs - x0)[None, :, None]  # (1, out, 1)
+    fy = (ys - y0)[:, None, None]  # (out, 1, 1)
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    img = image.astype(jnp.float32)
+
+    def tap(yi, xi):
+        # NB: the reference pads with x2_pad = max(x2 - W + 1, 0)
+        # (processing_utils.py:44-47), so image row H-1 / column W-1 is never
+        # sampled — it is always replaced by constant padding. Reproduce that.
+        valid = ((yi >= 0) & (yi < H - 1))[:, None, None] & ((xi >= 0) & (xi < W - 1))[None, :, None]
+        v = img[jnp.clip(yi, 0, H - 1)][:, jnp.clip(xi, 0, W - 1)]  # (out, out, C)
+        return jnp.where(valid, v, 0.0)
+
+    p00 = tap(y0, x0)
+    p01 = tap(y0, x0 + 1)
+    p10 = tap(y0 + 1, x0)
+    p11 = tap(y0 + 1, x0 + 1)
+
+    out = ((1 - fy) * (1 - fx) * p00 + (1 - fy) * fx * p01
+           + fy * (1 - fx) * p10 + fy * fx * p11)
+    return out, resize_factor
+
+
+def crop_resize_normalized(image: jnp.ndarray, box_xywh: jnp.ndarray,
+                           search_area_factor: float, out_size: int,
+                           mean: jnp.ndarray, std: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """crop_resize fused with (x/255 - mean) / std channel normalization.
+
+    Replaces sample_target + PreprocessorMM
+    (ViPT/lib/test/tracker/data_utils.py:15-24) as a single device op; XLA
+    fuses the normalization into the gather epilogue.
+    """
+    crop, rf = crop_resize(image, box_xywh, search_area_factor, out_size)
+    return (crop / 255.0 - mean) / std, rf
+
+
+def sample_target_np(im: np.ndarray, target_bb, search_area_factor: float,
+                     output_sz: int | None = None):
+    """Host/cv2 twin of the reference sample_target (bit-parity path).
+
+    Returns (crop, resize_factor, att_mask) exactly like
+    ViPT/lib/train/data/processing_utils.py:14-81 (att_mask marks padded area).
+    """
+    x, y, w, h = [float(v) for v in target_bb]
+    crop_sz = math.ceil(math.sqrt(w * h) * search_area_factor)
+    if crop_sz < 1:
+        raise ValueError("Too small bounding box.")
+
+    x1 = round(x + 0.5 * w - crop_sz * 0.5)
+    x2 = x1 + crop_sz
+    y1 = round(y + 0.5 * h - crop_sz * 0.5)
+    y2 = y1 + crop_sz
+
+    x1_pad = max(0, -x1)
+    x2_pad = max(x2 - im.shape[1] + 1, 0)
+    y1_pad = max(0, -y1)
+    y2_pad = max(y2 - im.shape[0] + 1, 0)
+
+    im_crop = im[y1 + y1_pad:y2 - y2_pad, x1 + x1_pad:x2 - x2_pad, :]
+    im_crop_padded = cv2.copyMakeBorder(im_crop, y1_pad, y2_pad, x1_pad, x2_pad,
+                                        cv2.BORDER_CONSTANT)
+    H, W = im_crop_padded.shape[:2]
+    att_mask = np.ones((H, W))
+    end_x = None if x2_pad == 0 else -x2_pad
+    end_y = None if y2_pad == 0 else -y2_pad
+    att_mask[y1_pad:end_y, x1_pad:end_x] = 0
+
+    if output_sz is not None:
+        resize_factor = output_sz / crop_sz
+        im_crop_padded = cv2.resize(im_crop_padded, (output_sz, output_sz))
+        att_mask = cv2.resize(att_mask, (output_sz, output_sz)).astype(np.bool_)
+        return im_crop_padded, resize_factor, att_mask
+    return im_crop_padded, 1.0, att_mask.astype(np.bool_)

@@ -1,0 +1,13 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic is validated without TPU hardware by forcing the
+host platform to expose 8 devices (the driver separately dry-runs the
+multi-chip path; see __graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
