@@ -1,0 +1,136 @@
+"""Transformer building blocks (flax.linen, NHWC/token-major, MXU-friendly).
+
+TPU-native rebuild of ViPT/lib/models/layers/{attn.py,attn_blocks.py,
+patch_embed.py}: fused-QKV attention that only materializes the probability
+matrix when candidate elimination needs it (other blocks stay fully fused by
+XLA), static-shape CE blocks, stochastic depth via explicit RNG.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmtrack_tpu.ops.ce import candidate_elimination
+
+
+class PatchEmbed(nn.Module):
+    """Image to patch tokens: Conv(k=stride=patch) then flatten.
+
+    Equivalent of ViPT/lib/models/layers/patch_embed.py; NHWC input.
+    """
+    embed_dim: int = 768
+    patch_size: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    padding="VALID", dtype=self.dtype, name="proj")(x)
+        B, H, W, C = x.shape
+        return x.reshape(B, H * W, C)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Fused-QKV multi-head self-attention.
+
+    Mirrors ViPT/lib/models/layers/attn.py:9-60. When `return_attn` is False
+    the probability matrix is never materialized (XLA fuses the softmax into
+    the two matmuls); CE blocks set it True to rank search tokens.
+    """
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, return_attn: bool = False):
+        B, L, C = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, L, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, H, D)
+
+        scale = head_dim ** -0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                            preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.reshape(B, L, C)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        if return_attn:
+            return out, attn
+        return out, None
+
+
+def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndarray:
+    """Stochastic depth: drop a residual branch per sample."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * mask.astype(x.dtype) / keep
+
+
+class CEBlock(nn.Module):
+    """Transformer block with optional candidate elimination after attention.
+
+    Equivalent of CEBlock (ViPT/lib/models/layers/attn_blocks.py:78-104), but
+    the kept-token count is a static argument so shapes stay compile-time
+    constant (lens_keep=None means no elimination this block).
+    """
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, global_index_t, global_index_s,
+                 box_mask_z=None, lens_keep: Optional[int] = None,
+                 deterministic: bool = True):
+        lens_t = global_index_t.shape[1]
+        lens_s = global_index_s.shape[1]
+        needs_ce = lens_keep is not None and lens_keep < lens_s
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        attn_out, attn = Attention(self.dim, self.num_heads, self.qkv_bias,
+                                   dtype=self.dtype, name="attn")(h, return_attn=needs_ce)
+        if not deterministic and self.drop_path_rate > 0:
+            rng = self.make_rng("drop_path")
+            attn_out = drop_path(attn_out, self.drop_path_rate, deterministic, rng)
+        x = x + attn_out
+
+        removed_index_s = None
+        if needs_ce:
+            x, global_index_s, removed_index_s = candidate_elimination(
+                attn, x, lens_t, lens_keep, global_index_s, box_mask_z)
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                      dtype=self.dtype, name="mlp")(h)
+        if not deterministic and self.drop_path_rate > 0:
+            rng = self.make_rng("drop_path")
+            mlp_out = drop_path(mlp_out, self.drop_path_rate, deterministic, rng)
+        x = x + mlp_out
+        return x, global_index_t, global_index_s, removed_index_s
