@@ -1,0 +1,73 @@
+"""Multi-modal frame composition: RGB + X (depth / thermal / event) -> HxWx6.
+
+Host-side rebuild of ViPT/lib/train/dataset/depth_utils.py:71-132 with
+identical dtype modes and the JET-colormap / median*3 depth-clip conventions
+(bit-parity matters: colormap quantization feeds the model). Decoding and
+composition stay on CPU; the 6-channel uint8 frame is the single host->device
+transfer per tracked frame.
+"""
+
+from __future__ import annotations
+
+import cv2
+import numpy as np
+
+X_DTYPES = ("color", "raw_x", "colormap", "3x", "normalized_x",
+            "rgbcolormap", "rgb3x", "rgbrgb")
+
+
+def _normalize_u8(x: np.ndarray) -> np.ndarray:
+    x = cv2.normalize(x, None, alpha=0, beta=255, norm_type=cv2.NORM_MINMAX)
+    return np.asarray(x, dtype=np.uint8)
+
+
+def compose_x(rgb: np.ndarray | None, xmap: np.ndarray | None,
+              dtype: str = "rgbrgb", x_clip: bool = False) -> np.ndarray:
+    """Compose already-decoded arrays. rgb: (H,W,3) RGB; xmap: raw X image.
+
+    `x_clip` applies the DepthTrack depth clip: values above
+    min(3*median, 10m) saturate (depth_utils.py:86-88).
+    """
+    if xmap is not None and x_clip:
+        xmap = xmap.copy()
+        max_depth = min(np.median(xmap) * 3, 10000)
+        xmap[xmap > max_depth] = max_depth
+
+    if dtype == "color":
+        return rgb
+    if dtype == "raw_x":
+        return xmap
+    if dtype == "colormap":
+        return cv2.applyColorMap(_normalize_u8(xmap), cv2.COLORMAP_JET)
+    if dtype == "3x":
+        d = _normalize_u8(xmap)
+        return cv2.merge((d, d, d))
+    if dtype == "normalized_x":
+        return _normalize_u8(xmap)
+    if dtype == "rgbcolormap":
+        cm = cv2.applyColorMap(_normalize_u8(xmap), cv2.COLORMAP_JET)
+        return cv2.merge((rgb, cm))
+    if dtype == "rgb3x":
+        d = _normalize_u8(xmap)
+        return cv2.merge((rgb, cv2.merge((d, d, d))))
+    if dtype == "rgbrgb":
+        x3 = cv2.cvtColor(xmap, cv2.COLOR_BGR2RGB) if xmap.ndim == 3 else cv2.merge((xmap,) * 3)
+        return cv2.merge((rgb, x3))
+    raise ValueError(f"unknown composition dtype '{dtype}' (options: {X_DTYPES})")
+
+
+def get_x_frame(color_path: str | None, x_path: str | None,
+                dtype: str = "rgbrgb", depth_clip: bool = False) -> np.ndarray:
+    """Read and compose a multi-modal frame from disk (get_x_frame analog)."""
+    rgb = None
+    if color_path:
+        rgb = cv2.imread(color_path)
+        rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB)
+    xmap = cv2.imread(x_path, -1) if x_path else None
+    return compose_x(rgb, xmap, dtype, x_clip=depth_clip)
+
+
+def get_rgbd_frame(color_path: str | None, depth_path: str | None,
+                   dtype: str = "rgbcolormap", depth_clip: bool = True) -> np.ndarray:
+    """RGB-D convenience wrapper (get_rgbd_frame, depth_utils.py:7-68)."""
+    return get_x_frame(color_path, depth_path, dtype, depth_clip)

@@ -1,0 +1,49 @@
+"""Synthetic multi-modal sequence generator for tests and benchmarks.
+
+The reference repo ships one tiny OTB demo sequence as its only in-repo data
+(RGBE/models/pyMDNet/datasets/OTB/DragonBaby). Datasets are not available in
+this environment, so tests and golden-trajectory checks run on generated
+moving-target sequences with RGB + auxiliary-modality channels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_synthetic_sequence(n_frames: int = 20, height: int = 240, width: int = 320,
+                            box0=(120.0, 90.0, 48.0, 36.0), velocity=(3.0, 2.0),
+                            seed: int = 0, channels: int = 6):
+    """A bright square target moving over textured background.
+
+    Returns (frames (N, H, W, C) uint8, gt_boxes (N, 4) float xywh).
+    The target is salient in both modality triplets so even a weakly-trained
+    model has signal; ground truth follows the analytic motion.
+    """
+    rng = np.random.RandomState(seed)
+    bg = rng.randint(0, 80, (height, width, channels), np.uint8)
+    frames = np.empty((n_frames, height, width, channels), np.uint8)
+    gt = np.empty((n_frames, 4), np.float64)
+
+    x, y, w, h = box0
+    vx, vy = velocity
+    for t in range(n_frames):
+        f = bg.copy()
+        xi, yi = int(round(x)), int(round(y))
+        x2, y2 = min(xi + int(w), width), min(yi + int(h), height)
+        xi, yi = max(xi, 0), max(yi, 0)
+        f[yi:y2, xi:x2, :3] = 220
+        f[yi:y2, xi:x2, 3:] = 180
+        # light texture inside the target
+        f[yi:y2, xi:x2] = np.clip(
+            f[yi:y2, xi:x2].astype(np.int16)
+            + rng.randint(-20, 20, f[yi:y2, xi:x2].shape), 0, 255).astype(np.uint8)
+        frames[t] = f
+        gt[t] = (x, y, w, h)
+        x += vx
+        y += vy
+        if not (0 <= x <= width - w):
+            vx = -vx
+        if not (0 <= y <= height - h):
+            vy = -vy
+    return frames, gt

@@ -1,0 +1,104 @@
+"""Evaluation dataset adapters: sequence discovery + frame lists + GT.
+
+Rebuilds the genConfig per-dataset layout logic of
+ViPT/RGBT_workspace/test_rgbt_mgpus.py:20-63 and
+ViPT/RGBE_workspace/test_rgbe_mgpus.py:19-27, plus the DepthTrack/CDTB
+color+depth layout used by the RGB-D OPE path
+(ViPT/lib/test/evaluation/tracker.py `_read_rgbd_image`).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class EvalSequence:
+    name: str
+    rgb_frames: list
+    x_frames: list
+    gt: np.ndarray                  # (N, 4) xywh
+    dtype: str = "rgbrgb"           # composition mode for get_x_frame
+    depth_clip: bool = False
+    visible: np.ndarray | None = None  # (N,) bool; None = all visible
+    save_fmt: str = "%.14f"
+    save_delimiter: str = ","
+
+    def __len__(self):
+        return len(self.rgb_frames)
+
+
+def _listdir_ext(d: str, ext: str) -> list[str]:
+    return sorted(os.path.join(d, p) for p in os.listdir(d) if p.endswith(ext))
+
+
+def _corners_to_xywh(gt: np.ndarray) -> np.ndarray:
+    """GTOT ships 2-corner annotations; convert to xywh (test_rgbt_mgpus.py:37-48)."""
+    x_min = gt[:, [0, 2]].min(axis=1)
+    y_min = gt[:, [1, 3]].min(axis=1)
+    x_max = gt[:, [0, 2]].max(axis=1)
+    y_max = gt[:, [1, 3]].max(axis=1)
+    return np.stack([x_min, y_min, x_max - x_min, y_max - y_min], axis=1)
+
+
+def load_sequence(seq_path: str, dataset: str) -> EvalSequence:
+    """Build an EvalSequence from one sequence directory of a known dataset."""
+    name = os.path.basename(seq_path.rstrip("/"))
+    d = dataset.lower()
+
+    if d == "rgbt234":
+        rgb = _listdir_ext(os.path.join(seq_path, "visible"), ".jpg")
+        x = _listdir_ext(os.path.join(seq_path, "infrared"), ".jpg")
+        gt = np.loadtxt(os.path.join(seq_path, "visible.txt"), delimiter=",")
+        return EvalSequence(name, rgb, x, gt, dtype="rgbrgb")
+
+    if d == "gtot":
+        rgb = _listdir_ext(os.path.join(seq_path, "v"), ".png")
+        x = _listdir_ext(os.path.join(seq_path, "i"), ".png")
+        gt = _corners_to_xywh(np.loadtxt(os.path.join(seq_path, "groundTruth_v.txt"), delimiter=" "))
+        return EvalSequence(name, rgb, x, gt, dtype="rgbrgb")
+
+    if d == "lasher":
+        rgb = _listdir_ext(os.path.join(seq_path, "visible"), ".jpg")
+        x = _listdir_ext(os.path.join(seq_path, "infrared"), ".jpg")
+        gt = np.loadtxt(os.path.join(seq_path, "visible.txt"), delimiter=",")
+        return EvalSequence(name, rgb, x, gt, dtype="rgbrgb")
+
+    if "vtuav" in d:
+        rgb = _listdir_ext(os.path.join(seq_path, "rgb"), ".jpg")
+        x = _listdir_ext(os.path.join(seq_path, "ir"), ".jpg")
+        gt = np.loadtxt(os.path.join(seq_path, "rgb.txt"), delimiter=" ")
+        return EvalSequence(name, rgb, x, gt, dtype="rgbrgb")
+
+    if d == "visevent":
+        rgb = _listdir_ext(os.path.join(seq_path, "vis_imgs"), ".bmp")
+        x = _listdir_ext(os.path.join(seq_path, "event_imgs"), ".bmp")
+        gt = np.loadtxt(os.path.join(seq_path, "groundtruth.txt"), delimiter=",")
+        absent = np.loadtxt(os.path.join(seq_path, "absent_label.txt"))
+        # trim leading absent frames (test_rgbe_mgpus.py:58-63)
+        if absent.size and absent[0] == 0:
+            first = int(absent.argmax())
+            rgb, x, gt, absent = rgb[first:], x[first:], gt[first:], absent[first:]
+        return EvalSequence(name, rgb, x, gt, dtype="rgbrgb",
+                            visible=absent.astype(bool))
+
+    if d in ("depthtrack", "cdtb"):
+        rgb = _listdir_ext(os.path.join(seq_path, "color"), ".jpg")
+        x = _listdir_ext(os.path.join(seq_path, "depth"), ".png")
+        gt = np.loadtxt(os.path.join(seq_path, "groundtruth.txt"), delimiter=",")
+        vis = ~np.isnan(gt).any(axis=1)
+        return EvalSequence(name, rgb, x, gt, dtype="rgbcolormap",
+                            depth_clip=True, visible=vis)
+
+    raise ValueError(f"unknown eval dataset '{dataset}'")
+
+
+def list_sequences(dataset_root: str, dataset: str) -> list[str]:
+    """Sequence directories under a dataset root (the reference lists the
+    testing-set dir, test_rgbt_mgpus.py:164-167)."""
+    return sorted(
+        os.path.join(dataset_root, s) for s in os.listdir(dataset_root)
+        if os.path.isdir(os.path.join(dataset_root, s)))

@@ -1,0 +1,90 @@
+"""OPE (one-pass evaluation) driver: run a tracker over sequences, write
+reference-format results, report FPS.
+
+Rebuilds the RGBT/RGBE OPE drivers (ViPT/RGBT_workspace/test_rgbt_mgpus.py:
+66-117, RGBE variant) and pytracking's run_dataset semantics: row 0 of the
+result is the GT init box, skip-if-exists resume, per-sequence FPS. The
+reference parallelizes with a spawn process pool pinned to GPUs; the TPU
+path instead batches sequences on-device (mmtrack_tpu.parallel.batched_eval)
+— this module is the simple sequential/protocol-compatible driver.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from mmtrack_tpu.data.composition import get_x_frame
+from mmtrack_tpu.eval.datasets import EvalSequence
+
+
+def run_sequence(tracker, seq: EvalSequence, frame_loader=None) -> dict:
+    """Track one sequence. Returns dict with boxes (N,4), confidences (N-1,),
+    fps, elapsed.
+
+    frame_loader(i) -> (H, W, 6) overrides disk loading (tests/synthetic).
+    """
+    n = len(seq)
+
+    def load(i):
+        if frame_loader is not None:
+            return frame_loader(i)
+        return get_x_frame(seq.rgb_frames[i], seq.x_frames[i], seq.dtype,
+                           depth_clip=seq.depth_clip)
+
+    boxes = np.zeros((n, 4), np.float64)
+    boxes[0] = seq.gt[0]
+    confidences = np.zeros(n - 1, np.float64)
+
+    t0 = time.perf_counter()
+    tracker.initialize(load(0), {"init_bbox": list(map(float, seq.gt[0]))})
+    for i in range(1, n):
+        out = tracker.track(load(i))
+        boxes[i] = out["target_bbox"]
+        confidences[i - 1] = out.get("best_score", 1.0)
+    elapsed = time.perf_counter() - t0
+    return {
+        "name": seq.name,
+        "boxes": boxes,
+        "confidences": confidences,
+        "elapsed": elapsed,
+        "fps": (n - 1) / max(elapsed, 1e-9),
+    }
+
+
+def result_path(results_root: str, dataset: str, config_name: str, seq_name: str) -> str:
+    return os.path.join(results_root, dataset, config_name, f"{seq_name}.txt")
+
+
+def save_result(path: str, result: dict, fmt: str = "%.14f", delimiter: str = ",") -> None:
+    """Write the reference result layout: one xywh row per frame, row 0 = GT
+    init box, plus companion *_time.value and *_confidence.value files
+    (pytracking running.py:77-113)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savetxt(path, result["boxes"], fmt=fmt, delimiter=delimiter)
+    base = path[:-4]
+    np.savetxt(base + "_time.value", [result["elapsed"] / max(len(result["boxes"]), 1)], fmt="%.8f")
+    np.savetxt(base + "_confidence.value",
+               np.concatenate(([1.0], result["confidences"])), fmt="%.8f")
+
+
+def run_dataset(tracker_factory, sequences: list[EvalSequence], results_root: str,
+                dataset: str, config_name: str, verbose: bool = True) -> list[dict]:
+    """Evaluate all sequences with skip-if-exists resume
+    (test_rgbt_mgpus.py:77-79)."""
+    outputs = []
+    for seq in sequences:
+        path = result_path(results_root, dataset, config_name, seq.name)
+        if os.path.exists(path):
+            if verbose:
+                print(f"-1 {seq.name}")
+            continue
+        tracker = tracker_factory()
+        res = run_sequence(tracker, seq)
+        save_result(path, res, fmt=seq.save_fmt, delimiter=seq.save_delimiter)
+        if verbose:
+            print(f"{seq.name} , fps:{res['fps']:.2f}")
+        outputs.append(res)
+    return outputs

@@ -88,11 +88,13 @@ def generate_ctr_mask(template_feat_size: int, mode: str) -> Optional[jnp.ndarra
     if mode == "ALL":
         return None
     m = jnp.zeros((template_feat_size, template_feat_size))
+    ctr = (template_feat_size - 1) // 2  # reproduces the reference lookup
     if mode == "CTR_POINT":
-        idx = {7: slice(3, 4), 8: slice(3, 4), 12: slice(5, 6), 14: slice(6, 7)}[template_feat_size]
+        idx = slice(ctr, ctr + 1)        # {7:3, 8:3, 12:5, 14:6}
         m = m.at[idx, idx].set(1.0)
     elif mode == "CTR_REC":
-        idx = {7: slice(3, 4), 8: slice(3, 5), 12: slice(5, 7)}[template_feat_size]
+        width = 2 if template_feat_size % 2 == 0 else 1  # {7:(3,4), 8:(3,5), 12:(5,7)}
+        idx = slice(ctr, ctr + width)
         m = m.at[idx, idx].set(1.0)
     else:
         raise NotImplementedError(f"CE_TEMPLATE_RANGE={mode}")

@@ -1,0 +1,142 @@
+"""ViPT tracker runtime: a functional, fully-jitted per-frame loop.
+
+Rebuild of ViPT/lib/test/tracker/vipt.py:17-130 and basetracker.py:20-26. The
+reference's OO initialize()/track() becomes a pure TrackerState pytree
+threaded through `vipt_track_step(params, state, frame)`; crop + normalize +
+forward + Hanning penalty + decode + map-back + clip all run inside ONE jit
+so a tracked frame costs a single host->device transfer (the frame) and a
+single device->host transfer (box + score). The same pure step vmaps over a
+`sequences` axis for batched multi-sequence inference (mmtrack_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtrack_tpu.models.heads import cal_bbox
+from mmtrack_tpu.models.vipt import ViPTrack, ce_keep_schedule, generate_ctr_mask
+from mmtrack_tpu.ops.box import clip_box
+from mmtrack_tpu.ops.crop import crop_resize_normalized
+from mmtrack_tpu.ops.window import hann2d
+
+# ImageNet statistics duplicated across both modality triplets
+# (PreprocessorMM, ViPT/lib/test/tracker/data_utils.py:15-24).
+MEAN_6CH = np.array([0.485, 0.456, 0.406] * 2, np.float32)
+STD_6CH = np.array([0.229, 0.224, 0.225] * 2, np.float32)
+
+
+@dataclass(frozen=True)
+class ViPTRuntime:
+    """Static runtime hyperparameters (TrackerParams analog,
+    ViPT/lib/test/parameter/vipt.py:7-29)."""
+    template_factor: float = 2.0
+    template_size: int = 128
+    search_factor: float = 4.0
+    search_size: int = 256
+    stride: int = 16
+    margin: float = 10.0
+    ce_template_range: str = "CTR_POINT"
+    ce_loc: tuple[int, ...] = (3, 6, 9)
+    ce_keep_ratio: tuple[float, ...] = (0.7, 0.7, 0.7)
+
+    @property
+    def feat_sz(self) -> int:
+        return self.search_size // self.stride
+
+    @property
+    def ce_keep_lens(self) -> tuple[int, ...]:
+        n = (self.search_size // self.stride) ** 2
+        return ce_keep_schedule(n, self.ce_loc, self.ce_keep_ratio)
+
+    @classmethod
+    def from_config(cls, cfg) -> "ViPTRuntime":
+        return cls(
+            template_factor=cfg.TEST.TEMPLATE_FACTOR,
+            template_size=cfg.TEST.TEMPLATE_SIZE,
+            search_factor=cfg.TEST.SEARCH_FACTOR,
+            search_size=cfg.TEST.SEARCH_SIZE,
+            stride=cfg.MODEL.BACKBONE.STRIDE,
+            ce_template_range=cfg.MODEL.BACKBONE.CE_TEMPLATE_RANGE,
+            ce_loc=tuple(cfg.MODEL.BACKBONE.CE_LOC),
+            ce_keep_ratio=tuple(cfg.MODEL.BACKBONE.CE_KEEP_RATIO),
+        )
+
+
+def vipt_init_state(rt: ViPTRuntime, frame: jnp.ndarray, init_box: jnp.ndarray) -> dict:
+    """Build the tracker state from the first frame.
+
+    Equivalent of ViPTTrack.initialize (vipt.py:41-62): one-shot template
+    crop, stored normalized. state = {'box' (4,) xywh image coords,
+    'template' (T, T, 6) normalized}.
+    """
+    mean, std = jnp.asarray(MEAN_6CH), jnp.asarray(STD_6CH)
+    template, _ = crop_resize_normalized(
+        frame, init_box, rt.template_factor, rt.template_size, mean, std)
+    return {"box": init_box.astype(jnp.float32), "template": template}
+
+
+def vipt_track_step(rt: ViPTRuntime, model: ViPTrack, params, state: dict,
+                    frame: jnp.ndarray):
+    """One tracked frame. Returns (new_state, box_xywh (4,), score ()).
+
+    Equivalent of ViPTTrack.track (vipt.py:64-110): search crop around the
+    previous box, forward, Hanning-window the center heatmap, decode, map the
+    crop-relative box back to image coordinates, clip with 10px margin.
+    """
+    H, W = frame.shape[0], frame.shape[1]
+    mean, std = jnp.asarray(MEAN_6CH), jnp.asarray(STD_6CH)
+    search, resize_factor = crop_resize_normalized(
+        frame, state["box"], rt.search_factor, rt.search_size, mean, std)
+
+    box_mask_z = generate_ctr_mask(rt.template_size // rt.stride, rt.ce_template_range)
+    out = model.apply(params, state["template"][None], search[None],
+                      box_mask_z, rt.ce_keep_lens)
+
+    window = hann2d(rt.feat_sz, rt.feat_sz)
+    response = window[None] * out["score_map"]
+    bbox, score = cal_bbox(response, out["size_map"], out["offset_map"])
+
+    # crop coords [0,1] -> image scale
+    pred = bbox[0] * rt.search_size / resize_factor  # (cx, cy, w, h)
+    prev = state["box"]
+    cx_prev = prev[0] + 0.5 * prev[2]
+    cy_prev = prev[1] + 0.5 * prev[3]
+    half_side = 0.5 * rt.search_size / resize_factor
+    cx = pred[0] + (cx_prev - half_side)
+    cy = pred[1] + (cy_prev - half_side)
+    new_box = jnp.stack([cx - 0.5 * pred[2], cy - 0.5 * pred[3], pred[2], pred[3]])
+    new_box = clip_box(new_box, float(H), float(W), margin=rt.margin)
+
+    new_state = {"box": new_box, "template": state["template"]}
+    return new_state, new_box, score[0]
+
+
+class ViPTTracker:
+    """OO facade with the reference BaseTracker API (initialize/track).
+
+    Holds the jitted functional core; jit re-specializes automatically per
+    frame resolution (a handful per dataset).
+    """
+
+    def __init__(self, model: ViPTrack, params, runtime: Optional[ViPTRuntime] = None):
+        self.model = model
+        self.params = params
+        self.rt = runtime or ViPTRuntime()
+        self._init_fn = jax.jit(partial(vipt_init_state, self.rt))
+        self._step_fn = jax.jit(partial(vipt_track_step, self.rt, self.model))
+        self.state = None
+
+    def initialize(self, image: np.ndarray, info: dict) -> None:
+        box = jnp.asarray(np.asarray(info["init_bbox"], np.float32))
+        self.state = self._init_fn(jnp.asarray(image), box)
+
+    def track(self, image: np.ndarray, info: dict | None = None) -> dict:
+        self.state, box, score = self._step_fn(self.params, self.state, jnp.asarray(image))
+        return {"target_bbox": np.asarray(box).tolist(),
+                "best_score": float(score)}
