@@ -1,22 +1,23 @@
 """Benchmark: ViPT batched multi-sequence tracking FPS per TPU chip.
 
-Protocol mirrors the reference's FPS measurement (frames / wall-clock,
-ViPT/RGBT_workspace/test_rgbt_mgpus.py:117) but uses the TPU-native batched
-path: B sequences advance in lockstep through the jitted track step
-(preprocessing + ViT-B forward + decode all on device). Steady-state only
-(compile excluded), host->device frame transfer included — that is the real
-serving loop.
+Serving configuration: B sequences advance in lockstep; frames stream to the
+device in chunks of T and a lax.scan drives the full per-frame loop (crop +
+normalize + ViT-B forward + Hanning penalty + decode + map-back) entirely in
+HBM — the north-star "online loop never leaves HBM". Compute in bfloat16
+(fp32 params, fp32 decode); steady-state measurement excludes compilation,
+includes the chunk host->device transfer.
 
-Prints ONE JSON line {metric, value, unit, vs_baseline}.
-vs_baseline is value / 35.0: the ViPT paper's reported ~35 FPS on its
-reference desktop GPU (the repo itself ships no machine-readable FPS —
-BASELINE.md); >1.0 means faster than the reference per device.
+FPS protocol matches the reference (frames / wall-clock,
+ViPT/RGBT_workspace/test_rgbt_mgpus.py:117). Prints ONE JSON line.
+vs_baseline = value / 35.0, the ViPT paper's ~35 FPS on its reference GPU
+(the repo ships no machine-readable FPS — see BASELINE.md).
 """
 
 from __future__ import annotations
 
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -24,8 +25,8 @@ import numpy as np
 
 REFERENCE_GPU_FPS = 35.0
 BATCH = 8
-N_STEPS = 40
-WARMUP = 5
+CHUNK_T = 16
+N_CHUNKS = 4
 H, W = 240, 320
 
 
@@ -33,44 +34,53 @@ def main() -> None:
     from mmtrack_tpu.config import vipt_experiment_config
     from mmtrack_tpu.data.synthetic import make_synthetic_sequence
     from mmtrack_tpu.models.vipt import build_viptrack
-    from mmtrack_tpu.parallel.batched_eval import make_batched_track_step
-    from mmtrack_tpu.trackers.vipt_tracker import ViPTRuntime
+    from mmtrack_tpu.trackers.vipt_tracker import (
+        ViPTRuntime,
+        vipt_init_state,
+        vipt_track_scan_batched,
+    )
 
     cfg = vipt_experiment_config("deep_rgbt")
-    model = build_viptrack(cfg)
     rt = ViPTRuntime.from_config(cfg)
+    model = build_viptrack(cfg, dtype=jnp.bfloat16)
 
     z = jnp.zeros((1, 128, 128, 6), jnp.float32)
     x = jnp.zeros((1, 256, 256, 6), jnp.float32)
-    params = jax.jit(lambda r: model.init(r, z, x, None, rt.ce_keep_lens))(
-        jax.random.PRNGKey(0))
+    params = jax.jit(lambda r: build_viptrack(cfg).init(
+        r, z, x, None, rt.ce_keep_lens))(jax.random.PRNGKey(0))
 
-    frames_np, gt = make_synthetic_sequence(n_frames=N_STEPS + WARMUP + 1,
-                                            height=H, width=W)
-    init_fn, step_fn = make_batched_track_step(rt, model)
+    frames_np, gt = make_synthetic_sequence(n_frames=CHUNK_T + 1, height=H, width=W)
+    init = jax.jit(jax.vmap(partial(vipt_init_state, rt)))
+    scan = jax.jit(partial(vipt_track_scan_batched, rt, model), donate_argnums=(1,))
 
-    frames0 = jnp.asarray(np.tile(frames_np[0], (BATCH, 1, 1, 1)))
-    boxes0 = jnp.asarray(np.tile(gt[0].astype(np.float32), (BATCH, 1)))
-    state = init_fn(frames0, boxes0)
+    f0 = jnp.asarray(np.tile(frames_np[0], (BATCH, 1, 1, 1)))
+    b0 = jnp.asarray(np.tile(gt[0].astype(np.float32), (BATCH, 1)))
+    chunk_np = np.tile(frames_np[1:][:, None], (1, BATCH, 1, 1, 1))  # (T,B,H,W,6)
 
-    # warmup (compile + first dispatches)
-    for t in range(1, WARMUP + 1):
-        f = jnp.asarray(np.tile(frames_np[t], (BATCH, 1, 1, 1)))
-        state, b, s = step_fn(params, state, f)
-    jax.block_until_ready(b)
+    # compile + warmup
+    state = init(f0, b0)
+    state, boxes, scores = scan(params, state, jax.device_put(chunk_np))
+    jax.block_until_ready(boxes)
 
+    # steady state with double-buffered chunk upload: transfer of chunk i+1
+    # overlaps the on-device scan of chunk i (async dispatch)
+    state = init(f0, b0)
     t0 = time.perf_counter()
-    for t in range(WARMUP + 1, WARMUP + 1 + N_STEPS):
-        f = jnp.asarray(np.tile(frames_np[t], (BATCH, 1, 1, 1)))
-        state, b, s = step_fn(params, state, f)
-    jax.block_until_ready(b)
+    nxt = jax.device_put(chunk_np)
+    for i in range(N_CHUNKS):
+        cur = nxt
+        if i + 1 < N_CHUNKS:
+            nxt = jax.device_put(chunk_np)
+        state, boxes, scores = scan(params, state, cur)
+    jax.block_until_ready(boxes)
     elapsed = time.perf_counter() - t0
 
-    fps = BATCH * N_STEPS / elapsed
+    fps = BATCH * CHUNK_T * N_CHUNKS / elapsed
     print(json.dumps({
         "metric": "vipt_batched_track_fps_per_chip",
         "value": round(fps, 2),
-        "unit": f"frames/s (batch={BATCH} sequences, {W}x{H}, ViT-B fp32)",
+        "unit": (f"frames/s (batch={BATCH} seqs, chunked lax.scan T={CHUNK_T}, "
+                 f"{W}x{H}, ViT-B bf16)"),
         "vs_baseline": round(fps / REFERENCE_GPU_FPS, 3),
     }))
 

@@ -117,6 +117,40 @@ def vipt_track_step(rt: ViPTRuntime, model: ViPTrack, params, state: dict,
     return new_state, new_box, score[0]
 
 
+def vipt_track_scan(rt: ViPTRuntime, model: ViPTrack, params, state: dict,
+                    frames: jnp.ndarray):
+    """Track a chunk of frames entirely on device via lax.scan.
+
+    frames: (T, H, W, 6) (or (T, B, H, W, 6) when `state` carries a batch
+    axis — pass a vmapped step through `batched=True`). The per-frame loop
+    never leaves HBM (north-star requirement): one host->device transfer per
+    chunk, boxes come back as (T, 4).
+    """
+    def body(carry, frame):
+        new_state, box, score = vipt_track_step(rt, model, params, carry, frame)
+        return new_state, (box, score)
+
+    final_state, (boxes, scores) = jax.lax.scan(body, state, frames)
+    return final_state, boxes, scores
+
+
+def vipt_track_scan_batched(rt: ViPTRuntime, model: ViPTrack, params,
+                            state: dict, frames: jnp.ndarray):
+    """Batched chunk tracking: frames (T, B, H, W, 6), state leaves lead with B.
+
+    scan over time of a vmapped step: B sequences advance in lockstep with
+    zero host round-trips inside the chunk.
+    """
+    step = jax.vmap(partial(vipt_track_step, rt, model, params))
+
+    def body(carry, frame_b):
+        new_state, box, score = step(carry, frame_b)
+        return new_state, (box, score)
+
+    final_state, (boxes, scores) = jax.lax.scan(body, state, frames)
+    return final_state, boxes, scores
+
+
 class ViPTTracker:
     """OO facade with the reference BaseTracker API (initialize/track).
 

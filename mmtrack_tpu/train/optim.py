@@ -52,7 +52,12 @@ def build_optimizer(params, *, lr: float, weight_decay: float = 1e-4,
         optax.adamw(schedule, weight_decay=weight_decay),
     )
     if trainable_mask is not None:
-        tx = optax.masked(tx, trainable_mask)
+        # NB: optax.masked would pass the RAW gradient through as the update
+        # for masked-out leaves; frozen leaves must get exactly zero.
+        labels = jax.tree.map(lambda t: "train" if t else "freeze",
+                              trainable_mask)
+        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()},
+                                   param_labels=labels)
     return tx
 
 

@@ -19,3 +19,9 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+# The axon TPU plugin (sitecustomize) loads before conftest and consumes
+# XLA_FLAGS, so --xla_force_host_platform_device_count is ignored; the jax
+# config knob applies at CPU client creation instead.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
