@@ -1,0 +1,431 @@
+"""DiMP / DeT model family: discriminative online-learned target classifier.
+
+TPU-native rebuild of the reference's DiMP stack:
+  - LinearFilter classifier: feature extractor + filter initializer +
+    steepest-descent Gauss-Newton optimizer
+    (RGBD/models/DeT/ltr/models/target_classifier/{linear_filter.py,
+    initializer.py:118-170, optimizer.py:11-170}),
+  - ATOM IoUNet box regressor with PrRoI pooling
+    (ltr/models/bbreg/atom_iou_net.py),
+  - DiMPnet / DiMPnet_DeT dual-backbone fusion with per-layer merge modes
+    max|mul|mean|weightedSum|conv (ltr/models/tracking/dimpnet.py:15-155).
+
+TPU-first choices: the unrolled GN runs as a lax.fori_loop with a dynamic
+iteration count (one compilation covers init/update/hard-negative cadences);
+the filter-gradient "apply_feat_transpose" is jax.vjp of the filter
+convolution (no hand-written transpose op); fixed-size sample memory with
+zero sample weights replaces dynamic memory shapes.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmtrack_tpu.models.heads import FrozenBatchNorm
+from mmtrack_tpu.models.resnet import ResNet, resnet50
+from mmtrack_tpu.ops.prroi import prroi_pool
+
+
+# ---------------------------------------------------------------- primitives
+
+def instance_l2_norm(x: jnp.ndarray, scale: float, eps: float = 1e-5) -> jnp.ndarray:
+    """x * scale * sqrt(numel / sum(x^2)) per sample (InstanceL2Norm,
+    ltr/models/layers/normalization.py:6-20). x: (N, H, W, C)."""
+    n = x.shape[1] * x.shape[2] * x.shape[3]
+    ss = jnp.sum(x * x, axis=(1, 2, 3), keepdims=True)
+    return x * (scale * jnp.sqrt(n / (ss + eps)))
+
+
+def apply_filter(feat: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """Correlate the filter over features (filter.py:5-56 semantics).
+
+    feat: (N, H, W, C); weights: (fh, fw, C).
+    Returns (N, H', W') with H' = H + (fh+1)%2 (torch conv with fh//2 pad).
+    """
+    fh, fw = weights.shape[0], weights.shape[1]
+    out = jax.lax.conv_general_dilated(
+        feat, weights[..., None],  # HWIO with O=1
+        window_strides=(1, 1),
+        padding=((fh // 2, fh // 2), (fw // 2, fw // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return out[..., 0]
+
+
+def distance_map(center_yx: jnp.ndarray, output_sz: tuple[int, int],
+                 num_bins: int, bin_displacement: float = 1.0) -> jnp.ndarray:
+    """Radial distance bin map (DistanceMap, ltr/models/layers/distance.py).
+
+    center_yx: (N, 2). Returns (N, H, W, num_bins)."""
+    H, W = output_sz
+    k0 = jnp.arange(H, dtype=jnp.float32).reshape(1, -1, 1)
+    k1 = jnp.arange(W, dtype=jnp.float32).reshape(1, 1, -1)
+    d0 = k0 - center_yx[:, 0].reshape(-1, 1, 1)
+    d1 = k1 - center_yx[:, 1].reshape(-1, 1, 1)
+    dist = jnp.sqrt(d0 * d0 + d1 * d1)[..., None]
+    bins = jnp.arange(num_bins, dtype=jnp.float32).reshape(1, 1, 1, -1)
+    diff = dist / bin_displacement - bins
+    main = nn.relu(1.0 - jnp.abs(diff[..., :-1]))
+    last = jnp.clip(1.0 + diff[..., -1:], 0.0, 1.0)
+    return jnp.concatenate([main, last], axis=-1)
+
+
+def leaky_relu_par(x, a):
+    """(1-a)/2 |x| + (1+a)/2 x — target-masked score activation
+    (activation.py:32-44)."""
+    return (1.0 - a) / 2.0 * jnp.abs(x) + (1.0 + a) / 2.0 * x
+
+
+def leaky_relu_par_deriv(x, a):
+    return (1.0 - a) / 2.0 * jnp.sign(x) + (1.0 + a) / 2.0
+
+
+# ---------------------------------------------------------------- classifier
+
+class ClfFeatureExtractor(nn.Module):
+    """dimp50 classification features: Conv3x3 (no bias) + InstanceL2Norm
+    (residual_bottleneck with num_blocks=0, final_conv, features.py:50-70)."""
+    out_dim: int = 512
+    filter_size: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray) -> jnp.ndarray:
+        norm_scale = math.sqrt(1.0 / (self.out_dim * self.filter_size ** 2))
+        y = nn.Conv(self.out_dim, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="final_conv")(feat)
+        return instance_l2_norm(y, norm_scale)
+
+
+class FilterInitializer(nn.Module):
+    """Conv then PrRoI-pool the target region to filter size
+    (FilterInitializerLinear, initializer.py:118-170)."""
+    filter_size: int = 4
+    feature_stride: int = 16
+    filter_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, bb_xywh: jnp.ndarray) -> jnp.ndarray:
+        """feat (N, H, W, C), bb (N, 4) image coords -> (fh, fw, C) filter
+        (mean over the N samples)."""
+        N = feat.shape[0]
+        y = nn.Conv(feat.shape[-1], (3, 3), padding="SAME", dtype=self.dtype,
+                    name="filter_conv")(feat)
+        xyxy = jnp.concatenate([bb_xywh[:, :2], bb_xywh[:, :2] + bb_xywh[:, 2:]], axis=1)
+        rois = jnp.concatenate(
+            [jnp.arange(N, dtype=jnp.float32)[:, None], xyxy], axis=1)
+        pooled = prroi_pool(y, rois, self.filter_size, self.filter_size,
+                            1.0 / self.feature_stride)  # (N, fh, fw, C)
+        w = pooled.mean(axis=0)
+        if self.filter_norm:
+            w = w / (w.shape[0] * w.shape[1] * w.shape[2])
+        return w
+
+
+class SteepestDescentGN(nn.Module):
+    """Unrolled steepest-descent Gauss-Newton filter optimizer
+    (DiMPSteepestDescentGN, optimizer.py:11-170).
+
+    Learned pieces: log step length, filter regularization, and 1x1
+    predictors over radial distance bins for the label (y), target mask (m)
+    and spatial weight (v) maps. The filter gradient is obtained with jax.vjp
+    of `apply_filter` — exactly apply_feat_transpose (filter.py:57-168)
+    without a hand-written transpose.
+    """
+    num_iter: int = 5
+    feat_stride: int = 16
+    init_step_length: float = 1.0
+    init_filter_reg: float = 1e-2
+    init_gauss_sigma: float = 0.9
+    num_dist_bins: int = 100
+    bin_displacement: float = 0.1
+    mask_init_factor: float = 3.0
+    min_filter_reg: float = 1e-3
+    alpha_eps: float = 0.0
+
+    @nn.compact
+    def __call__(self, weights: jnp.ndarray, feat: jnp.ndarray,
+                 bb_xywh: jnp.ndarray, sample_weight: jnp.ndarray | None = None,
+                 num_iter=None):
+        """weights (fh, fw, C); feat (N, H, W, C); bb (N, 4) image coords;
+        sample_weight (N,) or None. num_iter may be a traced int (dynamic
+        cadence). Returns optimized weights."""
+        num_iter = self.num_iter if num_iter is None else num_iter
+        N, H, W, C = feat.shape
+        fh, fw = weights.shape[0], weights.shape[1]
+        out_h, out_w = H + (fh + 1) % 2, W + (fw + 1) % 2
+
+        log_step = self.param("log_step_length",
+                              nn.initializers.constant(math.log(self.init_step_length)), (1,))
+        filter_reg = self.param("filter_reg",
+                                nn.initializers.constant(self.init_filter_reg), (1,))
+
+        d = jnp.arange(self.num_dist_bins, dtype=jnp.float32) * self.bin_displacement
+        if self.init_gauss_sigma == 0:
+            init_gauss = jnp.zeros_like(d).at[0].set(1.0)
+        else:
+            init_gauss = jnp.exp(-0.5 * (d / self.init_gauss_sigma) ** 2)
+        label_w = self.param("label_map_kernel",
+                             lambda *_: init_gauss - init_gauss.min(),
+                             (self.num_dist_bins,))
+        mask_w = self.param("target_mask_kernel",
+                            lambda *_: self.mask_init_factor * jnp.tanh(2.0 - d),
+                            (self.num_dist_bins,))
+        spatial_w = self.param("spatial_weight_kernel", nn.initializers.ones,
+                               (self.num_dist_bins,))
+
+        step_length = jnp.exp(log_step)
+        reg = jnp.clip(filter_reg * filter_reg, self.min_filter_reg ** 2, None)[0]
+
+        offset = jnp.array([fh % 2, fw % 2], jnp.float32) / 2.0
+        center = ((bb_xywh[:, :2] + bb_xywh[:, 2:] / 2) / self.feat_stride)[:, ::-1] - offset
+        dmap = distance_map(center, (out_h, out_w), self.num_dist_bins,
+                            self.bin_displacement)  # (N, H', W', bins)
+
+        label = dmap @ label_w
+        target_mask = nn.sigmoid(dmap @ mask_w)
+        spatial_weight = dmap @ spatial_w
+
+        if sample_weight is None:
+            sw = math.sqrt(1.0 / N) * spatial_weight
+        else:
+            sw = jnp.sqrt(sample_weight).reshape(-1, 1, 1) * spatial_weight
+
+        filt_fn = lambda w: apply_filter(feat, w)
+
+        def body(_, w):
+            scores = filt_fn(w)
+            scores_act = leaky_relu_par(scores, target_mask)
+            deriv = leaky_relu_par_deriv(scores, target_mask)
+            residuals = sw * (scores_act - label)
+            residuals_mapped = deriv * (sw * residuals)
+            _, vjp = jax.vjp(filt_fn, w)
+            (w_grad,) = vjp(residuals_mapped)
+            w_grad = w_grad + reg * w
+            scores_grad = sw * (deriv * filt_fn(w_grad))
+            alpha_num = jnp.sum(w_grad * w_grad)
+            alpha_den = jnp.maximum(
+                jnp.sum(scores_grad * scores_grad)
+                + (reg + self.alpha_eps) * alpha_num, 1e-8)
+            alpha = alpha_num / alpha_den
+            return w - step_length[0] * alpha * w_grad
+
+        return jax.lax.fori_loop(0, num_iter, body, weights)
+
+
+# ---------------------------------------------------------------- IoU net
+
+class ConvBlock(nn.Module):
+    out_ch: int
+    kernel: int = 3
+    padding: str | int = "SAME"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding if isinstance(self.padding, str) \
+            else ((self.padding, self.padding), (self.padding, self.padding))
+        x = nn.Conv(self.out_ch, (self.kernel, self.kernel), padding=pad,
+                    dtype=self.dtype, name="conv")(x)
+        x = FrozenBatchNorm(name="bn")(x)
+        return nn.relu(x)
+
+
+class LinearBlock(nn.Module):
+    """Flatten + Linear + BN + ReLU (ltr/models/layers/blocks.py LinearBlock)."""
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear")(x)
+        x = FrozenBatchNorm(name="bn")(x)
+        return nn.relu(x)
+
+
+class AtomIoUNet(nn.Module):
+    """ATOM IoU predictor (atom_iou_net.py:15-185), NHWC + JAX PrRoI.
+
+    Methods: get_modulation(reference feats, target box) -> 2 vectors;
+    get_iou_feat(test feats); predict_iou(modulation, feats, proposals).
+    """
+    input_dim: tuple[int, int] = (512, 1024)
+    pred_input_dim: tuple[int, int] = (256, 256)
+    pred_inter_dim: tuple[int, int] = (256, 256)
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.conv3_1r = ConvBlock(128, 3, name="conv3_1r")
+        self.conv3_1t = ConvBlock(256, 3, name="conv3_1t")
+        self.conv3_2t = ConvBlock(self.pred_input_dim[0], 3, name="conv3_2t")
+        self.fc3_1r = ConvBlock(256, 3, padding=0, name="fc3_1r")
+        self.conv4_1r = ConvBlock(256, 3, name="conv4_1r")
+        self.conv4_1t = ConvBlock(256, 3, name="conv4_1t")
+        self.conv4_2t = ConvBlock(self.pred_input_dim[1], 3, name="conv4_2t")
+        self.fc34_3r = ConvBlock(self.pred_input_dim[0], 1, padding=0, name="fc34_3r")
+        self.fc34_4r = ConvBlock(self.pred_input_dim[1], 1, padding=0, name="fc34_4r")
+        self.fc3_rt = LinearBlock(self.pred_inter_dim[0], name="fc3_rt")
+        self.fc4_rt = LinearBlock(self.pred_inter_dim[1], name="fc4_rt")
+        self.iou_predictor = nn.Dense(1, name="iou_predictor")
+
+    def get_modulation(self, feats: Sequence[jnp.ndarray], bb_xywh: jnp.ndarray):
+        """feats: [layer2 (N,H,W,512), layer3 (N,H,W,1024)]; bb (N,4)."""
+        f2, f3 = feats
+        N = f2.shape[0]
+        c3_r = self.conv3_1r(f2)
+        xyxy = jnp.concatenate([bb_xywh[:, :2], bb_xywh[:, :2] + bb_xywh[:, 2:]], axis=1)
+        rois = jnp.concatenate([jnp.arange(N, dtype=jnp.float32)[:, None], xyxy], axis=1)
+        roi3r = prroi_pool(c3_r, rois, 3, 3, 1 / 8)
+        c4_r = self.conv4_1r(f3)
+        roi4r = prroi_pool(c4_r, rois, 1, 1, 1 / 16)
+        fc3_r = self.fc3_1r(roi3r)  # (N,1,1,256)
+        fc34_r = jnp.concatenate([fc3_r, roi4r], axis=-1)
+        return (self.fc34_3r(fc34_r).reshape(N, -1),
+                self.fc34_4r(fc34_r).reshape(N, -1))
+
+    def get_iou_feat(self, feats: Sequence[jnp.ndarray]):
+        f2, f3 = feats
+        return (self.conv3_2t(self.conv3_1t(f2)),
+                self.conv4_2t(self.conv4_1t(f3)))
+
+    def predict_iou(self, modulation, feats, proposals_xywh: jnp.ndarray):
+        """modulation: 2x (N, C); feats: 2x (N, H, W, C);
+        proposals: (N, P, 4) xywh image coords -> IoU (N, P)."""
+        mod3, mod4 = modulation
+        c3_t, c4_t = feats
+        N, P = proposals_xywh.shape[0], proposals_xywh.shape[1]
+        c3_att = c3_t * mod3[:, None, None, :]
+        c4_att = c4_t * mod4[:, None, None, :]
+        xyxy = jnp.concatenate([proposals_xywh[..., :2],
+                                proposals_xywh[..., :2] + proposals_xywh[..., 2:]],
+                               axis=-1)
+        bidx = jnp.tile(jnp.arange(N, dtype=jnp.float32)[:, None, None], (1, P, 1))
+        rois = jnp.concatenate([bidx, xyxy], axis=-1).reshape(N * P, 5)
+        roi3t = prroi_pool(c3_att, rois, 5, 5, 1 / 8)
+        roi4t = prroi_pool(c4_att, rois, 3, 3, 1 / 16)
+        fc3 = self.fc3_rt(roi3t)
+        fc4 = self.fc4_rt(roi4t)
+        iou = self.iou_predictor(jnp.concatenate([fc3, fc4], axis=-1))
+        return iou.reshape(N, P)
+
+    def __call__(self, ref_feats, test_feats, bb_xywh, proposals_xywh):
+        """Training forward (atom_iou_net.py:68-96, single reference frame)."""
+        modulation = self.get_modulation(ref_feats, bb_xywh)
+        iou_feat = self.get_iou_feat(test_feats)
+        return self.predict_iou(modulation, iou_feat, proposals_xywh)
+
+
+# ---------------------------------------------------------------- full nets
+
+MERGE_MODES = ("max", "mul", "mean", "weightedSum", "conv")
+
+
+class DiMPNet(nn.Module):
+    """DiMP-50 network; `merge_type` != None adds the DeT second backbone
+    (DiMPnet_DeT, dimpnet.py:15-155): the 6-channel input splits into RGB and
+    colormapped-X triplets, each through its own ResNet, merged per layer.
+
+    Methods (mirroring the reference tracking API, dimp.py:574-576,634-640):
+      extract_backbone(im (N,H,W,3|6)) -> dict layer2/layer3
+      extract_classification_feat(bfeat) -> (N, H, W, 512)
+      get_filter(clf_feat, bb) -> (fh, fw, 512) initial filter
+      optimize_filter(w, feat, bb, sample_weight, num_iter) -> w
+      classify(w, feat) -> scores
+      + bb_regressor sub-module methods via apply(..., method=...)
+    """
+    filter_size: int = 4
+    out_feature_dim: int = 512
+    optim_iter: int = 5
+    feat_stride: int = 16
+    merge_type: str | None = None   # None = single-backbone DiMP
+    merge_weights: tuple[float, float] = (0.6, 0.4)  # DeT weightedSum
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.backbone = resnet50(self.dtype)
+        if self.merge_type is not None:
+            self.backbone_x = resnet50(self.dtype)
+            if self.merge_type == "conv":
+                self.merge_conv2 = nn.Conv(512, (1, 1), name="merge_conv2")
+                self.merge_conv3 = nn.Conv(1024, (1, 1), name="merge_conv3")
+        self.clf_features = ClfFeatureExtractor(self.out_feature_dim,
+                                                self.filter_size, name="clf_features")
+        self.filter_initializer = FilterInitializer(
+            self.filter_size, self.feat_stride, name="filter_initializer")
+        self.filter_optimizer = SteepestDescentGN(
+            num_iter=self.optim_iter, feat_stride=self.feat_stride,
+            name="filter_optimizer")
+        self.bb_regressor = AtomIoUNet(name="bb_regressor")
+
+    def _merge(self, a: jnp.ndarray, b: jnp.ndarray, layer: str) -> jnp.ndarray:
+        """Per-layer RGB/X feature merge (DiMPnet_DeT.merge, dimpnet.py:88-117)."""
+        m = self.merge_type
+        if m == "max":
+            return jnp.maximum(a, b)
+        if m == "mul":
+            return a * b
+        if m == "mean":
+            return 0.5 * (a + b)
+        if m == "weightedSum":
+            wa, wb = self.merge_weights
+            return wa * a + wb * b
+        if m == "conv":
+            conv = self.merge_conv2 if layer == "layer2" else self.merge_conv3
+            return conv(jnp.concatenate([a, b], axis=-1))
+        raise ValueError(f"unknown merge type {m}")
+
+    def extract_backbone(self, im: jnp.ndarray) -> dict:
+        if self.merge_type is None:
+            return self.backbone(im[..., :3], ("layer2", "layer3"))
+        f_rgb = self.backbone(im[..., :3], ("layer2", "layer3"))
+        f_x = self.backbone_x(im[..., 3:6], ("layer2", "layer3"))
+        return {k: self._merge(f_rgb[k], f_x[k], k) for k in f_rgb}
+
+    def extract_classification_feat(self, backbone_feat: dict) -> jnp.ndarray:
+        return self.clf_features(backbone_feat["layer3"])
+
+    def get_filter(self, clf_feat: jnp.ndarray, bb_xywh: jnp.ndarray) -> jnp.ndarray:
+        return self.filter_initializer(clf_feat, bb_xywh)
+
+    def optimize_filter(self, weights, clf_feat, bb_xywh, sample_weight=None,
+                        num_iter=None):
+        return self.filter_optimizer(weights, clf_feat, bb_xywh, sample_weight,
+                                     num_iter)
+
+    def classify(self, weights: jnp.ndarray, clf_feat: jnp.ndarray) -> jnp.ndarray:
+        return apply_filter(clf_feat, weights)
+
+    def __call__(self, train_im, test_im, train_bb, test_proposals):
+        """Training-style forward (DiMPnet.forward): returns target scores on
+        the test frames and IoU predictions for the proposals."""
+        train_feat = self.extract_backbone(train_im)
+        test_feat = self.extract_backbone(test_im)
+        train_clf = self.extract_classification_feat(train_feat)
+        test_clf = self.extract_classification_feat(test_feat)
+        w = self.get_filter(train_clf, train_bb)
+        w = self.filter_optimizer(w, train_clf, train_bb)
+        scores = self.classify(w, test_clf)
+        iou_pred = self.bb_regressor(
+            [train_feat["layer2"], train_feat["layer3"]],
+            [test_feat["layer2"], test_feat["layer3"]],
+            train_bb, test_proposals)
+        return {"target_scores": scores, "iou_pred": iou_pred}
+
+
+def build_dimp50(dtype=jnp.float32) -> DiMPNet:
+    """Plain RGB DiMP-50 (dimpnet.py:367-419)."""
+    return DiMPNet(merge_type=None, dtype=dtype)
+
+
+def build_det_dimp50(merge_type: str = "max", dtype=jnp.float32) -> DiMPNet:
+    """DeT dual-backbone RGB-D tracker (dimp50_DeT, dimpnet.py:421-474);
+    merge in {max, mul, mean, weightedSum, conv} per DeT_DiMP50_* configs."""
+    return DiMPNet(merge_type=merge_type, dtype=dtype)

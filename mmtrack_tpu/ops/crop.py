@@ -94,6 +94,43 @@ def crop_resize_normalized(image: jnp.ndarray, box_xywh: jnp.ndarray,
     return (crop / 255.0 - mean) / std, rf
 
 
+def crop_at(image: jnp.ndarray, center_yx: jnp.ndarray, crop_sz,
+            out_size: int, border: str = "replicate") -> jnp.ndarray:
+    """Square crop of (traced) side `crop_sz` centered at `center_yx`,
+    resized to out_size — the DiMP-family sample extraction
+    (sample_patch, RGBD/models/DeT/pytracking/features/preprocessing.py with
+    mode='replicate'). Same one-gather formulation as crop_resize.
+
+    Returns (out_size, out_size, C) float32.
+    """
+    H, W = image.shape[0], image.shape[1]
+    crop_sz = jnp.maximum(jnp.round(crop_sz), 2.0)
+    y1 = jnp.round(center_yx[0] - 0.5 * crop_sz)
+    x1 = jnp.round(center_yx[1] - 0.5 * crop_sz)
+
+    s = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (crop_sz / out_size) - 0.5
+    s = jnp.clip(s, 0.0, crop_sz - 1.0)
+    ys, xs = y1 + s, x1 + s
+
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    img = image.astype(jnp.float32)
+
+    def tap(yi, xi):
+        if border == "replicate":
+            return img[jnp.clip(yi, 0, H - 1)][:, jnp.clip(xi, 0, W - 1)]
+        valid = ((yi >= 0) & (yi < H))[:, None, None] & ((xi >= 0) & (xi < W))[None, :, None]
+        v = img[jnp.clip(yi, 0, H - 1)][:, jnp.clip(xi, 0, W - 1)]
+        return jnp.where(valid, v, 0.0)
+
+    return ((1 - fy) * (1 - fx) * tap(y0, x0) + (1 - fy) * fx * tap(y0, x0 + 1)
+            + fy * (1 - fx) * tap(y0 + 1, x0) + fy * fx * tap(y0 + 1, x0 + 1))
+
+
 def sample_target_np(im: np.ndarray, target_bb, search_area_factor: float,
                      output_sz: int | None = None):
     """Host/cv2 twin of the reference sample_target (bit-parity path).

@@ -1,0 +1,368 @@
+"""DiMP / DeT online tracker runtime — fully on-device functional loop.
+
+Rebuild of RGBD/models/DeT/pytracking/tracker/dimp/dimp.py:25-740 as a pure
+TrackerState pytree + ONE jitted step:
+  - sample extraction (replicate border) + dual-backbone features,
+  - classification by the online-learned filter,
+  - ATOM advanced localization (not_found / uncertain / hard_negative flag
+    lattice via distractor analysis, dimp.py:239-304) as a lax select chain,
+  - ATOM IoUNet box refinement by gradient ascent on predicted IoU
+    (dimp.py:652-740) with jax.grad supplying d(IoU)/d(box),
+  - fixed 50-slot sample memory with min-weight replacement
+    (dimp.py:412-510) as masked scatter updates,
+  - steepest-descent filter re-optimization with DYNAMIC iteration count
+    (hard-negative 1 / every-20th 2 / else 0, dimp.py:607-650) through one
+    compiled fori_loop.
+
+Constants default to DeT_DiMP50_Max
+(pytracking/parameter/dimp/DeT_DiMP50_Max.py:12-63).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtrack_tpu.models.dimp import AtomIoUNet, DiMPNet
+from mmtrack_tpu.ops.crop import crop_at
+from mmtrack_tpu.trackers.vipt_tracker import MEAN_6CH, STD_6CH
+
+FLAG_NORMAL, FLAG_NOT_FOUND, FLAG_UNCERTAIN, FLAG_HARD_NEG = 0, 1, 2, 3
+
+
+@dataclass(frozen=True)
+class DiMPRuntime:
+    image_sample_size: int = 288
+    search_area_scale: float = 5.0
+    feat_stride: int = 16
+    kernel_size: int = 4
+    sample_memory_size: int = 50
+    learning_rate: float = 0.01
+    init_samples_minimum_weight: float = 0.25
+    train_skipping: int = 20
+    net_opt_iter: int = 10
+    net_opt_update_iter: int = 2
+    net_opt_hn_iter: int = 1
+    target_not_found_threshold: float = 0.25
+    distractor_threshold: float = 0.8
+    hard_negative_threshold: float = 0.5
+    target_neighborhood_scale: float = 2.2
+    displacement_scale: float = 0.8
+    hard_negative_learning_rate: float = 0.02
+    target_inside_ratio: float = 0.2
+    iounet_k: int = 3
+    num_init_random_boxes: int = 9
+    box_jitter_pos: float = 0.1
+    box_jitter_sz: float = 0.5
+    maximal_aspect_ratio: float = 6.0
+    box_refinement_iter: int = 5
+    box_refinement_step_length: float = 1.0
+
+    @property
+    def feat_sz(self) -> int:
+        return self.image_sample_size // self.feat_stride  # 18
+
+    @property
+    def score_sz(self) -> int:
+        return self.feat_sz + (self.kernel_size + 1) % 2  # 19 for even kernel
+
+
+def _normalize(patch: jnp.ndarray) -> jnp.ndarray:
+    return (patch / 255.0 - jnp.asarray(MEAN_6CH)) / jnp.asarray(STD_6CH)
+
+
+def _sample_geometry(rt: DiMPRuntime, pos_yx, target_scale):
+    """Actual crop center and scale after crop_at's rounding."""
+    crop_sz = jnp.maximum(jnp.round(target_scale * rt.image_sample_size), 2.0)
+    y1 = jnp.round(pos_yx[0] - 0.5 * crop_sz)
+    x1 = jnp.round(pos_yx[1] - 0.5 * crop_sz)
+    sample_pos = jnp.stack([y1 + 0.5 * crop_sz, x1 + 0.5 * crop_sz])
+    sample_scale = crop_sz / rt.image_sample_size
+    return crop_sz, sample_pos, sample_scale
+
+
+def _get_iounet_box(rt: DiMPRuntime, pos_yx, sz_hw, sample_pos, sample_scale):
+    """Image-coords target -> xywh box in the crop frame (dimp.py:get_iounet_box)."""
+    box_center = (pos_yx - sample_pos) / sample_scale + (rt.image_sample_size - 1) / 2
+    box_sz = sz_hw / sample_scale
+    ul = box_center - (box_sz - 1) / 2
+    return jnp.concatenate([ul[::-1], box_sz[::-1]])  # (x, y, w, h)
+
+
+def _max2d(scores: jnp.ndarray):
+    """(val, (row, col)) of the max of a 2D map."""
+    idx = jnp.argmax(scores)
+    H, W = scores.shape
+    return scores.reshape(-1)[idx], jnp.stack([idx // W, idx % W]).astype(jnp.float32)
+
+
+def dimp_init_state(rt: DiMPRuntime, model: DiMPNet, params, frame: jnp.ndarray,
+                    init_box_xywh: jnp.ndarray) -> dict:
+    """First-frame initialization (dimp.py:25-91, single init sample)."""
+    x, y, w, h = init_box_xywh
+    pos = jnp.stack([y + (h - 1) / 2, x + (w - 1) / 2])
+    target_sz = jnp.stack([h, w])
+
+    search_area = jnp.prod(target_sz * rt.search_area_scale)
+    target_scale = jnp.sqrt(search_area) / rt.image_sample_size
+    base_target_sz = target_sz / target_scale
+
+    crop_sz, sample_pos, sample_scale = _sample_geometry(rt, pos, target_scale)
+    patch = _normalize(crop_at(frame, pos, crop_sz, rt.image_sample_size))
+
+    bfeat = model.apply(params, patch[None], method=DiMPNet.extract_backbone)
+    clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
+
+    box_crop = _get_iounet_box(rt, pos, target_sz, sample_pos, sample_scale)
+    w0 = model.apply(params, clf_feat, box_crop[None], method=DiMPNet.get_filter)
+    filt = model.apply(params, w0, clf_feat, box_crop[None], None,
+                       rt.net_opt_iter, method=DiMPNet.optimize_filter)
+
+    mod3, mod4 = model.apply(
+        params, [bfeat["layer2"], bfeat["layer3"]], box_crop[None],
+        method=lambda m, f, b: m.bb_regressor.get_modulation(f, b))
+
+    M = rt.sample_memory_size
+    S = rt.feat_sz
+    C = clf_feat.shape[-1]
+    memory_feat = jnp.zeros((M, S, S, C), jnp.float32).at[0].set(clf_feat[0])
+    memory_boxes = jnp.zeros((M, 4), jnp.float32).at[0].set(box_crop)
+    sample_weights = jnp.zeros((M,), jnp.float32).at[0].set(1.0)
+
+    return {
+        "pos": pos, "target_sz": target_sz,
+        "target_scale": target_scale, "base_target_sz": base_target_sz,
+        "filter": filt,
+        "memory_feat": memory_feat, "memory_boxes": memory_boxes,
+        "sample_weights": sample_weights,
+        "num_stored": jnp.asarray(1, jnp.int32),
+        "prev_replace_ind": jnp.asarray(-1, jnp.int32),
+        "frame_num": jnp.asarray(1, jnp.int32),
+        "iou_mod3": mod3[0], "iou_mod4": mod4[0],
+        "rng": jax.random.PRNGKey(0),
+    }
+
+
+def _localize_advanced(rt: DiMPRuntime, scores, state, sample_pos, sample_scale):
+    """ATOM distractor-aware localization (dimp.py:239-304); returns
+    (translation_yx, flag, max_score)."""
+    S = rt.score_sz
+    output_sz = float(S - (rt.kernel_size + 1) % 2)
+    score_center = (S - 1) / 2.0
+
+    max1, disp1 = _max2d(scores)
+    target_disp1 = disp1 - score_center
+    scale_fac = (rt.image_sample_size / output_sz) * sample_scale
+    trans1 = target_disp1 * scale_fac
+
+    # mask the target neighborhood, find the second peak
+    neigh = rt.target_neighborhood_scale * (state["target_sz"] / sample_scale) \
+        * (output_sz / rt.image_sample_size)
+    iy = jnp.arange(S, dtype=jnp.float32)[:, None]
+    ix = jnp.arange(S, dtype=jnp.float32)[None, :]
+    inside = ((jnp.abs(iy - disp1[0]) <= neigh[0] / 2 + 0.5)
+              & (jnp.abs(ix - disp1[1]) <= neigh[1] / 2 + 0.5))
+    masked = jnp.where(inside, 0.0, scores)
+    max2, disp2 = _max2d(masked)
+    target_disp2 = disp2 - score_center
+    trans2 = target_disp2 * scale_fac
+
+    prev_vec = (state["pos"] - sample_pos) / scale_fac
+    disp_norm1 = jnp.sqrt(((target_disp1 - prev_vec) ** 2).sum())
+    disp_norm2 = jnp.sqrt(((target_disp2 - prev_vec) ** 2).sum())
+    disp_thresh = rt.displacement_scale * math.sqrt(S * S) / 2
+
+    # flag lattice (evaluated densely, selected by priority)
+    not_found = max1 < rt.target_not_found_threshold
+    distractor = max2 > rt.distractor_threshold * max1
+    hn_d1 = distractor & (disp_norm2 > disp_thresh) & (disp_norm1 < disp_thresh)
+    hn_d2 = distractor & (disp_norm2 < disp_thresh) & (disp_norm1 > disp_thresh)
+    uncertain_d = distractor & ~hn_d1 & ~hn_d2
+    hard_neg2 = (~distractor & (max2 > rt.hard_negative_threshold * max1)
+                 & (max2 > rt.target_not_found_threshold))
+
+    flag = jnp.where(
+        not_found, FLAG_NOT_FOUND,
+        jnp.where(hn_d1, FLAG_HARD_NEG,
+                  jnp.where(hn_d2, FLAG_HARD_NEG,
+                            jnp.where(uncertain_d, FLAG_UNCERTAIN,
+                                      jnp.where(hard_neg2, FLAG_HARD_NEG,
+                                                FLAG_NORMAL)))))
+    translation = jnp.where(hn_d2 & ~not_found, trans2, trans1)
+    return translation, flag.astype(jnp.int32), max1
+
+
+def _refine_box(rt: DiMPRuntime, model, params, bfeat, state, sample_pos,
+                sample_scale, rng):
+    """IoUNet gradient-ascent refinement (dimp.py:652-740). Returns
+    (new_pos, new_sz, new_scale, ok)."""
+    init_box = _get_iounet_box(rt, state["pos"], state["target_sz"],
+                               sample_pos, sample_scale)
+    sq = jnp.sqrt(jnp.prod(init_box[2:]))
+    rand_factor = sq * jnp.asarray([rt.box_jitter_pos, rt.box_jitter_pos,
+                                    rt.box_jitter_sz, rt.box_jitter_sz])
+    min_edge = jnp.min(init_box[2:]) / 3
+    r = (jax.random.uniform(rng, (rt.num_init_random_boxes, 4)) - 0.5) * rand_factor
+    new_sz = jnp.maximum(init_box[2:] + r[:, 2:], min_edge)
+    new_center = init_box[:2] + init_box[2:] / 2 + r[:, :2]
+    jittered = jnp.concatenate([new_center - new_sz / 2, new_sz], axis=1)
+    boxes = jnp.concatenate([init_box[None], jittered], axis=0)  # (P, 4)
+
+    iou_feat = model.apply(params, [bfeat["layer2"], bfeat["layer3"]],
+                           method=lambda m, f: m.bb_regressor.get_iou_feat(f))
+    mod = (state["iou_mod3"][None], state["iou_mod4"][None])
+
+    def iou_of(props):
+        return model.apply(params, mod, iou_feat, props[None],
+                           method=lambda m, a, b, c: m.bb_regressor.predict_iou(a, b, c))[0]
+
+    def ascent(_, bxs):
+        g = jax.grad(lambda b: iou_of(b).sum())(bxs)
+        sz_rep = jnp.tile(bxs[:, 2:], (1, 2))
+        return bxs + rt.box_refinement_step_length * g * sz_rep
+
+    boxes = jax.lax.fori_loop(0, rt.box_refinement_iter, ascent, boxes)
+    ious = iou_of(boxes)
+
+    boxes = boxes.at[:, 2:].set(jnp.maximum(boxes[:, 2:], 1.0))
+    ar = boxes[:, 2] / boxes[:, 3]
+    keep = (ar < rt.maximal_aspect_ratio) & (ar > 1 / rt.maximal_aspect_ratio)
+    ious_k = jnp.where(keep, ious, -jnp.inf)
+    top_iou, top_idx = jax.lax.top_k(ious_k, rt.iounet_k)
+    top_boxes = boxes[top_idx]
+    valid = jnp.isfinite(top_iou)
+    denom = jnp.maximum(valid.sum(), 1)
+    pred = (top_boxes * valid[:, None]).sum(0) / denom
+
+    new_pos = (pred[:2] + pred[2:] / 2)[::-1]  # (y, x) crop coords
+    new_pos = (new_pos - (rt.image_sample_size - 1) / 2) * sample_scale + sample_pos
+    new_sz = pred[2:][::-1] * sample_scale
+    new_scale = jnp.sqrt(jnp.prod(new_sz) / jnp.prod(state["base_target_sz"]))
+    return new_pos, new_sz, new_scale, keep.any()
+
+
+def _update_memory(rt: DiMPRuntime, state, clf_feat, box_crop, lr):
+    """Min-weight sample replacement (dimp.py:433-510), fixed shapes."""
+    sw = state["sample_weights"]
+    num = state["num_stored"]
+    prev = state["prev_replace_ind"]
+    num_init = 1
+    s_ind = num_init  # init_samples_minimum_weight is set -> protect init slot
+
+    cand = jnp.where(jnp.arange(rt.sample_memory_size) >= s_ind, sw, jnp.inf)
+    r_min = jnp.argmin(cand).astype(jnp.int32)
+    r_ind = jnp.where(num < rt.sample_memory_size, num, r_min)
+
+    first_update = prev < 0
+    sw1 = jnp.where(first_update, sw / (1 - lr), sw)
+    new_w = jnp.where(first_update, lr, sw1[jnp.maximum(prev, 0)] / (1 - lr))
+    sw1 = sw1.at[r_ind].set(new_w)
+    sw1 = sw1 / sw1.sum()
+    # enforce minimum weight on the init sample
+    init_sum = sw1[:num_init].sum()
+    need = init_sum < rt.init_samples_minimum_weight
+    rest = sw1[num_init:].sum()
+    sw2 = sw1 / (rt.init_samples_minimum_weight + rest)
+    sw2 = sw2.at[:num_init].set(rt.init_samples_minimum_weight / num_init)
+    sw1 = jnp.where(need, sw2, sw1)
+
+    return {
+        **state,
+        "memory_feat": state["memory_feat"].at[r_ind].set(clf_feat),
+        "memory_boxes": state["memory_boxes"].at[r_ind].set(box_crop),
+        "sample_weights": sw1,
+        "num_stored": jnp.minimum(num + 1, rt.sample_memory_size),
+        "prev_replace_ind": r_ind,
+    }
+
+
+def dimp_track_step(rt: DiMPRuntime, model: DiMPNet, params, state: dict,
+                    frame: jnp.ndarray):
+    """One tracked frame (dimp.py:94-176). Returns (state, box_xywh, score)."""
+    H, W = frame.shape[0], frame.shape[1]
+    state = {**state, "frame_num": state["frame_num"] + 1}
+    rng, rng_refine = jax.random.split(state["rng"])
+    state = {**state, "rng": rng}
+
+    crop_sz, sample_pos, sample_scale = _sample_geometry(
+        rt, state["pos"], state["target_scale"])
+    patch = _normalize(crop_at(frame, state["pos"], crop_sz, rt.image_sample_size))
+    bfeat = model.apply(params, patch[None], method=DiMPNet.extract_backbone)
+    clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
+    scores = model.apply(params, state["filter"], clf_feat,
+                         method=DiMPNet.classify)[0]
+
+    translation, flag, max_score = _localize_advanced(
+        rt, scores, state, sample_pos, sample_scale)
+    found = flag != FLAG_NOT_FOUND
+
+    # classifier position update, clamped inside the image (update_state)
+    new_pos = sample_pos + translation
+    inside_offset = (rt.target_inside_ratio - 0.5) * state["target_sz"]
+    img_sz = jnp.asarray([H, W], jnp.float32)
+    new_pos = jnp.maximum(jnp.minimum(new_pos, img_sz - inside_offset), inside_offset)
+    state = {**state, "pos": jnp.where(found, new_pos, state["pos"])}
+
+    # IoUNet refinement
+    ref_pos, ref_sz, ref_scale, ref_ok = _refine_box(
+        rt, model, params, bfeat, state, sample_pos, sample_scale, rng_refine)
+    apply_ref = found & ref_ok
+    state = {
+        **state,
+        "pos": jnp.where(apply_ref, ref_pos, state["pos"]),
+        "target_sz": jnp.where(apply_ref, ref_sz, state["target_sz"]),
+        "target_scale": jnp.where(apply_ref, ref_scale, state["target_scale"]),
+    }
+
+    # memory + filter update
+    update_ok = (flag == FLAG_NORMAL) | (flag == FLAG_HARD_NEG)
+    hard_neg = flag == FLAG_HARD_NEG
+    lr = jnp.where(hard_neg, rt.hard_negative_learning_rate, rt.learning_rate)
+    box_crop = _get_iounet_box(rt, state["pos"], state["target_sz"],
+                               sample_pos, sample_scale)
+
+    updated = _update_memory(rt, state, clf_feat[0], box_crop, lr)
+    state = jax.tree.map(lambda a, b: jnp.where(update_ok, a, b), updated, state)
+
+    num_iter = jnp.where(
+        ~update_ok, 0,
+        jnp.where(hard_neg, rt.net_opt_hn_iter,
+                  jnp.where((state["frame_num"] - 1) % rt.train_skipping == 0,
+                            rt.net_opt_update_iter, 0)))
+    new_filter = model.apply(
+        params, state["filter"], state["memory_feat"], state["memory_boxes"],
+        state["sample_weights"], num_iter, method=DiMPNet.optimize_filter)
+    state = {**state, "filter": new_filter}
+
+    box = jnp.concatenate([
+        (state["pos"] - (state["target_sz"] - 1) / 2)[::-1],
+        state["target_sz"][::-1],
+    ])
+    return state, box, max_score
+
+
+class DiMPTracker:
+    """OO facade with the reference BaseTracker API (initialize/track)."""
+
+    def __init__(self, model: DiMPNet, params, runtime: DiMPRuntime | None = None):
+        self.model = model
+        self.params = params
+        self.rt = runtime or DiMPRuntime()
+        self._init_fn = jax.jit(partial(dimp_init_state, self.rt, self.model))
+        self._step_fn = jax.jit(partial(dimp_track_step, self.rt, self.model))
+        self.state = None
+
+    def initialize(self, image: np.ndarray, info: dict) -> None:
+        box = jnp.asarray(np.asarray(info["init_bbox"], np.float32))
+        self.state = self._init_fn(self.params, jnp.asarray(image), box)
+
+    def track(self, image: np.ndarray, info: dict | None = None) -> dict:
+        self.state, box, score = self._step_fn(self.params, self.state,
+                                               jnp.asarray(image))
+        return {"target_bbox": np.asarray(box).tolist(),
+                "best_score": float(score)}

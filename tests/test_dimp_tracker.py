@@ -1,0 +1,126 @@
+"""DiMP tracker runtime tests: flag lattice, memory, end-to-end steps."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmtrack_tpu.data.synthetic import make_synthetic_sequence
+from mmtrack_tpu.models.dimp import DiMPNet
+from mmtrack_tpu.trackers.dimp_tracker import (
+    FLAG_HARD_NEG,
+    FLAG_NORMAL,
+    FLAG_NOT_FOUND,
+    DiMPRuntime,
+    DiMPTracker,
+    _get_iounet_box,
+    _localize_advanced,
+    _update_memory,
+)
+
+RT = DiMPRuntime(image_sample_size=96, sample_memory_size=8, train_skipping=3)
+
+
+def test_iounet_box_roundtrip():
+    rt = RT
+    pos = jnp.asarray([50.0, 70.0])
+    sz = jnp.asarray([20.0, 30.0])
+    sample_pos = jnp.asarray([48.0, 72.0])
+    box = _get_iounet_box(rt, pos, sz, sample_pos, jnp.asarray(2.0))
+    # center maps back
+    cx = box[0] + (box[2] - 1) / 2
+    cy = box[1] + (box[3] - 1) / 2
+    back_y = (cy - (rt.image_sample_size - 1) / 2) * 2.0 + sample_pos[0]
+    back_x = (cx - (rt.image_sample_size - 1) / 2) * 2.0 + sample_pos[1]
+    assert float(back_y) == pytest.approx(50.0, abs=1e-4)
+    assert float(back_x) == pytest.approx(70.0, abs=1e-4)
+    np.testing.assert_allclose(np.asarray(box[2:]), [15.0, 10.0], atol=1e-5)
+
+
+def _loc_state():
+    return {"pos": jnp.asarray([50.0, 50.0]), "target_sz": jnp.asarray([20.0, 20.0])}
+
+
+def test_localize_normal_peak():
+    S = RT.score_sz
+    scores = jnp.zeros((S, S)).at[3, 4].set(1.0)
+    t, flag, ms = _localize_advanced(RT, scores, _loc_state(),
+                                     jnp.asarray([50.0, 50.0]), jnp.asarray(1.0))
+    assert int(flag) == FLAG_NORMAL
+    assert float(ms) == pytest.approx(1.0)
+    # displacement from center scaled to image: (3-c, 4-c) * (96/out)
+    c = (S - 1) / 2
+    out = S - (RT.kernel_size + 1) % 2
+    np.testing.assert_allclose(np.asarray(t), [(3 - c) * 96 / out, (4 - c) * 96 / out],
+                               rtol=1e-5)
+
+
+def test_localize_not_found():
+    S = RT.score_sz
+    scores = jnp.full((S, S), 0.1)
+    _, flag, _ = _localize_advanced(RT, scores, _loc_state(),
+                                    jnp.asarray([50.0, 50.0]), jnp.asarray(1.0))
+    assert int(flag) == FLAG_NOT_FOUND
+
+
+def test_localize_distractor_far_is_hard_negative():
+    S = RT.score_sz
+    c = int((S - 1) / 2)
+    # main peak at previous target position (center), distractor far away
+    scores = jnp.zeros((S, S)).at[c, c].set(1.0).at[0, 0].set(0.9)
+    _, flag, _ = _localize_advanced(RT, scores, _loc_state(),
+                                    jnp.asarray([50.0, 50.0]), jnp.asarray(1.0))
+    assert int(flag) == FLAG_HARD_NEG
+
+
+def test_update_memory_fills_then_replaces_min_weight():
+    rt = RT
+    M, S, C = rt.sample_memory_size, rt.feat_sz, 4
+    state = {
+        "memory_feat": jnp.zeros((M, S, S, C)),
+        "memory_boxes": jnp.zeros((M, 4)),
+        "sample_weights": jnp.zeros(M).at[0].set(1.0),
+        "num_stored": jnp.asarray(1, jnp.int32),
+        "prev_replace_ind": jnp.asarray(-1, jnp.int32),
+    }
+    feat = jnp.ones((S, S, C))
+    box = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    lr = jnp.asarray(0.01)
+    # fill all slots
+    for i in range(1, M):
+        state = _update_memory(rt, state, feat * i, box * i, lr)
+        assert int(state["prev_replace_ind"]) == i
+        assert float(state["sample_weights"].sum()) == pytest.approx(1.0, abs=1e-5)
+    assert int(state["num_stored"]) == M
+    # memory full: replaces the min-weight non-init slot
+    w_before = np.asarray(state["sample_weights"])
+    expect = int(np.argmin(np.where(np.arange(M) >= 1, w_before, np.inf)))
+    state = _update_memory(rt, state, feat * 99, box * 99, lr)
+    assert int(state["prev_replace_ind"]) == expect
+    np.testing.assert_allclose(np.asarray(state["memory_boxes"][expect]),
+                               np.asarray(box) * 99, rtol=1e-5)
+    # init sample keeps its minimum weight share
+    assert float(state["sample_weights"][0]) >= rt.init_samples_minimum_weight - 1e-5
+
+
+@pytest.mark.slow
+def test_dimp_tracker_end_to_end():
+    net = DiMPNet(merge_type="max")
+    im = jnp.zeros((1, 96, 96, 6))
+    bb = jnp.asarray([[30.0, 30.0, 30.0, 30.0]])
+    props = jnp.asarray([[[30.0, 30.0, 30.0, 30.0]] * 2])
+    params = jax.jit(lambda r: net.init(r, im, im, bb, props))(jax.random.PRNGKey(0))
+
+    frames, gt = make_synthetic_sequence(n_frames=5, height=120, width=160)
+    tracker = DiMPTracker(net, params, RT)
+    tracker.initialize(frames[0], {"init_bbox": gt[0].tolist()})
+    st = tracker.state
+    assert float(st["sample_weights"][0]) == 1.0 and int(st["num_stored"]) == 1
+    for t in range(1, 5):
+        out = tracker.track(frames[t])
+        b = out["target_bbox"]
+        assert np.isfinite(b).all() and np.isfinite(out["best_score"])
+        assert b[2] > 0 and b[3] > 0
+    st = tracker.state
+    assert int(st["frame_num"]) == 5
+    assert float(st["sample_weights"].sum()) == pytest.approx(1.0, abs=1e-4)
