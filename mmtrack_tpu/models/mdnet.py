@@ -26,15 +26,24 @@ import jax.numpy as jnp
 from mmtrack_tpu.models.heads import FrozenBatchNorm
 
 
-def lrn(x: jnp.ndarray, size: int = 2, alpha: float = 1e-4, beta: float = 0.75,
-        k: float = 2.0) -> jnp.ndarray:
-    """Local response normalization across channels (pyMDNet uses
-    nn.LocalResponseNorm(2); MANet ships a custom 5-window variant with the
-    same constants, MANet3x1x1_IC.py:43-55)."""
+def lrn(x: jnp.ndarray, size: int = 2, style: str = "torch") -> jnp.ndarray:
+    """Local response normalization across channels.
+
+    style='torch' matches nn.LocalResponseNorm defaults (pyMDNet
+    model.py:51,55): trailing window [c-size+1, c], k=1, alpha=1e-4/size,
+    beta=0.75. style='manet' matches MANet's custom LRN
+    (MANet3x1x1_IC.py:43-55): centered 5-window, k=2, alpha=1e-4.
+    """
     sq = x * x
     C = x.shape[-1]
-    half_lo = (size - 1) // 2
-    half_hi = size - 1 - half_lo
+    if style == "torch":
+        k, alpha, beta = 1.0, 1e-4 / size, 0.75
+        half_lo, half_hi = size - 1, 0
+    elif style == "manet":
+        size, k, alpha, beta = 5, 2.0, 1e-4, 0.75
+        half_lo = half_hi = 2
+    else:
+        raise ValueError(style)
     pad = jnp.pad(sq, [(0, 0)] * (x.ndim - 1) + [(half_lo, half_hi)])
     win = sum(pad[..., i:i + C] for i in range(size))
     return x / (k + alpha * win) ** beta

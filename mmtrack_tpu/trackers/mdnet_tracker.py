@@ -1,0 +1,373 @@
+"""MDNet online tracking protocol — candidate scoring with on-device fc
+fine-tuning and hard-minibatch mining.
+
+Rebuild of RGBE/models/pyMDNet/tracking/run_tracker.py:24-117 with the
+canonical constants of tracking/options.yaml (same set in APFNet
+tracking/option.py:16-64): 107^2 input, 256 candidates (trans 0.6 -> 1.5 on
+failure, scale 1.05), init training 50 iters lr 5e-4 on 500 pos / 5000 neg,
+online updates 15 iters lr 1e-3 on ring buffers of 50 pos x 100 frames and
+200 neg x 30 frames (short-term window 20 on failure, long-term every 10
+frames), hard negative mining 96-of-1024, ridge bbox regression on 1000 init
+samples.
+
+TPU-first: candidate crops are one vmapped bilinear gather; the SGD(momentum)
+fine-tuning loop, the miner, memory ring buffers and the ridge solve all run
+inside jit; per-frame branching (success / update cadence) is masked state
+arithmetic, so a whole sequence is a scan over one compiled step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtrack_tpu.models.mdnet import MDNet
+from mmtrack_tpu.ops.crop import crop_at
+
+
+@dataclass(frozen=True)
+class MDNetRuntime:
+    img_size: int = 107
+    padding: int = 16
+    batch_test: int = 256
+    trans: float = 0.6
+    trans_f_expand: float = 1.5
+    scale_f: float = 1.05
+    n_init_pos: int = 500
+    n_init_neg: int = 2000           # reference 5000; memory-bound default
+    overlap_pos: tuple = (0.7, 1.0)
+    overlap_neg: tuple = (0.0, 0.5)
+    init_iters: int = 50
+    update_iters: int = 15
+    lr_init: float = 5e-4
+    lr_update: float = 1e-3
+    lr_mult_fc6: float = 10.0
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    batch_pos: int = 32
+    batch_neg: int = 96
+    batch_neg_cand: int = 1024
+    n_pos_update: int = 50
+    n_neg_update: int = 200
+    n_frames_long: int = 100
+    n_frames_short: int = 20
+    long_interval: int = 10
+    n_bbreg: int = 1000
+    bbreg_overlap: tuple = (0.6, 1.0)
+    bbreg_lambda: float = 1000.0
+    success_thr: float = 0.0
+    topk: int = 5
+
+
+# ---------------------------------------------------------------- sampling
+
+def _gaussian_boxes(rng, box, n, trans, scale, img_hw):
+    """SampleGenerator('gaussian') analog (pyMDNet modules/sample_generator)."""
+    x, y, w, h = box[0], box[1], box[2], box[3]
+    c = jnp.stack([x + w / 2, y + h / 2])
+    r1, r2 = jax.random.split(rng)
+    m = jnp.mean(jnp.stack([w, h]))
+    centers = c + trans * m * jnp.clip(
+        0.5 * jax.random.normal(r1, (n, 2)), -1.0, 1.0)
+    scales = scale ** jnp.clip(0.5 * jax.random.normal(r2, (n, 1)), -1.0, 1.0)
+    wh = jnp.stack([w, h]) * scales
+    H, W = img_hw
+    centers = jnp.clip(centers, wh / 2, jnp.asarray([W, H]) - wh / 2)
+    return jnp.concatenate([centers - wh / 2, wh], axis=1)
+
+
+def _uniform_boxes(rng, box, n, trans, scale, img_hw):
+    x, y, w, h = box[0], box[1], box[2], box[3]
+    c = jnp.stack([x + w / 2, y + h / 2])
+    r1, r2 = jax.random.split(rng)
+    m = jnp.mean(jnp.stack([w, h]))
+    centers = c + trans * m * (jax.random.uniform(r1, (n, 2)) * 2 - 1)
+    scales = scale ** (jax.random.uniform(r2, (n, 1)) * 2 - 1)
+    wh = jnp.stack([w, h]) * scales
+    H, W = img_hw
+    centers = jnp.clip(centers, wh / 2, jnp.asarray([W, H]) - wh / 2)
+    return jnp.concatenate([centers - wh / 2, wh], axis=1)
+
+
+def _iou(a, b):
+    x1 = jnp.maximum(a[:, 0], b[0])
+    y1 = jnp.maximum(a[:, 1], b[1])
+    x2 = jnp.minimum(a[:, 0] + a[:, 2], b[0] + b[2])
+    y2 = jnp.minimum(a[:, 1] + a[:, 3], b[1] + b[3])
+    inter = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+    union = a[:, 2] * a[:, 3] + b[2] * b[3] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def _sample_filtered(rng, gen, gt_box, n, iou_range, oversample=4):
+    """Draw oversample*n, keep those inside the IoU range, fill n slots
+    (replaces the reference's python rejection loop with fixed shapes)."""
+    boxes = gen(rng, oversample * n)
+    ious = _iou(boxes, gt_box)
+    ok = (ious >= iou_range[0]) & (ious <= iou_range[1])
+    order = jnp.argsort(~ok)  # valid first, stable
+    idx = order[:n]
+    picked_ok = ok[idx]
+    # fallback: invalid slots get the gt box itself (rare; keeps shapes fixed)
+    return jnp.where(picked_ok[:, None], boxes[idx], gt_box[None])
+
+
+# ---------------------------------------------------------------- features
+
+def _extract_patches(rt: MDNetRuntime, model, params, frame, boxes):
+    """Crop each box with 16px context and embed (RegionExtractor analog)."""
+    def one(b):
+        c = jnp.stack([b[1] + b[3] / 2, b[0] + b[2] / 2])  # (y, x)
+        side = jnp.sqrt(b[2] * b[3]) * (rt.img_size + 2 * rt.padding) / rt.img_size
+        patch = crop_at(frame, c, side, rt.img_size, border="replicate")
+        return patch / 255.0 - 0.5
+
+    patches = jax.vmap(one)(boxes)
+    return model.apply(params, patches, method=MDNet.extract_features)
+
+
+# ---------------------------------------------------------------- fc training
+
+def _score_fn(model, params, fc_params, feats, branch=0, rng=None, train=False):
+    merged = {"params": {**params["params"], **fc_params}}
+    return model.apply(merged, feats, branch, train, rng, method=MDNet.score)
+
+
+def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
+              pos_feats, pos_valid, neg_feats, neg_valid, n_iter, lr, rng):
+    """SGD+momentum fine-tuning with hard-negative mining (pyMDNet train(),
+    run_tracker.py:52-117). pos/neg_feats: (Np, S, D)/(Nn, S, D) with
+    validity masks; n_iter may be traced (0 = no-op)."""
+
+    def loss_fn(fc, pos_idx, neg_idx, drop_rng):
+        pf = pos_feats[pos_idx]
+        nf = neg_feats[neg_idx]
+        r1, r2 = jax.random.split(drop_rng)
+        pos_logits = _score_fn(model, params, fc, pf, rng=r1, train=True)
+        neg_logits = _score_fn(model, params, fc, nf, rng=r2, train=True)
+        # binary cross-entropy over (bg, target) logits
+        pos_l = -jax.nn.log_softmax(pos_logits)[:, 1].mean()
+        neg_l = -jax.nn.log_softmax(neg_logits)[:, 0].mean()
+        wd = 0.5 * rt.weight_decay * sum(
+            (p ** 2).sum() for p in jax.tree.leaves(fc))
+        return pos_l + neg_l + wd
+
+    def lr_tree(fc):
+        return jax.tree.map_with_path(
+            lambda path, _: lr * (rt.lr_mult_fc6 if "fc6" in str(path[0]) else 1.0),
+            fc)
+
+    def body(i, carry):
+        fc, mom, rng = carry
+        rng, r_pos, r_neg, r_mine, r_drop = jax.random.split(rng, 5)
+        pos_p = pos_valid / jnp.maximum(pos_valid.sum(), 1)
+        pos_idx = jax.random.choice(r_pos, pos_feats.shape[0],
+                                    (rt.batch_pos,), p=pos_p)
+        # hard mining: score a random candidate pool, keep the top batch_neg
+        neg_p = neg_valid / jnp.maximum(neg_valid.sum(), 1)
+        cand_idx = jax.random.choice(r_mine, neg_feats.shape[0],
+                                     (rt.batch_neg_cand,), p=neg_p)
+        cand_scores = _score_fn(model, params, fc, neg_feats[cand_idx])[:, 1]
+        _, top = jax.lax.top_k(cand_scores, rt.batch_neg)
+        neg_idx = cand_idx[top]
+
+        grads = jax.grad(loss_fn)(fc, pos_idx, neg_idx, r_drop)
+        lrs = lr_tree(fc)
+        mom = jax.tree.map(lambda m, g: rt.momentum * m + g, mom, grads)
+        fc = jax.tree.map(lambda p, m, l: p - l * m, fc, mom, lrs)
+        return fc, mom, rng
+
+    return jax.lax.fori_loop(0, n_iter, body, (fc_params, momentum, rng))
+
+
+# ---------------------------------------------------------------- bbox regression
+
+def _bbreg_targets(boxes, gt):
+    cx = boxes[:, 0] + boxes[:, 2] / 2
+    cy = boxes[:, 1] + boxes[:, 3] / 2
+    gcx, gcy = gt[0] + gt[2] / 2, gt[1] + gt[3] / 2
+    return jnp.stack([
+        (gcx - cx) / boxes[:, 2],
+        (gcy - cy) / boxes[:, 3],
+        jnp.log(gt[2] / boxes[:, 2]),
+        jnp.log(gt[3] / boxes[:, 3]),
+    ], axis=1)
+
+
+def _bbreg_apply(boxes, deltas):
+    cx = boxes[:, 0] + boxes[:, 2] / 2 + deltas[:, 0] * boxes[:, 2]
+    cy = boxes[:, 1] + boxes[:, 3] / 2 + deltas[:, 1] * boxes[:, 3]
+    w = boxes[:, 2] * jnp.exp(deltas[:, 2])
+    h = boxes[:, 3] * jnp.exp(deltas[:, 3])
+    return jnp.stack([cx - w / 2, cy - h / 2, w, h], axis=1)
+
+
+def _ridge_fit(X, Y, lam):
+    """Dual ridge: alpha = (XX^T + lam I)^-1 Y; w implicit via stored X."""
+    K = X @ X.T
+    A = jnp.linalg.solve(K + lam * jnp.eye(X.shape[0]), Y)
+    return A
+
+
+# ---------------------------------------------------------------- runtime
+
+def mdnet_init_state(rt: MDNetRuntime, model: MDNet, params, frame,
+                     init_box, rng) -> dict:
+    H, W = frame.shape[0], frame.shape[1]
+    img_hw = (H, W)
+    rngs = jax.random.split(rng, 8)
+
+    pos_boxes = _sample_filtered(
+        rngs[0], lambda r, n: _gaussian_boxes(r, init_box, n, 0.1, 1.2, img_hw),
+        init_box, rt.n_init_pos, rt.overlap_pos)
+    neg_boxes = _sample_filtered(
+        rngs[1], lambda r, n: _uniform_boxes(r, init_box, n, 1.0, 1.6, img_hw),
+        init_box, rt.n_init_neg, rt.overlap_neg)
+
+    pos_feats = _extract_patches(rt, model, params, frame, pos_boxes)
+    neg_feats = _extract_patches(rt, model, params, frame, neg_boxes)
+    S, D = pos_feats.shape[1], pos_feats.shape[2]
+
+    fc_params = {k: params["params"][k] for k in params["params"]
+                 if k.startswith("fc")}
+    momentum = jax.tree.map(jnp.zeros_like, fc_params)
+    fc_params, momentum, _ = _fc_train(
+        rt, model, params, fc_params, momentum,
+        pos_feats, jnp.ones(rt.n_init_pos), neg_feats, jnp.ones(rt.n_init_neg),
+        rt.init_iters, rt.lr_init, rngs[2])
+
+    # ridge bbox regressor on init pos samples (run_tracker.py bbreg section)
+    bb_boxes = _sample_filtered(
+        rngs[3], lambda r, n: _uniform_boxes(r, init_box, n, 0.3, 1.6, img_hw),
+        init_box, rt.n_bbreg, rt.bbreg_overlap)
+    bb_feats = _extract_patches(rt, model, params, frame, bb_boxes)
+    Xb = bb_feats.reshape(rt.n_bbreg, -1)
+    Yb = _bbreg_targets(bb_boxes, init_box)
+    bb_alpha = _ridge_fit(Xb, Yb, rt.bbreg_lambda)
+
+    # memory ring buffers (per-frame sample batches)
+    pos_mem = jnp.zeros((rt.n_frames_long, rt.n_pos_update, S, D), jnp.float32)
+    neg_mem = jnp.zeros((rt.n_frames_short + 10, rt.n_neg_update, S, D), jnp.float32)
+    pos_mem = pos_mem.at[0].set(pos_feats[:rt.n_pos_update])
+    neg_mem = neg_mem.at[0].set(neg_feats[:rt.n_neg_update])
+
+    return {
+        "box": init_box.astype(jnp.float32),
+        "fc": fc_params, "momentum": momentum,
+        "pos_mem": pos_mem, "neg_mem": neg_mem,
+        "pos_count": jnp.asarray(1, jnp.int32),
+        "neg_count": jnp.asarray(1, jnp.int32),
+        "trans_f": jnp.asarray(rt.trans, jnp.float32),
+        "frame_num": jnp.asarray(1, jnp.int32),
+        "bbreg_X": Xb, "bbreg_alpha": bb_alpha,
+        "rng": rngs[4],
+    }
+
+
+def mdnet_track_step(rt: MDNetRuntime, model: MDNet, params, state, frame):
+    H, W = frame.shape[0], frame.shape[1]
+    img_hw = (H, W)
+    state = {**state, "frame_num": state["frame_num"] + 1}
+    rng, r_cand, r_pos, r_neg, r_train = jax.random.split(state["rng"], 5)
+    state = {**state, "rng": rng}
+
+    cands = _gaussian_boxes(r_cand, state["box"], rt.batch_test,
+                            state["trans_f"], rt.scale_f, img_hw)
+    feats = _extract_patches(rt, model, params, frame, cands)
+    scores = _score_fn(model, params, state["fc"], feats)[:, 1]
+    top_scores, top_idx = jax.lax.top_k(scores, rt.topk)
+    mean_score = top_scores.mean()
+    success = mean_score > rt.success_thr
+
+    top_boxes = cands[top_idx]
+    new_box = top_boxes.mean(axis=0)
+
+    # ridge bbox refinement of the top candidates on success
+    Xq = feats[top_idx].reshape(rt.topk, -1)
+    deltas = (Xq @ state["bbreg_X"].T) @ state["bbreg_alpha"]
+    refined = _bbreg_apply(top_boxes, deltas).mean(axis=0)
+
+    box = jnp.where(success, refined, state["box"])
+    raw_box = jnp.where(success, new_box, state["box"])
+    state = {**state, "box": raw_box,
+             "trans_f": jnp.where(success, rt.trans, rt.trans_f_expand)}
+
+    # collect samples on success
+    pos_boxes = _sample_filtered(
+        r_pos, lambda r, n: _gaussian_boxes(r, raw_box, n, 0.1, 1.2, img_hw),
+        raw_box, rt.n_pos_update, rt.overlap_pos)
+    neg_boxes = _sample_filtered(
+        r_neg, lambda r, n: _uniform_boxes(r, raw_box, n, 1.5, 1.2, img_hw),
+        raw_box, rt.n_neg_update, (0.0, 0.3))
+    pos_f = _extract_patches(rt, model, params, frame, pos_boxes)
+    neg_f = _extract_patches(rt, model, params, frame, neg_boxes)
+
+    pos_slot = state["pos_count"] % state["pos_mem"].shape[0]
+    neg_slot = state["neg_count"] % state["neg_mem"].shape[0]
+    upd_pos_mem = state["pos_mem"].at[pos_slot].set(pos_f[:rt.n_pos_update])
+    upd_neg_mem = state["neg_mem"].at[neg_slot].set(neg_f[:rt.n_neg_update])
+    state = {
+        **state,
+        "pos_mem": jnp.where(success, upd_pos_mem, state["pos_mem"]),
+        "neg_mem": jnp.where(success, upd_neg_mem, state["neg_mem"]),
+        "pos_count": jnp.where(success, state["pos_count"] + 1, state["pos_count"]),
+        "neg_count": jnp.where(success, state["neg_count"] + 1, state["neg_count"]),
+    }
+
+    # update cadence: short-term on failure, long-term every 10th frame
+    long_update = (state["frame_num"] % rt.long_interval) == 0
+    do_update = (~success) | long_update
+    n_iter = jnp.where(do_update, rt.update_iters, 0)
+
+    Lp = state["pos_mem"].shape[0]
+    Ln = state["neg_mem"].shape[0]
+    slots_p = jnp.arange(Lp)
+    slots_n = jnp.arange(Ln)
+    filled_p = slots_p < jnp.minimum(state["pos_count"], Lp)
+    filled_n = slots_n < jnp.minimum(state["neg_count"], Ln)
+    # short-term: restrict pos to the most recent n_frames_short slots
+    recent = ((state["pos_count"] - 1 - slots_p) % Lp) < rt.n_frames_short
+    pos_sel = jnp.where(success, filled_p, filled_p & recent)
+
+    pos_flat = state["pos_mem"].reshape(Lp * rt.n_pos_update,
+                                        *state["pos_mem"].shape[2:])
+    neg_flat = state["neg_mem"].reshape(Ln * rt.n_neg_update,
+                                        *state["neg_mem"].shape[2:])
+    pos_valid = jnp.repeat(pos_sel.astype(jnp.float32), rt.n_pos_update)
+    neg_valid = jnp.repeat(filled_n.astype(jnp.float32), rt.n_neg_update)
+
+    fc, mom, _ = _fc_train(rt, model, params, state["fc"], state["momentum"],
+                           pos_flat, pos_valid, neg_flat, neg_valid,
+                           n_iter, rt.lr_update, r_train)
+    state = {**state, "fc": fc, "momentum": mom}
+
+    return state, box, mean_score
+
+
+class MDNetTracker:
+    """OO facade (BaseTracker API) over the functional MDNet protocol."""
+
+    def __init__(self, model: MDNet, params, runtime: MDNetRuntime | None = None,
+                 seed: int = 0):
+        self.model = model
+        self.params = params
+        self.rt = runtime or MDNetRuntime()
+        self.seed = seed
+        self._init_fn = jax.jit(partial(mdnet_init_state, self.rt, self.model))
+        self._step_fn = jax.jit(partial(mdnet_track_step, self.rt, self.model))
+        self.state = None
+
+    def initialize(self, image: np.ndarray, info: dict) -> None:
+        box = jnp.asarray(np.asarray(info["init_bbox"], np.float32))
+        self.state = self._init_fn(self.params, jnp.asarray(image), box,
+                                   jax.random.PRNGKey(self.seed))
+
+    def track(self, image: np.ndarray, info: dict | None = None) -> dict:
+        self.state, box, score = self._step_fn(self.params, self.state,
+                                               jnp.asarray(image))
+        return {"target_bbox": np.asarray(box).tolist(),
+                "best_score": float(score)}

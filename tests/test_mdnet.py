@@ -1,0 +1,111 @@
+"""MDNet family tests: model topologies, sampling, online protocol pieces."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmtrack_tpu.data.synthetic import make_synthetic_sequence
+from mmtrack_tpu.models.mdnet import MDNet, lrn
+from mmtrack_tpu.trackers.mdnet_tracker import (
+    MDNetRuntime,
+    MDNetTracker,
+    _bbreg_apply,
+    _bbreg_targets,
+    _gaussian_boxes,
+    _iou,
+    _ridge_fit,
+    _sample_filtered,
+    _uniform_boxes,
+)
+
+
+def test_lrn_matches_torch_formula():
+    rng = np.random.RandomState(0)
+    x = rng.randn(1, 2, 2, 4).astype(np.float32)
+    got = np.asarray(lrn(jnp.asarray(x), size=2))
+    import torch
+    import torch.nn.functional as F
+    want = F.local_response_norm(
+        torch.from_numpy(x).permute(0, 3, 1, 2), 2).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+@pytest.mark.parametrize("mode,streams,dim", [
+    ("single", 1, 4608), ("dual", 2, 4608), ("adapter", 1, 9216)])
+def test_mdnet_topologies(mode, streams, dim):
+    model = MDNet(mode=mode)
+    x = jnp.zeros((2, 107, 107, 6))
+    params = jax.jit(lambda r: model.init(r, x))(jax.random.PRNGKey(0))
+    feats = jax.jit(lambda p, a: model.apply(p, a, method=MDNet.extract_features))(params, x)
+    assert feats.shape == (2, streams, dim)
+    logits = jax.jit(lambda p, a: model.apply(p, a))(params, x)
+    assert logits.shape == (2, 2)
+
+
+def test_gaussian_and_uniform_samplers():
+    rng = jax.random.PRNGKey(0)
+    box = jnp.asarray([50.0, 40.0, 20.0, 16.0])
+    for gen in (_gaussian_boxes, _uniform_boxes):
+        boxes = gen(rng, box, 200, 0.6, 1.05, (120, 160))
+        b = np.asarray(boxes)
+        assert b.shape == (200, 4)
+        assert (b[:, 0] >= -1e-4).all() and (b[:, 1] >= -1e-4).all()
+        assert (b[:, 0] + b[:, 2] <= 160 + 1e-3).all()
+        assert (b[:, 1] + b[:, 3] <= 120 + 1e-3).all()
+        assert b[:, 2].std() > 0  # scales vary
+
+
+def test_sample_filtered_iou_ranges():
+    rng = jax.random.PRNGKey(1)
+    gt = jnp.asarray([50.0, 40.0, 20.0, 16.0])
+    pos = _sample_filtered(
+        rng, lambda r, n: _gaussian_boxes(r, gt, n, 0.1, 1.2, (120, 160)),
+        gt, 50, (0.7, 1.0))
+    ious = np.asarray(_iou(pos, gt))
+    assert (ious >= 0.699).all()
+    neg = _sample_filtered(
+        rng, lambda r, n: _uniform_boxes(r, gt, n, 1.0, 1.6, (120, 160)),
+        gt, 50, (0.0, 0.5))
+    ious_n = np.asarray(_iou(neg, gt))
+    # fallback slots are the gt itself; most must satisfy the range
+    assert (ious_n <= 0.5).mean() > 0.9
+
+
+def test_bbreg_roundtrip_and_ridge():
+    rng = np.random.RandomState(2)
+    gt = jnp.asarray([40.0, 30.0, 20.0, 24.0])
+    boxes = jnp.asarray(rng.uniform(25, 45, (30, 2)))
+    boxes = jnp.concatenate([boxes, jnp.asarray(rng.uniform(15, 30, (30, 2)))], axis=1)
+    t = _bbreg_targets(boxes, gt)
+    back = _bbreg_apply(boxes, t)
+    np.testing.assert_allclose(np.asarray(back), np.tile(np.asarray(gt), (30, 1)),
+                               rtol=1e-4, atol=1e-3)
+    # ridge recovers a linear map
+    X = jnp.asarray(rng.randn(60, 16).astype(np.float32))
+    Wtrue = jnp.asarray(rng.randn(16, 4).astype(np.float32))
+    Y = X @ Wtrue
+    alpha = _ridge_fit(X, Y, 1e-4)
+    pred = (X @ X.T) @ alpha
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(Y), atol=1e-2)
+
+
+def test_mdnet_tracker_end_to_end():
+    rt = MDNetRuntime(n_init_pos=64, n_init_neg=128, init_iters=3,
+                      update_iters=2, batch_test=64, batch_pos=8,
+                      batch_neg=16, batch_neg_cand=64, n_pos_update=8,
+                      n_neg_update=16, n_frames_long=6, n_frames_short=3,
+                      n_bbreg=32, long_interval=2)
+    model = MDNet(mode="dual")
+    x = jnp.zeros((1, 107, 107, 6))
+    params = jax.jit(lambda r: model.init(r, x))(jax.random.PRNGKey(0))
+    frames, gt = make_synthetic_sequence(n_frames=4, height=120, width=160)
+    tracker = MDNetTracker(model, params, rt)
+    tracker.initialize(frames[0], {"init_bbox": gt[0].tolist()})
+    assert int(tracker.state["pos_count"]) == 1
+    for t in range(1, 4):
+        out = tracker.track(frames[t])
+        b = out["target_bbox"]
+        assert np.isfinite(b).all() and b[2] > 0 and b[3] > 0
+        assert np.isfinite(out["best_score"])
+    assert int(tracker.state["frame_num"]) == 4
