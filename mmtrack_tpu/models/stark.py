@@ -1,0 +1,194 @@
+"""STARK / SPT: encoder-decoder transformer tracker with corner head.
+
+Rebuild of RGBD/models/SPT/lib/models/stark/{stark_s.py,stark_st.py,
+transformer.py,head.py}: ResNet-50 layer3 features bottlenecked to d=256,
+sine positional encodings, DETR-style encoder over concatenated
+template+search tokens, 1-query decoder, and the corner head driven by the
+decoder-modulated encoder memory (stark_s.py:92-108). The SPT VOT22-RGBD
+variant feeds 6-channel (RGB + JET-colormapped depth) input through dual
+backbones whose token sequences are concatenated (stark_s.py:16-41).
+STARK-ST's classification head (template-update gating) is the `score_head`
+option.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmtrack_tpu.models.heads import CornerPredictor
+from mmtrack_tpu.models.resnet import resnet50
+
+
+def sine_position_embedding(h: int, w: int, dim: int = 256,
+                            temperature: float = 10000.0) -> jnp.ndarray:
+    """DETR 2D sine positional embedding -> (h*w, dim)."""
+    half = dim // 2
+    ys = jnp.arange(1, h + 1, dtype=jnp.float32)[:, None] * jnp.ones((1, w))
+    xs = jnp.arange(1, w + 1, dtype=jnp.float32)[None, :] * jnp.ones((h, 1))
+    scale = 2 * math.pi
+    ys = ys / h * scale
+    xs = xs / w * scale
+    dim_t = temperature ** (2 * (jnp.arange(half) // 2) / half)
+    pos_x = xs[..., None] / dim_t
+    pos_y = ys[..., None] / dim_t
+    pos_x = jnp.stack([jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])],
+                      axis=-1).reshape(h, w, half)
+    pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])],
+                      axis=-1).reshape(h, w, half)
+    return jnp.concatenate([pos_y, pos_x], axis=-1).reshape(h * w, dim)
+
+
+class _MHA(nn.Module):
+    dim: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        hd = self.dim // self.heads
+        B = q.shape[0]
+        qh = nn.Dense(self.dim, dtype=self.dtype, name="q")(q).reshape(B, -1, self.heads, hd)
+        kh = nn.Dense(self.dim, dtype=self.dtype, name="k")(k).reshape(B, -1, self.heads, hd)
+        vh = nn.Dense(self.dim, dtype=self.dtype, name="v")(v).reshape(B, -1, self.heads, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh * hd ** -0.5, kh,
+                            preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out.reshape(B, -1, self.dim))
+
+
+class EncoderLayer(nn.Module):
+    dim: int = 256
+    heads: int = 8
+    ffn: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos):
+        q = k = x + pos
+        y = _MHA(self.dim, self.heads, dtype=self.dtype, name="self_attn")(q, k, x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + y)
+        y = nn.Dense(self.ffn, dtype=self.dtype, name="linear1")(x)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(nn.relu(y))
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
+
+
+class DecoderLayer(nn.Module):
+    dim: int = 256
+    heads: int = 8
+    ffn: int = 2048
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, query_pos, mem_pos):
+        q = k = tgt + query_pos
+        y = _MHA(self.dim, self.heads, dtype=self.dtype, name="self_attn")(q, k, tgt)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + y)
+        y = _MHA(self.dim, self.heads, dtype=self.dtype, name="cross_attn")(
+            tgt + query_pos, memory + mem_pos, memory)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + y)
+        y = nn.Dense(self.ffn, dtype=self.dtype, name="linear1")(tgt)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(nn.relu(y))
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt + y)
+
+
+class STARK(nn.Module):
+    """STARK-S/ST tracker model.
+
+    __call__(template (B,Tz,Tz,C), search (B,Tx,Tx,C)) -> dict with
+    pred_boxes (B, 4) cxcywh normalized; `six_channel` selects the SPT
+    dual-backbone variant; `score_head` adds the ST2 confidence branch.
+    """
+    template_size: int = 128
+    search_size: int = 320
+    dim: int = 256
+    heads: int = 8
+    enc_layers: int = 6
+    dec_layers: int = 6
+    six_channel: bool = False
+    score_head: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def feat_sz_s(self) -> int:
+        return self.search_size // 16
+
+    def setup(self):
+        self.backbone = resnet50(self.dtype)
+        self.bottleneck = nn.Conv(self.dim, (1, 1), name="bottleneck")
+        if self.six_channel:
+            self.backbone_x = resnet50(self.dtype)
+            self.bottleneck_x = nn.Conv(self.dim, (1, 1), name="bottleneck_x")
+        self.query_embed = self.param("query_embed",
+                                      nn.initializers.normal(1.0), (1, self.dim))
+        self.encoder = [EncoderLayer(self.dim, self.heads, dtype=self.dtype,
+                                     name=f"enc_{i}") for i in range(self.enc_layers)]
+        self.decoder = [DecoderLayer(self.dim, self.heads, dtype=self.dtype,
+                                     name=f"dec_{i}") for i in range(self.dec_layers)]
+        self.box_head = CornerPredictor(channel=self.dim, feat_sz=self.feat_sz_s,
+                                        stride=16, dtype=self.dtype, name="box_head")
+        if self.score_head:
+            self.cls_head = nn.Dense(1, name="cls_head")
+
+    def embed(self, im: jnp.ndarray):
+        """(B, S, S, 3|6) -> (B, hw, dim) tokens + (hw, dim) pos embed."""
+        f = self.backbone(im[..., :3], ("layer3",))["layer3"]
+        tok = self.bottleneck(f)
+        B, h, w, _ = tok.shape
+        tokens = tok.reshape(B, h * w, self.dim)
+        pos = sine_position_embedding(h, w, self.dim)
+        if self.six_channel:
+            fx = self.backbone_x(im[..., 3:6], ("layer3",))["layer3"]
+            tokens_x = self.bottleneck_x(fx).reshape(B, h * w, self.dim)
+            tokens = jnp.concatenate([tokens, tokens_x], axis=1)
+            pos = jnp.concatenate([pos, pos], axis=0)
+        return tokens, pos
+
+    def transformer(self, z_tokens, z_pos, x_tokens, x_pos):
+        """Returns (decoder output (B, 1, dim), encoder memory (B, L, dim))."""
+        mem = jnp.concatenate([z_tokens, x_tokens], axis=1)
+        pos = jnp.concatenate([z_pos, x_pos], axis=0)[None]
+        for layer in self.encoder:
+            mem = layer(mem, pos)
+        tgt = jnp.zeros((mem.shape[0], 1, self.dim), self.dtype)
+        qpos = self.query_embed[None]
+        for layer in self.decoder:
+            tgt = layer(tgt, mem, qpos, pos)
+        return tgt, mem
+
+    def forward_box_head(self, dec_out, memory):
+        """Decoder-modulated corner decode (stark_s.py:92-108)."""
+        L = self.feat_sz_s ** 2 * (2 if self.six_channel else 1)
+        enc_opt = memory[:, -L:]                           # (B, HW[*2], C)
+        if self.six_channel:
+            # SPT: average the color/depth search memories back to one grid
+            enc_opt = 0.5 * (enc_opt[:, :L // 2] + enc_opt[:, L // 2:])
+        att = jnp.einsum("blc,bqc->blq", enc_opt, dec_out)  # (B, HW, 1)
+        opt = enc_opt * att                                 # modulated memory
+        B = opt.shape[0]
+        fmap = opt.reshape(B, self.feat_sz_s, self.feat_sz_s, self.dim)
+        xyxy = self.box_head(fmap)                          # (B, 4) in [0,1]
+        cx = (xyxy[:, 0] + xyxy[:, 2]) / 2
+        cy = (xyxy[:, 1] + xyxy[:, 3]) / 2
+        return jnp.stack([cx, cy, xyxy[:, 2] - xyxy[:, 0],
+                          xyxy[:, 3] - xyxy[:, 1]], axis=1)
+
+    def predict_score(self, dec_out: jnp.ndarray) -> jnp.ndarray:
+        """ST2 confidence head on the decoder embedding -> (B,) in (0,1)."""
+        return nn.sigmoid(self.cls_head(dec_out[:, 0]))[:, 0]
+
+    def __call__(self, template: jnp.ndarray, search: jnp.ndarray) -> dict:
+        z_tokens, z_pos = self.embed(template)
+        x_tokens, x_pos = self.embed(search)
+        dec, mem = self.transformer(z_tokens, z_pos, x_tokens, x_pos)
+        boxes = self.forward_box_head(dec, mem)
+        out = {"pred_boxes": boxes}
+        if self.score_head:
+            out["pred_scores"] = nn.sigmoid(self.cls_head(dec[:, 0]))[:, 0]
+        return out

@@ -1,0 +1,121 @@
+"""STARK-S/ST tracker runtime.
+
+Rebuild of RGBD/models/SPT/lib/test/tracker/stark_s.py (+ stark_st dynamic
+template): template embedded ONCE at init (the reference caches the backbone
+output dict, stark_s.py forward_backbone), per frame one search embed +
+transformer + corner decode; no Hanning window (pure regression). The ST
+variant keeps a dynamic second template refreshed when the score head is
+confident at the update interval.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtrack_tpu.models.stark import STARK
+from mmtrack_tpu.ops.box import clip_box
+from mmtrack_tpu.ops.crop import crop_resize_normalized
+from mmtrack_tpu.trackers.vipt_tracker import MEAN_6CH, STD_6CH
+
+
+@dataclass(frozen=True)
+class STARKRuntime:
+    template_factor: float = 2.0
+    template_size: int = 128
+    search_factor: float = 5.0
+    search_size: int = 320
+    margin: float = 10.0
+    dynamic_template: bool = False       # STARK-ST
+    update_interval: int = 200
+    update_threshold: float = 0.5
+
+
+def _mean_std(channels: int):
+    return (jnp.asarray(MEAN_6CH[:channels]), jnp.asarray(STD_6CH[:channels]))
+
+
+def stark_init_state(rt: STARKRuntime, model: STARK, params, frame, init_box):
+    mean, std = _mean_std(frame.shape[-1])
+    patch, _ = crop_resize_normalized(frame, init_box, rt.template_factor,
+                                      rt.template_size, mean, std)
+    z_tokens, z_pos = model.apply(params, patch[None], method=STARK.embed)
+    state = {"box": init_box.astype(jnp.float32),
+             "z_tokens": z_tokens[0], "z_pos": z_pos,
+             "frame_num": jnp.asarray(1, jnp.int32)}
+    if rt.dynamic_template:
+        state["z_dyn"] = z_tokens[0]
+    return state
+
+
+def stark_track_step(rt: STARKRuntime, model: STARK, params, state, frame):
+    H, W = frame.shape[0], frame.shape[1]
+    mean, std = _mean_std(frame.shape[-1])
+    state = {**state, "frame_num": state["frame_num"] + 1}
+    search, resize_factor = crop_resize_normalized(
+        frame, state["box"], rt.search_factor, rt.search_size, mean, std)
+
+    x_tokens, x_pos = model.apply(params, search[None], method=STARK.embed)
+
+    z_tokens = state["z_tokens"][None]
+    z_pos = state["z_pos"]
+    if rt.dynamic_template:
+        z_tokens = jnp.concatenate([z_tokens, state["z_dyn"][None]], axis=1)
+        z_pos = jnp.concatenate([z_pos, z_pos], axis=0)
+
+    dec, mem = model.apply(params, z_tokens, z_pos, x_tokens[0][None], x_pos,
+                           method=STARK.transformer)
+    pred = model.apply(params, dec, mem, method=STARK.forward_box_head)[0]
+
+    score = jnp.asarray(1.0)
+    if model.score_head:
+        score = model.apply(params, dec, method=STARK.predict_score)[0]
+
+    # map back: cxcywh [0,1] crop coords -> image
+    pred_img = pred * rt.search_size / resize_factor
+    prev = state["box"]
+    half_side = 0.5 * rt.search_size / resize_factor
+    cx = pred_img[0] + (prev[0] + 0.5 * prev[2] - half_side)
+    cy = pred_img[1] + (prev[1] + 0.5 * prev[3] - half_side)
+    box = jnp.stack([cx - 0.5 * pred_img[2], cy - 0.5 * pred_img[3],
+                     pred_img[2], pred_img[3]])
+    box = clip_box(box, float(H), float(W), margin=rt.margin)
+    state = {**state, "box": box}
+
+    # ST dynamic template refresh, gated on interval + confidence
+    # (stark_st semantics: update only when the score head is confident)
+    if rt.dynamic_template:
+        do_update = ((state["frame_num"] % rt.update_interval) == 0) \
+            & (score > rt.update_threshold)
+        patch, _ = crop_resize_normalized(frame, box, rt.template_factor,
+                                          rt.template_size, mean, std)
+        z_new, _ = model.apply(params, patch[None], method=STARK.embed)
+        state = {**state,
+                 "z_dyn": jnp.where(do_update, z_new[0], state["z_dyn"])}
+    return state, box, score
+
+
+class STARKTracker:
+    """OO facade (BaseTracker API)."""
+
+    def __init__(self, model: STARK, params, runtime: STARKRuntime | None = None):
+        self.model = model
+        self.params = params
+        self.rt = runtime or STARKRuntime()
+        self._init_fn = jax.jit(partial(stark_init_state, self.rt, self.model))
+        self._step_fn = jax.jit(partial(stark_track_step, self.rt, self.model))
+        self.state = None
+
+    def initialize(self, image: np.ndarray, info: dict) -> None:
+        box = jnp.asarray(np.asarray(info["init_bbox"], np.float32))
+        self.state = self._init_fn(self.params, jnp.asarray(image), box)
+
+    def track(self, image: np.ndarray, info: dict | None = None) -> dict:
+        self.state, box, score = self._step_fn(self.params, self.state,
+                                               jnp.asarray(image))
+        return {"target_bbox": np.asarray(box).tolist(),
+                "best_score": float(score)}
