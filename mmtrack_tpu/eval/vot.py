@@ -1,0 +1,167 @@
+"""VOT toolkit integration: a TraX protocol server, dependency-free.
+
+Rebuild of ViPT/lib/test/vot/vot.py:22-110 + vipt_class.py:19-114. The
+reference wraps the `vot-trax` pip package; that package is not in this
+image, so the TraX text protocol (v3, stdin/stdout transport) is implemented
+directly: hello -> initialize(region+images) -> frame/state loop -> quit.
+The VOT class exposes the same region()/frame()/report() API so tracker
+entries port unchanged; workspaces keep the reference layout
+(config.yaml stack id + trackers.ini with protocol=traxpython).
+"""
+
+from __future__ import annotations
+
+import shlex
+import sys
+from collections import namedtuple
+
+Rectangle = namedtuple("Rectangle", ["x", "y", "width", "height"])
+Point = namedtuple("Point", ["x", "y"])
+Polygon = namedtuple("Polygon", ["points"])
+
+
+def _encode_region(region) -> str:
+    if isinstance(region, Polygon):
+        return ",".join(f"{p.x:.4f},{p.y:.4f}" for p in region.points)
+    return f"{region.x:.4f},{region.y:.4f},{region.width:.4f},{region.height:.4f}"
+
+
+def _decode_region(s: str):
+    vals = [float(v) for v in s.split(",")]
+    if len(vals) == 4:
+        return Rectangle(*vals)
+    pts = [Point(vals[i], vals[i + 1]) for i in range(0, len(vals), 2)]
+    return Polygon(pts)
+
+
+def _strip_uri(token: str) -> str:
+    for prefix in ("file://", "file:"):
+        if token.startswith(prefix):
+            return token[len(prefix):]
+    return token
+
+
+class TraxServer:
+    """Minimal TraX v3 server over stdio (one message per line)."""
+
+    def __init__(self, name: str = "mmtrack_tpu", region_format: str = "rectangle",
+                 channels=("color",), fin=None, fout=None):
+        self._fin = fin or sys.stdin
+        self._fout = fout or sys.stdout
+        self.channels = tuple(channels)
+        self._send(
+            "hello",
+            [],
+            {
+                "trax.version": "3",
+                "trax.name": name,
+                "trax.region": region_format,
+                "trax.image": "path;url",
+                "trax.channels": ";".join(self.channels),
+            },
+        )
+
+    def _send(self, mtype: str, args: list[str], props: dict | None = None) -> None:
+        parts = [f"@@TRAX:{mtype}"]
+        parts += ['"%s"' % a.replace('"', '\\"') for a in args]
+        for k, v in (props or {}).items():
+            parts.append(f"{k}={v}")
+        self._fout.write(" ".join(parts) + "\n")
+        self._fout.flush()
+
+    def _recv(self):
+        while True:
+            line = self._fin.readline()
+            if not line:
+                return None, [], {}
+            line = line.strip()
+            if not line.startswith("@@TRAX:"):
+                continue
+            tokens = shlex.split(line)
+            mtype = tokens[0][len("@@TRAX:"):]
+            args, props = [], {}
+            for tok in tokens[1:]:
+                if "=" in tok and not tok.startswith("file://") and '",' not in tok:
+                    k, _, v = tok.partition("=")
+                    props[k] = v
+                else:
+                    args.append(tok)
+            return mtype, args, props
+
+    def wait_initialize(self):
+        """-> (region, {channel: path}) or (None, None) on quit."""
+        mtype, args, props = self._recv()
+        if mtype != "initialize":
+            return None, None
+        paths = {c: _strip_uri(a) for c, a in zip(self.channels, args[:-1])}
+        return _decode_region(args[-1]), paths
+
+    def wait_frame(self):
+        """-> {channel: path} or None on quit."""
+        mtype, args, props = self._recv()
+        if mtype != "frame":
+            return None
+        return {c: _strip_uri(a) for c, a in zip(self.channels, args)}
+
+    def report_state(self, region, confidence: float | None = None) -> None:
+        props = {} if confidence is None else {"confidence": f"{confidence:.6f}"}
+        self._send("state", [_encode_region(region)], props)
+
+
+class VOT:
+    """Reference-compatible facade (ViPT/lib/test/vot/vot.py API)."""
+
+    def __init__(self, region_format: str = "rectangle", channels=None,
+                 fin=None, fout=None):
+        if channels is None:
+            channels = ("color",)
+        elif channels == "rgbd":
+            channels = ("color", "depth")
+        elif channels == "rgbt":
+            channels = ("color", "ir")
+        self._server = TraxServer(region_format=region_format,
+                                  channels=channels, fin=fin, fout=fout)
+        self._region, self._paths = self._server.wait_initialize()
+
+    def region(self):
+        return self._region
+
+    def frame(self):
+        """First call returns the init frame paths; then next frames."""
+        if self._paths is not None:
+            paths, self._paths = self._paths, None
+            return list(paths.values())
+        nxt = self._server.wait_frame()
+        return None if nxt is None else list(nxt.values())
+
+    def report(self, region, confidence: float | None = None) -> None:
+        self._server.report_state(region, confidence)
+
+
+def run_vot_exp(tracker_factory, channels: str, dtype: str = "rgbcolormap",
+                fin=None, fout=None) -> None:
+    """VOT entry loop (run_vot_exp analog, vipt_class.py:50-114):
+    tracker_factory() -> object with initialize(image, info)/track(image)."""
+    from mmtrack_tpu.data.composition import get_x_frame
+
+    handle = VOT("rectangle", channels=channels, fin=fin, fout=fout)
+    region = handle.region()
+    paths = handle.frame()
+    if paths is None:
+        return
+    depth_clip = channels == "rgbd"
+    image = get_x_frame(paths[0], paths[1] if len(paths) > 1 else None,
+                        dtype, depth_clip=depth_clip)
+    tracker = tracker_factory()
+    tracker.initialize(image, {"init_bbox": [region.x, region.y,
+                                             region.width, region.height]})
+    while True:
+        paths = handle.frame()
+        if paths is None:
+            break
+        image = get_x_frame(paths[0], paths[1] if len(paths) > 1 else None,
+                            dtype, depth_clip=depth_clip)
+        out = tracker.track(image)
+        b = out["target_bbox"]
+        handle.report(Rectangle(b[0], b[1], b[2], b[3]),
+                      out.get("best_score", 1.0))

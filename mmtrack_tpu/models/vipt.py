@@ -140,13 +140,16 @@ class ViTCEPrompt(nn.Module):
 
         z_rgb, z_dte = z[..., :3], z[..., 3:]
         x_rgb, x_dte = x[..., :3], x[..., 3:]
+        rgb_only = z.shape[-1] == 3  # plain OSTrack (RGB baseline / vot22 D entry)
 
         patch_embed = PatchEmbed(self.embed_dim, self.patch_size, dtype=self.dtype,
                                  name="patch_embed")
         z_tok = patch_embed(z_rgb)
         x_tok = patch_embed(x_rgb)
 
-        if has_prompt:
+        if rgb_only:
+            pass  # no auxiliary-modality stream at all
+        elif has_prompt:
             patch_embed_prompt = PatchEmbed(self.embed_dim, self.patch_size,
                                             dtype=self.dtype, name="patch_embed_prompt")
             z_dte_tok = patch_embed_prompt(z_dte)
@@ -291,3 +294,26 @@ def build_viptrack(cfg, dtype=jnp.float32) -> ViPTrack:
         drop_path_rate=cfg.TRAIN.DROP_PATH_RATE,
         dtype=dtype,
     )
+
+
+def build_ostrack(cfg=None, dtype=jnp.float32, **overrides) -> ViPTrack:
+    """Plain OSTrack (the RGB one-stream baseline ViPT tunes prompts on;
+    RGBD/models/OSTrack/lib/models/ostrack + ViPT/lib/models/vipt/ostrack.py).
+
+    Same architecture with prompt_type='none'; feed 3-channel crops. The
+    reference's VOT22 entries map directly: RGBD entry = color frames only
+    (rgbd_tracker.py:45-48); D entry = JET-colormapped depth as the image
+    (d_tracker.py:25-52) — both are compositions, not model changes.
+    """
+    kwargs = dict(prompt_type="none", dtype=dtype)
+    if cfg is not None:
+        kwargs.update(
+            template_size=cfg.DATA.TEMPLATE.SIZE,
+            search_size=cfg.DATA.SEARCH.SIZE,
+            patch_size=cfg.MODEL.BACKBONE.STRIDE,
+            ce_loc=tuple(cfg.MODEL.BACKBONE.CE_LOC),
+            head_channel=cfg.MODEL.HEAD.NUM_CHANNELS,
+            drop_path_rate=cfg.TRAIN.DROP_PATH_RATE,
+        )
+    kwargs.update(overrides)
+    return ViPTrack(**kwargs)

@@ -75,7 +75,8 @@ def vipt_init_state(rt: ViPTRuntime, frame: jnp.ndarray, init_box: jnp.ndarray) 
     crop, stored normalized. state = {'box' (4,) xywh image coords,
     'template' (T, T, 6) normalized}.
     """
-    mean, std = jnp.asarray(MEAN_6CH), jnp.asarray(STD_6CH)
+    c = frame.shape[-1]
+    mean, std = jnp.asarray(MEAN_6CH[:c]), jnp.asarray(STD_6CH[:c])
     template, _ = crop_resize_normalized(
         frame, init_box, rt.template_factor, rt.template_size, mean, std)
     return {"box": init_box.astype(jnp.float32), "template": template}
@@ -90,7 +91,8 @@ def vipt_track_step(rt: ViPTRuntime, model: ViPTrack, params, state: dict,
     crop-relative box back to image coordinates, clip with 10px margin.
     """
     H, W = frame.shape[0], frame.shape[1]
-    mean, std = jnp.asarray(MEAN_6CH), jnp.asarray(STD_6CH)
+    c = frame.shape[-1]
+    mean, std = jnp.asarray(MEAN_6CH[:c]), jnp.asarray(STD_6CH[:c])
     search, resize_factor = crop_resize_normalized(
         frame, state["box"], rt.search_factor, rt.search_size, mean, std)
 

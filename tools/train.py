@@ -1,0 +1,154 @@
+"""Training entry point.
+
+Rebuild of ViPT/tracking/train.py + lib/train/run_training.py +
+train_script.py as ONE program: no torch.distributed.launch process fan-out —
+multi-chip data parallelism is a jax mesh inside one process per host
+(multi-host runs call jax.distributed.initialize, same script).
+
+Usage:
+  python tools/train.py --script vipt --config deep_rgbd [--save_dir ./workspace]
+  python tools/train.py --script vipt --config deep_rgbt --synthetic  # smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser(description="Train a tracker (TPU-native)")
+    p.add_argument("--script", default="vipt", choices=["vipt", "ostrack"])
+    p.add_argument("--config", default="deep_rgbd",
+                   help="experiment name (e.g. deep_rgbd) or a YAML path")
+    p.add_argument("--save_dir", default="./workspace")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--epochs", type=int, default=None, help="override cfg")
+    p.add_argument("--batch", type=int, default=None, help="override cfg")
+    p.add_argument("--samples", type=int, default=None,
+                   help="override cfg samples per epoch (smoke runs)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic data (no dataset roots needed)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize()")
+    args = p.parse_args()
+
+    if args.distributed:
+        jax.distributed.initialize()
+
+    from mmtrack_tpu.config import vipt_default_config, vipt_experiment_config
+    from mmtrack_tpu.data.datasets import SyntheticVideoDataset, names2datasets
+    from mmtrack_tpu.data.loader import BatchLoader
+    from mmtrack_tpu.data.processing import from_config as processing_from_config
+    from mmtrack_tpu.data.sampler import TrackingSampler
+    from mmtrack_tpu.models.vipt import (build_ostrack, build_viptrack,
+                                         ce_keep_schedule, generate_ctr_mask)
+    from mmtrack_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from mmtrack_tpu.train.optim import build_optimizer, count_trainable, prompt_only_mask
+    from mmtrack_tpu.train.train_step import TrainState, make_train_step, shard_train_step
+    from mmtrack_tpu.train.trainer import CheckpointManager, Trainer
+    from mmtrack_tpu.utils.env import load_env_settings
+    from mmtrack_tpu.utils.logging import MetricLogger
+
+    if os.path.exists(args.config):
+        cfg = vipt_default_config()
+        cfg.merge_from_yaml(args.config)
+        cfg_name = os.path.splitext(os.path.basename(args.config))[0]
+    else:
+        cfg = vipt_experiment_config(args.config)
+        cfg_name = args.config
+    if args.epochs:
+        cfg.TRAIN.EPOCH = args.epochs
+    if args.batch:
+        cfg.TRAIN.BATCH_SIZE = args.batch
+    if args.samples:
+        cfg.DATA.TRAIN.SAMPLE_PER_EPOCH = args.samples
+
+    env = load_env_settings()
+    save_dir = os.path.join(args.save_dir, f"{args.script}-{cfg_name}")
+    logger = MetricLogger(os.path.join(save_dir, "logs"))
+
+    # data
+    proc = processing_from_config(cfg, train_mode=True)
+    if args.synthetic:
+        datasets = [SyntheticVideoDataset(n_sequences=8, n_frames=60)]
+        ratios = None
+    else:
+        roots = {n: env.dataset_root(n) for n in cfg.DATA.TRAIN.DATASETS_NAME}
+        datasets = names2datasets(cfg.DATA.TRAIN.DATASETS_NAME, roots)
+        ratios = cfg.DATA.TRAIN.DATASETS_RATIO
+    sampler = TrackingSampler(datasets, ratios,
+                              samples_per_epoch=cfg.DATA.TRAIN.SAMPLE_PER_EPOCH,
+                              max_gap=cfg.DATA.MAX_SAMPLE_INTERVAL,
+                              processing=proc,
+                              seed=args.seed + jax.process_index())
+    loader = BatchLoader(sampler, cfg.TRAIN.BATCH_SIZE)
+
+    # model
+    dtype = jnp.bfloat16 if cfg.TRAIN.AMP else jnp.float32
+    if args.script == "vipt":
+        model = build_viptrack(cfg, dtype=dtype)
+    else:
+        model = build_ostrack(cfg, dtype=dtype)
+    keep = ce_keep_schedule((cfg.DATA.SEARCH.SIZE // cfg.MODEL.BACKBONE.STRIDE) ** 2,
+                            cfg.MODEL.BACKBONE.CE_LOC,
+                            cfg.MODEL.BACKBONE.CE_KEEP_RATIO)
+    mask_z = generate_ctr_mask(cfg.DATA.TEMPLATE.SIZE // cfg.MODEL.BACKBONE.STRIDE,
+                               cfg.MODEL.BACKBONE.CE_TEMPLATE_RANGE)
+
+    z = jnp.zeros((1, cfg.DATA.TEMPLATE.SIZE, cfg.DATA.TEMPLATE.SIZE, 6))
+    x = jnp.zeros((1, cfg.DATA.SEARCH.SIZE, cfg.DATA.SEARCH.SIZE, 6))
+    params = jax.jit(lambda r: model.init(r, z, x, mask_z, keep))(
+        jax.random.PRNGKey(args.seed))
+
+    steps_per_epoch = len(loader)
+    trainable = ({"params": prompt_only_mask(params["params"])}
+                 if args.script == "vipt" else None)
+    if trainable is not None:
+        n = count_trainable(params["params"], trainable["params"])
+        print(f"prompt-only tuning: {n / 1e6:.2f}M trainable parameters")
+    tx = build_optimizer(params, lr=cfg.TRAIN.LR,
+                         weight_decay=cfg.TRAIN.WEIGHT_DECAY,
+                         lr_drop_step=cfg.TRAIN.LR_DROP_EPOCH * steps_per_epoch,
+                         decay_rate=cfg.TRAIN.SCHEDULER.DECAY_RATE,
+                         grad_clip_norm=cfg.TRAIN.GRAD_CLIP_NORM,
+                         trainable_mask=trainable)
+    state = TrainState.create(params, tx)
+
+    step = make_train_step(model, tx, box_mask_z=mask_z, ce_keep_lens=keep,
+                           weights=(cfg.TRAIN.GIOU_WEIGHT, cfg.TRAIN.L1_WEIGHT,
+                                    cfg.TRAIN.FOCAL_WEIGHT),
+                           search_size=cfg.DATA.SEARCH.SIZE,
+                           stride=cfg.MODEL.BACKBONE.STRIDE)
+    mesh = make_mesh()
+    sharded = shard_train_step(step, mesh)
+    state = replicate(state, mesh)
+
+    def mesh_step(state, batch, rng):
+        return sharded(state, shard_batch(batch, mesh), replicate(rng, mesh))
+
+    ckpts = CheckpointManager(os.path.join(save_dir, "checkpoints"),
+                              save_interval=cfg.TRAIN.SAVE_EPOCH_INTERVAL,
+                              keep_last=max(cfg.TRAIN.SAVE_LAST_N_EPOCH, 2))
+    trainer = Trainer(mesh_step, state, loader, ckpts, rng_seed=args.seed,
+                      print_interval=cfg.TRAIN.PRINT_INTERVAL)
+    orig_epoch_fn = trainer.train_epoch
+
+    def logged_epoch():
+        stats = orig_epoch_fn()
+        logger.write(trainer.epoch * steps_per_epoch, stats, epoch=trainer.epoch)
+        return stats
+
+    trainer.train_epoch = logged_epoch
+    trainer.train(cfg.TRAIN.EPOCH, load_latest=True, fail_safe=True)
+    print(f"done: {trainer.epoch} epochs, checkpoints in {save_dir}")
+
+
+if __name__ == "__main__":
+    main()
