@@ -1,0 +1,168 @@
+"""Torch checkpoint -> flax parameter conversion for the ViPT/OSTrack family.
+
+The reference ships .pth.tar checkpoints ({'net': state_dict},
+base_trainer.py:116-148; ViPT loads OSTrack non-strict,
+ostrack_prompt.py:138-141). This maps those names/layouts onto the
+mmtrack_tpu flax tree:
+
+  conv:  (O, I, kh, kw) -> (kh, kw, I, O)
+  linear:(O, I)        -> (I, O)
+  1x1 prompt convs     -> Dense kernels (I, O)
+  BN running stats     -> FrozenBatchNorm mean/var parameters
+
+The reference's vit.py itself contains timm's flax-npz -> torch loader
+(_load_weights, ViPT/lib/models/vipt/vit.py:171+); this is its inverse for
+our tree. Works on any mapping of torch names to numpy arrays — no torch
+import required (tensors are accepted and `.numpy()`-ed if given).
+"""
+
+from __future__ import annotations
+
+import re
+
+import flax
+import numpy as np
+
+
+def _np(t):
+    return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+
+def _conv_kernel(w):
+    return _np(w).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+
+def _dense_kernel(w):
+    return _np(w).T
+
+
+def _conv1x1_to_dense(w):
+    return _np(w)[:, :, 0, 0].T  # (O, I, 1, 1) -> (I, O)
+
+
+def convert_vipt_checkpoint(state_dict: dict) -> dict:
+    """torch ViPT/OSTrack state_dict -> flax params['params'] tree."""
+    out: dict[tuple, np.ndarray] = {}
+
+    def put(path: str, value):
+        out[tuple(path.split("/"))] = value
+
+    for name, t in state_dict.items():
+        if name.startswith("backbone."):
+            rest = name[len("backbone."):]
+
+            m = re.match(r"patch_embed(_prompt)?\.proj\.(weight|bias)", rest)
+            if m:
+                mod = "patch_embed_prompt" if m.group(1) else "patch_embed"
+                if m.group(2) == "weight":
+                    put(f"backbone/{mod}/proj/kernel", _conv_kernel(t))
+                else:
+                    put(f"backbone/{mod}/proj/bias", _np(t))
+                continue
+
+            if rest in ("pos_embed_z", "pos_embed_x"):
+                put(f"backbone/{rest}", _np(t))
+                continue
+
+            m = re.match(r"blocks\.(\d+)\.(.+)", rest)
+            if m:
+                i, sub = m.group(1), m.group(2)
+                base = f"backbone/blocks_{i}"
+                for ln in ("norm1", "norm2"):
+                    if sub == f"{ln}.weight":
+                        put(f"{base}/{ln}/scale", _np(t))
+                    elif sub == f"{ln}.bias":
+                        put(f"{base}/{ln}/bias", _np(t))
+                if sub == "attn.qkv.weight":
+                    put(f"{base}/attn/qkv/kernel", _dense_kernel(t))
+                elif sub == "attn.qkv.bias":
+                    put(f"{base}/attn/qkv/bias", _np(t))
+                elif sub == "attn.proj.weight":
+                    put(f"{base}/attn/proj/kernel", _dense_kernel(t))
+                elif sub == "attn.proj.bias":
+                    put(f"{base}/attn/proj/bias", _np(t))
+                elif sub == "mlp.fc1.weight":
+                    put(f"{base}/mlp/fc1/kernel", _dense_kernel(t))
+                elif sub == "mlp.fc1.bias":
+                    put(f"{base}/mlp/fc1/bias", _np(t))
+                elif sub == "mlp.fc2.weight":
+                    put(f"{base}/mlp/fc2/kernel", _dense_kernel(t))
+                elif sub == "mlp.fc2.bias":
+                    put(f"{base}/mlp/fc2/bias", _np(t))
+                continue
+
+            m = re.match(r"prompt_blocks\.(\d+)\.(conv0_0|conv0_1|conv1x1)\.(weight|bias)", rest)
+            if m:
+                i, conv, kind = m.groups()
+                if kind == "weight":
+                    put(f"backbone/prompt_blocks_{i}/{conv}/kernel",
+                        _conv1x1_to_dense(t))
+                else:
+                    put(f"backbone/prompt_blocks_{i}/{conv}/bias", _np(t))
+                continue
+
+            m = re.match(r"prompt_blocks\.(\d+)\.fovea\.smooth", rest)
+            if m:
+                put(f"backbone/prompt_blocks_{m.group(1)}/fovea/smooth", _np(t))
+                continue
+
+            m = re.match(r"prompt_norms\.(\d+)\.(weight|bias)", rest)
+            if m:
+                i, kind = m.groups()
+                leaf = "scale" if kind == "weight" else "bias"
+                put(f"backbone/prompt_norms_{i}/{leaf}", _np(t))
+                continue
+
+            m = re.match(r"norm\.(weight|bias)", rest)
+            if m:
+                leaf = "scale" if m.group(1) == "weight" else "bias"
+                put(f"backbone/norm/{leaf}", _np(t))
+                continue
+
+        m = re.match(r"box_head\.conv(\d)_(ctr|offset|size)\.(.+)", name)
+        if m:
+            k, branch, sub = m.groups()
+            base = f"box_head/{branch}/conv{k}"
+            if k == "5":
+                if sub == "weight":
+                    put(f"{base}/kernel", _conv_kernel(t))
+                elif sub == "bias":
+                    put(f"{base}/bias", _np(t))
+                continue
+            # ConvBNRelu: .0 conv, .1 BN
+            if sub == "0.weight":
+                put(f"{base}/conv/kernel", _conv_kernel(t))
+            elif sub == "0.bias":
+                put(f"{base}/conv/bias", _np(t))
+            elif sub == "1.weight":
+                put(f"{base}/bn/scale", _np(t))
+            elif sub == "1.bias":
+                put(f"{base}/bn/bias", _np(t))
+            elif sub == "1.running_mean":
+                put(f"{base}/bn/mean", _np(t))
+            elif sub == "1.running_var":
+                put(f"{base}/bn/var", _np(t))
+            continue
+
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def load_into(flax_params: dict, converted: dict, strict: bool = False) -> tuple[dict, list, list]:
+    """Overlay converted leaves onto an initialized flax tree.
+
+    Returns (params, missing_keys, unexpected_keys) — the reference prints
+    the same diagnostics on non-strict load (vit_ce_prompt.py:364-368).
+    """
+    flat_p = flax.traverse_util.flatten_dict(flax.core.unfreeze(flax_params))
+    flat_c = flax.traverse_util.flatten_dict(converted)
+    missing = [k for k in flat_p if k not in flat_c]
+    unexpected = [k for k in flat_c if k not in flat_p]
+    if strict and (missing or unexpected):
+        raise KeyError(f"missing={missing[:5]}... unexpected={unexpected[:5]}...")
+    for k, v in flat_c.items():
+        if k in flat_p:
+            if flat_p[k].shape != v.shape:
+                raise ValueError(f"shape mismatch at {k}: "
+                                 f"{flat_p[k].shape} vs {v.shape}")
+            flat_p[k] = v.astype(flat_p[k].dtype)
+    return flax.traverse_util.unflatten_dict(flat_p), missing, unexpected
