@@ -160,6 +160,18 @@ class SyntheticVideoDataset(VideoDataset):
         return [frames[i] for i in frame_ids], gt[frame_ids].astype(np.float32)
 
 
+def _rgb_registry():
+    from mmtrack_tpu.data.rgb_datasets import COCOSeq, GOT10k, LaSOT, TrackingNet
+    return {
+        "LASOT": LaSOT,
+        "GOT10K_vottrain": GOT10k,
+        "GOT10K_votval": GOT10k,
+        "GOT10K_train_full": GOT10k,
+        "TRACKINGNET": TrackingNet,
+        "COCO17": COCOSeq,
+    }
+
+
 TRAIN_DATASET_REGISTRY = {
     "DepthTrack_train": DepthTrackTrain,
     "DepthTrack_val": DepthTrackTrain,
@@ -174,12 +186,14 @@ TRAIN_DATASET_REGISTRY = {
 def names2datasets(names: list[str], roots: dict[str, str]) -> list[VideoDataset]:
     """Dataset registry lookup (names2datasets analog,
     base_functions.py:29-96). `roots` maps dataset name -> directory."""
+    registry = dict(TRAIN_DATASET_REGISTRY)
+    registry.update(_rgb_registry())
     out = []
     for n in names:
         if n == "Synthetic":
             out.append(SyntheticVideoDataset())
             continue
-        if n not in TRAIN_DATASET_REGISTRY:
+        if n not in registry:
             raise KeyError(f"unknown training dataset '{n}'")
-        out.append(TRAIN_DATASET_REGISTRY[n](roots[n]))
+        out.append(registry[n](roots[n]))
     return out

@@ -107,6 +107,7 @@ class ViPTProcessing:
                 box = transform_box_to_crop_np(gt, jb, rf, self.output_sz[s],
                                                normalize=True)
                 crop = crop.astype(np.float32) / 255.0
+                c = crop.shape[-1]  # 3-channel RGB corpora or 6-channel MM
                 if self.train_mode:
                     # brightness jitter (ToTensorAndJitter, transforms.py)
                     factor = rng.uniform(max(0.0, 1 - self.brightness_jitter),
@@ -116,7 +117,7 @@ class ViPTProcessing:
                         crop = np.ascontiguousarray(crop[:, ::-1])
                         box = np.array([1.0 - (box[0] + box[2]), box[1],
                                         box[2], box[3]], np.float32)
-                crop = (crop - MEAN_6) / STD_6
+                crop = (crop - MEAN_6[:c]) / STD_6[:c]
                 crops.append(crop)
                 boxes.append(box)
             data[s + "_images"] = np.stack(crops)

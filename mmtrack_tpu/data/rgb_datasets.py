@@ -1,0 +1,198 @@
+"""RGB training corpora for the OSTrack/STARK base models.
+
+Rebuild of ViPT/lib/train/dataset/{lasot,got10k,trackingnet,coco_seq}.py —
+the standard single-object-tracking training mix (cfg default
+DATASETS_NAME=['LASOT','GOT10K_vottrain'], config.py:77). Each dataset
+implements the VideoDataset protocol (seq_info/get_frames) over its on-disk
+layout; LMDB-backed twins are provided via the optional lmdb backend
+(lib/train/dataset/*_lmdb.py analogs).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+
+import numpy as np
+
+from mmtrack_tpu.data.datasets import VideoDataset
+from mmtrack_tpu.data.image_loader import default_image_loader
+
+
+class LaSOT(VideoDataset):
+    """LaSOT layout: root/<class>/<class>-<k>/img/*.jpg + groundtruth.txt +
+    full_occlusion.txt + out_of_view.txt (lasot.py)."""
+
+    name = "LASOT"
+
+    def __init__(self, root: str, sequences: list[str] | None = None,
+                 image_loader=default_image_loader):
+        self.root = root
+        self.loader = image_loader
+        if sequences is None:
+            sequences = []
+            for cls in sorted(os.listdir(root)):
+                cdir = os.path.join(root, cls)
+                if os.path.isdir(cdir):
+                    sequences += sorted(
+                        f"{cls}/{s}" for s in os.listdir(cdir)
+                        if os.path.isdir(os.path.join(cdir, s)))
+        self.sequences = sequences
+        self._cache: dict[int, dict] = {}
+
+    def num_sequences(self):
+        return len(self.sequences)
+
+    def _seq_path(self, seq_id):
+        return os.path.join(self.root, self.sequences[seq_id])
+
+    def seq_info(self, seq_id):
+        if seq_id not in self._cache:
+            p = self._seq_path(seq_id)
+            bbox = np.loadtxt(os.path.join(p, "groundtruth.txt"), delimiter=",")
+            occ = np.loadtxt(os.path.join(p, "full_occlusion.txt"),
+                             delimiter=",", dtype=np.int64)
+            oov = np.loadtxt(os.path.join(p, "out_of_view.txt"),
+                             delimiter=",", dtype=np.int64)
+            valid = (bbox[:, 2] > 0) & (bbox[:, 3] > 0)
+            visible = valid & (occ == 0) & (oov == 0)
+            self._cache[seq_id] = {"bbox": bbox, "valid": valid, "visible": visible}
+        return self._cache[seq_id]
+
+    def get_frames(self, seq_id, frame_ids):
+        p = os.path.join(self._seq_path(seq_id), "img")
+        frames = [self.loader(os.path.join(p, f"{i + 1:08d}.jpg"))
+                  for i in frame_ids]
+        return frames, self.seq_info(seq_id)["bbox"][frame_ids].astype(np.float32)
+
+
+class GOT10k(VideoDataset):
+    """GOT-10k layout: root/<seq>/{*.jpg, groundtruth.txt, absence.label,
+    cover.label}; split lists (vottrain/votval) are sequence-name files
+    (got10k.py + data_specs/got10k_vot_*.txt)."""
+
+    name = "GOT10K"
+
+    def __init__(self, root: str, split_file: str | None = None,
+                 image_loader=default_image_loader):
+        self.root = root
+        self.loader = image_loader
+        if split_file and os.path.exists(split_file):
+            with open(split_file) as f:
+                self.sequences = [l.strip() for l in f if l.strip()]
+        else:
+            list_file = os.path.join(root, "list.txt")
+            if os.path.exists(list_file):
+                with open(list_file) as f:
+                    self.sequences = [l.strip() for l in f if l.strip()]
+            else:
+                self.sequences = sorted(
+                    s for s in os.listdir(root)
+                    if os.path.isdir(os.path.join(root, s)))
+        self._cache: dict[int, dict] = {}
+
+    def num_sequences(self):
+        return len(self.sequences)
+
+    def seq_info(self, seq_id):
+        if seq_id not in self._cache:
+            p = os.path.join(self.root, self.sequences[seq_id])
+            bbox = np.loadtxt(os.path.join(p, "groundtruth.txt"), delimiter=",")
+            bbox = np.atleast_2d(bbox)
+            absence = np.loadtxt(os.path.join(p, "absence.label"), dtype=np.int64) \
+                if os.path.exists(os.path.join(p, "absence.label")) \
+                else np.zeros(len(bbox), np.int64)
+            cover = np.loadtxt(os.path.join(p, "cover.label"), dtype=np.int64) \
+                if os.path.exists(os.path.join(p, "cover.label")) \
+                else np.full(len(bbox), 8, np.int64)
+            valid = (bbox[:, 2] > 0) & (bbox[:, 3] > 0)
+            # reference: visible = ~absent & cover > 0 (got10k.py)
+            visible = valid & (absence == 0) & (cover > 0)
+            self._cache[seq_id] = {"bbox": bbox, "valid": valid, "visible": visible}
+        return self._cache[seq_id]
+
+    def get_frames(self, seq_id, frame_ids):
+        p = os.path.join(self.root, self.sequences[seq_id])
+        frames = [self.loader(os.path.join(p, f"{i + 1:08d}.jpg"))
+                  for i in frame_ids]
+        return frames, self.seq_info(seq_id)["bbox"][frame_ids].astype(np.float32)
+
+
+class TrackingNet(VideoDataset):
+    """TrackingNet layout: root/TRAIN_k/{frames/<seq>/<i>.jpg,
+    anno/<seq>.txt} (trackingnet.py)."""
+
+    name = "TRACKINGNET"
+
+    def __init__(self, root: str, set_ids=range(12),
+                 image_loader=default_image_loader):
+        self.root = root
+        self.loader = image_loader
+        self.sequences = []  # (set_id, seq_name)
+        for sid in set_ids:
+            anno_dir = os.path.join(root, f"TRAIN_{sid}", "anno")
+            if not os.path.isdir(anno_dir):
+                continue
+            for f in sorted(os.listdir(anno_dir)):
+                if f.endswith(".txt"):
+                    self.sequences.append((sid, f[:-4]))
+        self._cache: dict[int, dict] = {}
+
+    def num_sequences(self):
+        return len(self.sequences)
+
+    def seq_info(self, seq_id):
+        if seq_id not in self._cache:
+            sid, name = self.sequences[seq_id]
+            bbox = np.loadtxt(os.path.join(self.root, f"TRAIN_{sid}", "anno",
+                                           f"{name}.txt"), delimiter=",")
+            bbox = np.atleast_2d(bbox)
+            valid = (bbox[:, 2] > 0) & (bbox[:, 3] > 0)
+            self._cache[seq_id] = {"bbox": bbox, "valid": valid, "visible": valid}
+        return self._cache[seq_id]
+
+    def get_frames(self, seq_id, frame_ids):
+        sid, name = self.sequences[seq_id]
+        p = os.path.join(self.root, f"TRAIN_{sid}", "frames", name)
+        frames = [self.loader(os.path.join(p, f"{i}.jpg")) for i in frame_ids]
+        return frames, self.seq_info(seq_id)["bbox"][frame_ids].astype(np.float32)
+
+
+class COCOSeq(VideoDataset):
+    """COCO instances as single-frame pseudo-videos (coco_seq.py); the
+    sampler repeats the frame (sampler.py:146-149). Requires pycocotools."""
+
+    name = "COCO17"
+    is_video = False
+
+    def __init__(self, root: str, split: str = "train2017",
+                 image_loader=default_image_loader):
+        try:
+            from pycocotools.coco import COCO  # gated optional dep
+        except ImportError as e:
+            raise ImportError("COCOSeq requires pycocotools") from e
+        self.root = root
+        self.split = split
+        self.loader = image_loader
+        self.coco = COCO(os.path.join(root, "annotations",
+                                      f"instances_{split}.json"))
+        self.ann_ids = [a for a in self.coco.anns
+                        if self.coco.anns[a]["area"] > 50
+                        and not self.coco.anns[a].get("iscrowd", 0)]
+
+    def num_sequences(self):
+        return len(self.ann_ids)
+
+    def seq_info(self, seq_id):
+        ann = self.coco.anns[self.ann_ids[seq_id]]
+        bbox = np.asarray([ann["bbox"]], np.float64)
+        valid = np.asarray([bbox[0, 2] > 0 and bbox[0, 3] > 0])
+        return {"bbox": bbox, "valid": valid, "visible": valid}
+
+    def get_frames(self, seq_id, frame_ids):
+        ann = self.coco.anns[self.ann_ids[seq_id]]
+        img = self.coco.loadImgs([ann["image_id"]])[0]
+        frame = self.loader(os.path.join(self.root, self.split, img["file_name"]))
+        info = self.seq_info(seq_id)
+        return [frame for _ in frame_ids], \
+            np.tile(info["bbox"][0], (len(frame_ids), 1)).astype(np.float32)
