@@ -1,0 +1,99 @@
+"""Batched OPE: evaluate many sequences in lockstep on one chip/mesh.
+
+The TPU replacement for the reference's process-pool eval parallelism
+(test_rgbt_mgpus.py:180-190): sequences are bucketed by frame resolution,
+B of them advance together through the batched jitted track step
+(mmtrack_tpu.parallel.batched_eval), and each sequence's trajectory is cut to
+its own length on the host. Protocol-identical output files.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import numpy as np
+
+from mmtrack_tpu.data.composition import get_x_frame
+from mmtrack_tpu.eval.datasets import EvalSequence
+from mmtrack_tpu.eval.ope import result_path, save_result
+from mmtrack_tpu.parallel.batched_eval import BatchedViPTTracker
+
+
+def _frame(seq: EvalSequence, i: int, loaders=None):
+    i = min(i, len(seq) - 1)  # finished sequences idle on their last frame
+    if loaders is not None and seq.name in loaders:
+        return loaders[seq.name](i)
+    return get_x_frame(seq.rgb_frames[i], seq.x_frames[i], seq.dtype,
+                       depth_clip=seq.depth_clip)
+
+
+def bucket_sequences(sequences: list[EvalSequence], loaders=None) -> dict:
+    """Group sequences by (H, W, C) of their first frame."""
+    buckets = defaultdict(list)
+    for seq in sequences:
+        shape = _frame(seq, 0, loaders).shape
+        buckets[shape].append(seq)
+    return dict(buckets)
+
+
+def run_batch(tracker: BatchedViPTTracker, seqs: list[EvalSequence],
+              loaders=None) -> list[dict]:
+    """Track a same-resolution batch in lockstep; returns per-seq results."""
+    import time
+    B = len(seqs)
+    max_len = max(len(s) for s in seqs)
+    frames0 = np.stack([_frame(s, 0, loaders) for s in seqs])
+    boxes0 = np.stack([s.gt[0] for s in seqs]).astype(np.float32)
+
+    t0 = time.perf_counter()
+    tracker.initialize(frames0, boxes0)
+    all_boxes = np.zeros((max_len, B, 4))
+    all_scores = np.zeros((max_len - 1, B))
+    all_boxes[0] = boxes0
+    for t in range(1, max_len):
+        frames = np.stack([_frame(s, t, loaders) for s in seqs])
+        b, sc = tracker.track(frames)
+        all_boxes[t] = b
+        all_scores[t - 1] = sc
+    elapsed = time.perf_counter() - t0
+
+    results = []
+    n_frames_total = sum(len(s) - 1 for s in seqs)
+    for k, seq in enumerate(seqs):
+        n = len(seq)
+        results.append({
+            "name": seq.name,
+            "boxes": all_boxes[:n, k],
+            "confidences": all_scores[:n - 1, k],
+            "elapsed": elapsed * (n - 1) / max(n_frames_total, 1),
+            "fps": n_frames_total / max(elapsed, 1e-9),  # aggregate per chip
+        })
+    return results
+
+
+def run_dataset_batched(tracker_factory, sequences: list[EvalSequence],
+                        results_root: str, dataset: str, config_name: str,
+                        batch_size: int = 8, loaders=None,
+                        verbose: bool = True) -> list[dict]:
+    """Bucketed, batched, resume-aware dataset evaluation."""
+    todo = [s for s in sequences if not os.path.exists(
+        result_path(results_root, dataset, config_name, s.name))]
+    if verbose:
+        for s in sequences:
+            if s not in todo:
+                print(f"-1 {s.name}")
+    outputs = []
+    for shape, bucket in bucket_sequences(todo, loaders).items():
+        for i in range(0, len(bucket), batch_size):
+            chunk = bucket[i:i + batch_size]
+            tracker = tracker_factory()
+            results = run_batch(tracker, chunk, loaders)
+            for seq, res in zip(chunk, results):
+                save_result(result_path(results_root, dataset, config_name,
+                                        seq.name), res,
+                            fmt=seq.save_fmt, delimiter=seq.save_delimiter)
+                if verbose:
+                    print(f"{seq.name} , fps:{res['fps']:.2f}")
+            outputs += results
+    return outputs
