@@ -1,0 +1,168 @@
+"""Tracker zoo registry: one name -> (model, runtime, tracker) recipe.
+
+The reference's equivalent surface is scattered per-tracker parameter
+modules (pytracking/parameter/*/*.py, lib/test/parameter/vipt.py) and
+benchmark.py model lists (RGBD|RGBT|RGBE/benchmark.py). Here every tracker
+the framework supports is constructible by name; params default to random
+init (load converted checkpoints via mmtrack_tpu.models.convert).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class TrackerRecipe:
+    build: Callable      # (seed) -> tracker object (random-init params)
+    modality: str        # rgbd | rgbt | rgbe | rgb | any
+    family: str
+
+
+def _vipt(config_name: str):
+    def build(seed=0, params=None):
+        from mmtrack_tpu.config import vipt_experiment_config
+        from mmtrack_tpu.models.vipt import build_viptrack
+        from mmtrack_tpu.trackers.vipt_tracker import ViPTRuntime, ViPTTracker
+        cfg = vipt_experiment_config(config_name)
+        model = build_viptrack(cfg)
+        rt = ViPTRuntime.from_config(cfg)
+        if params is None:
+            z = jnp.zeros((1, cfg.DATA.TEMPLATE.SIZE, cfg.DATA.TEMPLATE.SIZE, 6))
+            x = jnp.zeros((1, cfg.DATA.SEARCH.SIZE, cfg.DATA.SEARCH.SIZE, 6))
+            params = jax.jit(lambda r: model.init(r, z, x, None, rt.ce_keep_lens))(
+                jax.random.PRNGKey(seed))
+        return ViPTTracker(model, params, rt)
+    return build
+
+
+def _ostrack():
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.vipt import build_ostrack
+        from mmtrack_tpu.trackers.vipt_tracker import ViPTRuntime, ViPTTracker
+        model = build_ostrack(template_size=128, search_size=256)
+        rt = ViPTRuntime()
+        if params is None:
+            z = jnp.zeros((1, 128, 128, 3))
+            x = jnp.zeros((1, 256, 256, 3))
+            params = jax.jit(lambda r: model.init(r, z, x, None, rt.ce_keep_lens))(
+                jax.random.PRNGKey(seed))
+        return ViPTTracker(model, params, rt)
+    return build
+
+
+def _dimp(merge_type: str | None):
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.dimp import DiMPNet
+        from mmtrack_tpu.trackers.dimp_tracker import DiMPRuntime, DiMPTracker
+        model = DiMPNet(merge_type=merge_type)
+        if params is None:
+            im = jnp.zeros((1, 288, 288, 6))
+            bb = jnp.asarray([[100.0, 100.0, 80.0, 80.0]])
+            props = jnp.asarray([[[100.0, 100.0, 80.0, 80.0]] * 2])
+            params = jax.jit(lambda r: model.init(r, im, im, bb, props))(
+                jax.random.PRNGKey(seed))
+        return DiMPTracker(model, params, DiMPRuntime())
+    return build
+
+
+def _siamfc():
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.siamfc import SiamFC
+        from mmtrack_tpu.trackers.siamfc_tracker import SiamFCRuntime, SiamFCTracker
+        model = SiamFC(in_channels=6)
+        if params is None:
+            z = jnp.zeros((1, 127, 127, 6))
+            x = jnp.zeros((1, 255, 255, 6))
+            params = jax.jit(lambda r: model.init(r, z, x))(jax.random.PRNGKey(seed))
+        return SiamFCTracker(model, params, SiamFCRuntime())
+    return build
+
+
+def _mdnet(mode: str):
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.mdnet import MDNet
+        from mmtrack_tpu.trackers.mdnet_tracker import MDNetRuntime, MDNetTracker
+        model = MDNet(mode=mode)
+        if params is None:
+            x = jnp.zeros((1, 107, 107, 6))
+            params = jax.jit(lambda r: model.init(r, x))(jax.random.PRNGKey(seed))
+        return MDNetTracker(model, params, MDNetRuntime())
+    return build
+
+
+def _stark(six_channel: bool, dynamic: bool):
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.stark import STARK
+        from mmtrack_tpu.trackers.stark_tracker import STARKRuntime, STARKTracker
+        model = STARK(six_channel=six_channel, score_head=dynamic)
+        C = 6 if six_channel else 3
+        if params is None:
+            z = jnp.zeros((1, 128, 128, C))
+            x = jnp.zeros((1, 320, 320, C))
+            params = jax.jit(lambda r: model.init(r, z, x))(jax.random.PRNGKey(seed))
+        return STARKTracker(model, params, STARKRuntime(dynamic_template=dynamic))
+    return build
+
+
+def _mixformer():
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.mixformer import MixFormer
+        from mmtrack_tpu.trackers.mixformer_tracker import (MixFormerRuntime,
+                                                            MixFormerTracker)
+        model = MixFormer(in_channels=6)
+        if params is None:
+            z = jnp.zeros((1, 128, 128, 6))
+            x = jnp.zeros((1, 320, 320, 6))
+            params = jax.jit(lambda r: model.init(r, z, z, x))(jax.random.PRNGKey(seed))
+        return MixFormerTracker(model, params, MixFormerRuntime())
+    return build
+
+
+TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
+    # ViPT family (the flagship)
+    "vipt_deep_rgbd": TrackerRecipe(_vipt("deep_rgbd"), "rgbd", "vipt"),
+    "vipt_deep_rgbt": TrackerRecipe(_vipt("deep_rgbt"), "rgbt", "vipt"),
+    "vipt_deep_rgbe": TrackerRecipe(_vipt("deep_rgbe"), "rgbe", "vipt"),
+    "vipt_shaw_rgbd": TrackerRecipe(_vipt("shaw_rgbd"), "rgbd", "vipt"),
+    "vipt_shaw_rgbt": TrackerRecipe(_vipt("shaw_rgbt"), "rgbt", "vipt"),
+    "vipt_shaw_rgbe": TrackerRecipe(_vipt("shaw_rgbe"), "rgbe", "vipt"),
+    "ostrack": TrackerRecipe(_ostrack(), "rgb", "ostrack"),
+    # DiMP family
+    "dimp50": TrackerRecipe(_dimp(None), "rgb", "dimp"),
+    "det_dimp50_max": TrackerRecipe(_dimp("max"), "rgbd", "dimp"),
+    "det_dimp50_mean": TrackerRecipe(_dimp("mean"), "rgbd", "dimp"),
+    "det_dimp50_mul": TrackerRecipe(_dimp("mul"), "rgbd", "dimp"),
+    "det_dimp50_weightedsum": TrackerRecipe(_dimp("weightedSum"), "rgbd", "dimp"),
+    "det_dimp50_mc": TrackerRecipe(_dimp("conv"), "rgbd", "dimp"),
+    # mfDiMP: end-to-end RGB-T fusion DiMP (readme.md:33-39; empty submodule
+    # in the reference) == the dual-backbone DeT recipe fed rgbrgb thermal
+    # composition
+    "mfdimp": TrackerRecipe(_dimp("mean"), "rgbt", "dimp"),
+    # classic zoo
+    "siamfc": TrackerRecipe(_siamfc(), "rgbe", "siamfc"),
+    "mdnet": TrackerRecipe(_mdnet("single"), "rgb", "mdnet"),
+    "pymdnet": TrackerRecipe(_mdnet("dual"), "rgbe", "mdnet"),
+    "manet": TrackerRecipe(_mdnet("adapter"), "rgbt", "mdnet"),
+    # transformer zoo
+    "stark_s": TrackerRecipe(_stark(False, False), "rgb", "stark"),
+    "stark_st": TrackerRecipe(_stark(False, True), "rgb", "stark"),
+    "spt": TrackerRecipe(_stark(True, False), "rgbd", "stark"),
+    "mixformer_rgbd": TrackerRecipe(_mixformer(), "rgbd", "mixformer"),
+}
+
+
+def build_tracker(name: str, seed: int = 0, params=None):
+    if name not in TRACKER_REGISTRY:
+        raise KeyError(f"unknown tracker '{name}'; options: "
+                       f"{sorted(TRACKER_REGISTRY)}")
+    return TRACKER_REGISTRY[name].build(seed=seed, params=params)
+
+
+def list_trackers(modality: str | None = None) -> list[str]:
+    return sorted(n for n, r in TRACKER_REGISTRY.items()
+                  if modality is None or r.modality in (modality, "any"))
