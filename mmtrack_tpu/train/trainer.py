@@ -75,7 +75,13 @@ class Trainer:
     def __init__(self, train_step, state: TrainState, loader,
                  checkpoints: CheckpointManager | None = None,
                  rng_seed: int = 0, print_interval: int = 50,
-                 log_fn=print):
+                 log_fn=print, val_loader=None, val_step=None,
+                 val_epoch_interval: int = 0,
+                 step_for_epoch=None):
+        """step_for_epoch(epoch) -> train_step lets the caller swap the
+        compiled step on schedule boundaries (the CE keep-rate anneal changes
+        static token counts; quantized to a few recompiles —
+        SURVEY.md section 7.2)."""
         self.train_step = train_step
         self.state = state
         self.loader = loader
@@ -83,8 +89,13 @@ class Trainer:
         self.rng = jax.random.PRNGKey(rng_seed)
         self.print_interval = print_interval
         self.log = log_fn
+        self.val_loader = val_loader
+        self.val_step = val_step
+        self.val_epoch_interval = val_epoch_interval
+        self.step_for_epoch = step_for_epoch
         self.epoch = 0
         self.stats_history: list[dict] = []
+        self.val_history: list[dict] = []
 
     def _resume(self) -> None:
         if self.checkpoints is None:
@@ -121,6 +132,20 @@ class Trainer:
                          + f", step: {step_time.avg * 1e3:.0f}ms")
         return {k: m.avg for k, m in meters.items()}
 
+    def validate(self) -> dict:
+        """Validation pass (LTRTrainer val-loader cycle, epoch_interval
+        semantics, base_functions.py:165-168)."""
+        meters: dict[str, AverageMeter] = {}
+        for batch in self.val_loader:
+            self.rng, sub = jax.random.split(self.rng)
+            _, stats = self.val_step(self.state, batch, sub)
+            for k, v in stats.items():
+                meters.setdefault(k, AverageMeter()).update(float(v))
+        out = {f"val/{k}": m.avg for k, m in meters.items()}
+        self.log(f"epoch {self.epoch} validation: "
+                 + ", ".join(f"{k}: {v:.4f}" for k, v in out.items()))
+        return out
+
     def train(self, max_epochs: int, load_latest: bool = True,
               fail_safe: bool = True) -> None:
         if load_latest:
@@ -130,8 +155,13 @@ class Trainer:
             try:
                 while self.epoch < max_epochs:
                     self.epoch += 1
+                    if self.step_for_epoch is not None:
+                        self.train_step = self.step_for_epoch(self.epoch)
                     epoch_stats = self.train_epoch()
                     self.stats_history.append(epoch_stats)
+                    if (self.val_loader is not None and self.val_epoch_interval
+                            and self.epoch % self.val_epoch_interval == 0):
+                        self.val_history.append(self.validate())
                     if (self.checkpoints is not None
                             and self.checkpoints.should_save(self.epoch, max_epochs)):
                         self.checkpoints.save(self.epoch, self.state)

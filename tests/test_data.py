@@ -146,6 +146,23 @@ def test_trainer_epoch_and_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_trainer_validation_and_step_swap(tmp_path):
+    _, state, step = _training_setup()
+    swaps = []
+
+    def step_for_epoch(epoch):
+        swaps.append(epoch)
+        return step
+
+    tr = Trainer(step, state, _loader(), None, log_fn=lambda *_: None,
+                 val_loader=_loader(), val_step=step, val_epoch_interval=2,
+                 step_for_epoch=step_for_epoch)
+    tr.train(max_epochs=2)
+    assert swaps == [1, 2]
+    assert len(tr.val_history) == 1
+    assert "val/Loss/total" in tr.val_history[0]
+
+
 def test_trainer_fail_safe_restarts(tmp_path):
     _, state, step = _training_setup()
     ckpts = CheckpointManager(str(tmp_path / "ck"), save_interval=1, keep_last=2)

@@ -121,23 +121,46 @@ def main():
                          trainable_mask=trainable)
     state = TrainState.create(params, tx)
 
-    step = make_train_step(model, tx, box_mask_z=mask_z, ce_keep_lens=keep,
-                           weights=(cfg.TRAIN.GIOU_WEIGHT, cfg.TRAIN.L1_WEIGHT,
-                                    cfg.TRAIN.FOCAL_WEIGHT),
-                           search_size=cfg.DATA.SEARCH.SIZE,
-                           stride=cfg.MODEL.BACKBONE.STRIDE)
     mesh = make_mesh()
-    sharded = shard_train_step(step, mesh)
     state = replicate(state, mesh)
 
-    def mesh_step(state, batch, rng):
-        return sharded(state, shard_batch(batch, mesh), replicate(rng, mesh))
+    # CE keep-rate anneal: quantized to a static set so the epoch schedule
+    # costs at most 4 recompilations (ce_utils.py:68-80 cosine -> SURVEY 7.2)
+    from mmtrack_tpu.train.actor import adjust_keep_rate, quantize_keep_rate
+    _step_cache: dict[float, object] = {}
+
+    def step_for_epoch(epoch: int):
+        if cfg.MODEL.BACKBONE.CE_LOC:
+            rate = quantize_keep_rate(adjust_keep_rate(
+                epoch, cfg.TRAIN.CE_START_EPOCH,
+                cfg.TRAIN.CE_START_EPOCH + cfg.TRAIN.CE_WARM_EPOCH,
+                base_keep_rate=cfg.MODEL.BACKBONE.CE_KEEP_RATIO[0]))
+        else:
+            rate = 1.0
+        if rate not in _step_cache:
+            lens = (None if rate >= 1.0 else ce_keep_schedule(
+                (cfg.DATA.SEARCH.SIZE // cfg.MODEL.BACKBONE.STRIDE) ** 2,
+                cfg.MODEL.BACKBONE.CE_LOC,
+                [rate] * len(cfg.MODEL.BACKBONE.CE_LOC)))
+            s = make_train_step(
+                model, tx, box_mask_z=mask_z, ce_keep_lens=lens,
+                weights=(cfg.TRAIN.GIOU_WEIGHT, cfg.TRAIN.L1_WEIGHT,
+                         cfg.TRAIN.FOCAL_WEIGHT),
+                search_size=cfg.DATA.SEARCH.SIZE,
+                stride=cfg.MODEL.BACKBONE.STRIDE)
+            sharded = shard_train_step(s, mesh)
+            _step_cache[rate] = lambda st, b, r: sharded(
+                st, shard_batch(b, mesh), replicate(r, mesh))
+        return _step_cache[rate]
+
+    mesh_step = step_for_epoch(1)
 
     ckpts = CheckpointManager(os.path.join(save_dir, "checkpoints"),
                               save_interval=cfg.TRAIN.SAVE_EPOCH_INTERVAL,
                               keep_last=max(cfg.TRAIN.SAVE_LAST_N_EPOCH, 2))
     trainer = Trainer(mesh_step, state, loader, ckpts, rng_seed=args.seed,
-                      print_interval=cfg.TRAIN.PRINT_INTERVAL)
+                      print_interval=cfg.TRAIN.PRINT_INTERVAL,
+                      step_for_epoch=step_for_epoch)
     orig_epoch_fn = trainer.train_epoch
 
     def logged_epoch():
