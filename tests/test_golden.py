@@ -1,0 +1,59 @@
+"""Golden-trajectory regression + MXU crop equivalence.
+
+SURVEY.md section 4 test strategy: bit-matching box trajectories against
+recorded outputs guard numerical behavior across refactors (the north star
+requires <=0.1% metric deviation once reference weights are in play).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmtrack_tpu.data.synthetic import make_synthetic_sequence
+from mmtrack_tpu.models.vipt import ViPTrack
+from mmtrack_tpu.ops.crop import crop_resize, crop_resize_mxu
+from mmtrack_tpu.trackers.vipt_tracker import ViPTRuntime, ViPTTracker
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "golden_vipt_tiny.npz")
+
+TINY = dict(embed_dim=32, depth=2, num_heads=2, patch_size=16,
+            template_size=32, search_size=64, ce_loc=(1,), head_channel=16)
+RT = ViPTRuntime(template_size=32, search_size=64, stride=16,
+                 ce_loc=(1,), ce_keep_ratio=(0.7,))
+
+
+def test_golden_vipt_trajectory():
+    golden = np.load(FIXTURE)
+    model = ViPTrack(**TINY)
+    z = jnp.zeros((1, 32, 32, 6))
+    x = jnp.zeros((1, 64, 64, 6))
+    params = jax.jit(lambda r: model.init(r, z, x, None, RT.ce_keep_lens))(
+        jax.random.PRNGKey(7))
+    frames, gt = make_synthetic_sequence(n_frames=8, height=96, width=128,
+                                         seed=11)
+    tr = ViPTTracker(model, params, RT)
+    tr.initialize(frames[0], {"init_bbox": gt[0].tolist()})
+    boxes, scores = [], []
+    for t in range(1, 8):
+        out = tr.track(frames[t])
+        boxes.append(out["target_bbox"])
+        scores.append(out["best_score"])
+    # tolerate only tiny cross-compilation numeric drift (<0.05 px / 1e-4)
+    np.testing.assert_allclose(np.asarray(boxes), golden["boxes"], atol=0.05)
+    np.testing.assert_allclose(np.asarray(scores), golden["scores"], atol=1e-4)
+
+
+def test_mxu_crop_matches_gather_crop():
+    rng = np.random.RandomState(0)
+    im = jnp.asarray(rng.randint(0, 255, (120, 160, 6), np.uint8))
+    for box in ([40.0, 30.0, 30.0, 20.0],
+                [-10.0, -5.0, 40.0, 30.0],
+                [130.0, 95.0, 40.0, 30.0]):
+        b = jnp.asarray(box)
+        a, rf_a = crop_resize(im, b, 4.0, 128)
+        c, rf_c = crop_resize_mxu(im, b, 4.0, 128)
+        assert float(rf_a) == float(rf_c)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=5e-4)
