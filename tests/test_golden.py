@@ -46,6 +46,23 @@ def test_golden_vipt_trajectory():
     np.testing.assert_allclose(np.asarray(scores), golden["scores"], atol=1e-4)
 
 
+def test_pallas_preproc_matches_reference():
+    from mmtrack_tpu.ops.pallas_preproc import crop_resize_normalize_pallas
+    from mmtrack_tpu.ops.crop import crop_resize_normalized
+    from mmtrack_tpu.trackers.vipt_tracker import MEAN_6CH, STD_6CH
+
+    rng = np.random.RandomState(1)
+    im = jnp.asarray(rng.randint(0, 255, (120, 160, 6), np.uint8))
+    mean, std = jnp.asarray(MEAN_6CH), jnp.asarray(STD_6CH)
+    for box in ([40.0, 30.0, 30.0, 20.0], [-10.0, -5.0, 40.0, 30.0]):
+        b = jnp.asarray(box)
+        want, rf_w = crop_resize_normalized(im, b, 4.0, 64, mean, std)
+        got, rf_g = crop_resize_normalize_pallas(im, b, 4.0, 64, mean, std,
+                                                 interpret=True)
+        assert float(rf_w) == float(rf_g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_mxu_crop_matches_gather_crop():
     rng = np.random.RandomState(0)
     im = jnp.asarray(rng.randint(0, 255, (120, 160, 6), np.uint8))
