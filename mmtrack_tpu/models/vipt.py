@@ -281,6 +281,39 @@ class ViPTrack(nn.Module):
         }
 
 
+class ScoreTransformer(nn.Module):
+    """OSTrack-online confidence head (RGBD/models/OSTrack/lib/models/
+    ostrack/score_head.py:20-67): the predicted box becomes a query token
+    that cross-attends the search tokens; an MLP maps it to an update score.
+    Drives the online-template refresh gate (ostrack_online.py)."""
+    d_model: int = 768
+    n_layers: int = 2
+    n_heads: int = 12
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, search_tokens: jnp.ndarray, pred_box: jnp.ndarray) -> jnp.ndarray:
+        """search_tokens (B, L, C), pred_box (B, 4) -> score (B,) in (0,1)."""
+        q = nn.Dense(self.d_model, name="cls_proj")(pred_box)[:, None]
+        hd = self.d_model // self.n_heads
+        B = q.shape[0]
+        for i in range(self.n_layers):
+            qn = nn.LayerNorm(epsilon=1e-6, name=f"norm_q{i}")(q)
+            kn = nn.LayerNorm(epsilon=1e-6, name=f"norm_kv{i}")(search_tokens)
+            qh = nn.Dense(self.d_model, name=f"q{i}")(qn).reshape(B, 1, self.n_heads, hd)
+            kh = nn.Dense(self.d_model, name=f"k{i}")(kn).reshape(B, -1, self.n_heads, hd)
+            vh = nn.Dense(self.d_model, name=f"v{i}")(kn).reshape(B, -1, self.n_heads, hd)
+            attn = jax.nn.softmax(
+                jnp.einsum("bqhd,bkhd->bhqk", qh * hd ** -0.5, kh), axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(B, 1, self.d_model)
+            q = q + nn.Dense(self.d_model, name=f"proj{i}")(out)
+            mn = nn.LayerNorm(epsilon=1e-6, name=f"norm_mlp{i}")(q)
+            q = q + nn.Dense(self.d_model, name=f"mlp2_{i}")(
+                nn.gelu(nn.Dense(4 * self.d_model, name=f"mlp1_{i}")(mn)))
+        q = nn.LayerNorm(epsilon=1e-6, name="norm")(q)[:, 0]
+        return nn.sigmoid(nn.Dense(1, name="score_head")(q))[:, 0]
+
+
 def build_viptrack(cfg, dtype=jnp.float32) -> ViPTrack:
     """Construct ViPTrack from a ConfigNode (build_viptrack analog,
     ostrack_prompt.py:94-145)."""

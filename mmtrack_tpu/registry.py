@@ -95,6 +95,32 @@ def _mdnet(mode: str):
     return build
 
 
+def _rgbt_chassis(model_cls):
+    def build(seed=0, params=None):
+        from mmtrack_tpu.trackers.mdnet_tracker import MDNetRuntime, MDNetTracker
+        model = model_cls()
+        if params is None:
+            x = jnp.zeros((1, 107, 107, 6))
+            params = jax.jit(lambda r: model.init(r, x))(jax.random.PRNGKey(seed))
+        return MDNetTracker(model, params, MDNetRuntime())
+    return build
+
+
+def _apfnet():
+    from mmtrack_tpu.models.apfnet import APFNet
+    return _rgbt_chassis(APFNet)
+
+
+def _dafnet():
+    from mmtrack_tpu.models.rgbt_fusion import DAFNet
+    return _rgbt_chassis(DAFNet)
+
+
+def _macnet():
+    from mmtrack_tpu.models.rgbt_fusion import MaCNet
+    return _rgbt_chassis(MaCNet)
+
+
 def _stark(six_channel: bool, dynamic: bool):
     def build(seed=0, params=None):
         from mmtrack_tpu.models.stark import STARK
@@ -147,7 +173,11 @@ TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
     "siamfc": TrackerRecipe(_siamfc(), "rgbe", "siamfc"),
     "mdnet": TrackerRecipe(_mdnet("single"), "rgb", "mdnet"),
     "pymdnet": TrackerRecipe(_mdnet("dual"), "rgbe", "mdnet"),
-    "manet": TrackerRecipe(_mdnet("adapter"), "rgbt", "mdnet"),
+    "pyvital": TrackerRecipe(_mdnet("dual"), "rgbe", "mdnet"),  # VITAL weights
+    "manet": TrackerRecipe(_mdnet("adapter"), "rgbe", "mdnet"),
+    "apfnet": TrackerRecipe(_apfnet(), "rgbt", "mdnet"),
+    "dafnet": TrackerRecipe(_dafnet(), "rgbt", "mdnet"),
+    "macnet": TrackerRecipe(_macnet(), "rgbt", "mdnet"),
     # transformer zoo
     "stark_s": TrackerRecipe(_stark(False, False), "rgb", "stark"),
     "stark_st": TrackerRecipe(_stark(False, True), "rgb", "stark"),

@@ -127,14 +127,17 @@ def _extract_patches(rt: MDNetRuntime, model, params, frame, boxes):
         return patch / 255.0 - 0.5
 
     patches = jax.vmap(one)(boxes)
-    return model.apply(params, patches, method=MDNet.extract_features)
+    # type(model) keeps the protocol polymorphic over chassis variants
+    # (MDNet modes, APFNet, DAFNet, MaCNet share extract_features/score)
+    return model.apply(params, patches, method=type(model).extract_features)
 
 
 # ---------------------------------------------------------------- fc training
 
 def _score_fn(model, params, fc_params, feats, branch=0, rng=None, train=False):
     merged = {"params": {**params["params"], **fc_params}}
-    return model.apply(merged, feats, branch, train, rng, method=MDNet.score)
+    return model.apply(merged, feats, branch, train, rng,
+                       method=type(model).score)
 
 
 def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
