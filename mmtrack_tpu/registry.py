@@ -135,7 +135,7 @@ def _stark(six_channel: bool, dynamic: bool):
     return build
 
 
-def _mixformer():
+def _mixformer(scales: tuple[float, ...] = (1.0,)):
     def build(seed=0, params=None):
         from mmtrack_tpu.models.mixformer import MixFormer
         from mmtrack_tpu.trackers.mixformer_tracker import (MixFormerRuntime,
@@ -145,7 +145,8 @@ def _mixformer():
             z = jnp.zeros((1, 128, 128, 6))
             x = jnp.zeros((1, 320, 320, 6))
             params = jax.jit(lambda r: model.init(r, z, z, x))(jax.random.PRNGKey(seed))
-        return MixFormerTracker(model, params, MixFormerRuntime())
+        return MixFormerTracker(model, params,
+                                MixFormerRuntime(scale_factors=scales))
     return build
 
 
@@ -183,6 +184,11 @@ TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
     "stark_st": TrackerRecipe(_stark(False, True), "rgb", "stark"),
     "spt": TrackerRecipe(_stark(True, False), "rgbd", "stark"),
     "mixformer_rgbd": TrackerRecipe(_mixformer(), "rgbd", "mixformer"),
+    # SAMF: scale-adaptive MixFormer (RGBD/models/SAMF README)
+    "samf": TrackerRecipe(_mixformer((0.8, 1.0, 1.25)), "rgbd", "mixformer"),
+    # ProMixTrack: MixFormer fork (RGBD/models/ProMixTrack); base recipe until
+    # its probabilistic-mixing delta lands (docs/ROADMAP.md item 4)
+    "promixtrack": TrackerRecipe(_mixformer(), "rgbd", "mixformer"),
 }
 
 

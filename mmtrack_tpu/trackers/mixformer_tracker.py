@@ -32,6 +32,10 @@ class MixFormerRuntime:
     margin: float = 10.0
     update_interval: int = 200
     online_threshold: float = 0.5
+    # SAMF (Scale-Adaptive MixFormer, RGBD/models/SAMF): evaluate several
+    # search-window scales in one batched forward and keep the most
+    # confident; (1.0,) recovers plain MixFormer.
+    scale_factors: tuple[float, ...] = (1.0,)
 
 
 def _mean_std(channels: int):
@@ -55,12 +59,24 @@ def mixformer_track_step(rt: MixFormerRuntime, model: MixFormer, params,
     mean, std = _mean_std(frame.shape[-1])
     state = {**state, "frame_num": state["frame_num"] + 1}
 
-    search, resize_factor = crop_resize_normalized(
-        frame, state["box"], rt.search_factor, rt.search_size, mean, std)
-    out = model.apply(params, state["template"][None],
-                      state["online_template"][None], search[None])
-    pred = out["pred_boxes"][0]
-    score = out["pred_scores"][0]
+    n_scales = len(rt.scale_factors)
+    crops, rfs = [], []
+    for sf in rt.scale_factors:
+        crop, rf = crop_resize_normalized(
+            frame, state["box"], rt.search_factor * sf, rt.search_size,
+            mean, std)
+        crops.append(crop)
+        rfs.append(rf)
+    search = jnp.stack(crops)                        # (S, H, W, C)
+    resize_factors = jnp.stack(rfs)
+    out = model.apply(params,
+                      jnp.tile(state["template"][None], (n_scales, 1, 1, 1)),
+                      jnp.tile(state["online_template"][None], (n_scales, 1, 1, 1)),
+                      search)
+    best = jnp.argmax(out["pred_scores"])
+    pred = out["pred_boxes"][best]
+    score = out["pred_scores"][best]
+    resize_factor = resize_factors[best]
 
     pred_img = pred * rt.search_size / resize_factor
     prev = state["box"]

@@ -45,6 +45,40 @@ def make_proposals(rng, gt_xywh: jnp.ndarray, n_proposals: int = 8,
     return proposals, iou
 
 
+def make_dimp_train_step(model, tx, *, image_sz: int = 288,
+                         loss_weights=(1.0, 100.0)):
+    """train_step(state, batch, rng) for the DiMP family.
+
+    batch: template/search (B, S, S, C) normalized crops with
+    template_anno/search_anno normalized xywh (the shared loader format);
+    boxes are scaled to crop pixels for the DiMP objective.
+    """
+    import optax
+
+    from mmtrack_tpu.train.train_step import TrainState
+
+    def train_step(state: TrainState, batch: dict, rng):
+        dimp_batch = {
+            "train_im": batch["template"],
+            "test_im": batch["search"],
+            "train_bb": batch["template_anno"] * image_sz,
+            "test_bb": batch["search_anno"] * image_sz,
+        }
+
+        def loss_fn(params):
+            return dimp_forward_and_loss(model, params, dimp_batch, rng,
+                                         image_sz=image_sz,
+                                         loss_weights=loss_weights)
+
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=new_opt), stats
+
+    return train_step
+
+
 def dimp_forward_and_loss(model, params, batch: dict, rng, *,
                           image_sz: int = 288,
                           loss_weights=(1.0, 100.0)) -> tuple[jnp.ndarray, dict]:

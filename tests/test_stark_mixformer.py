@@ -94,6 +94,22 @@ def test_mixformer_template_isolation():
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
 
 
+def test_mixformer_scale_adaptive_samf():
+    """SAMF mode: multiple search scales, best one selected per frame."""
+    model = MixFormer(in_channels=6, **MF_SMALL)
+    z = jnp.zeros((1, 64, 64, 6))
+    x = jnp.zeros((1, 96, 96, 6))
+    params = jax.jit(lambda r: model.init(r, z, z, x))(jax.random.PRNGKey(0))
+    frames, gt = make_synthetic_sequence(n_frames=3, height=120, width=160)
+    rt = MixFormerRuntime(template_size=64, search_size=96,
+                          scale_factors=(0.8, 1.0, 1.25))
+    tracker = MixFormerTracker(model, params, rt)
+    tracker.initialize(frames[0], {"init_bbox": gt[0].tolist()})
+    out = tracker.track(frames[1])
+    b = out["target_bbox"]
+    assert np.isfinite(b).all() and b[2] > 0 and b[3] > 0
+
+
 def test_mixformer_tracker_end_to_end():
     model = MixFormer(in_channels=6, **MF_SMALL)
     z = jnp.zeros((1, 64, 64, 6))

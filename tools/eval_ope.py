@@ -31,6 +31,9 @@ def main():
     p.add_argument("--dataset", required=True,
                    help="LasHeR|RGBT234|GTOT|VTUAV|VisEvent|DepthTrack|CDTB|SYNTH")
     p.add_argument("--config", default="deep_rgbt")
+    p.add_argument("--tracker", default=None,
+                   help="registry tracker name (overrides --config's ViPT); "
+                        "see mmtrack_tpu.registry.list_trackers()")
     p.add_argument("--dataset_root", default=None)
     p.add_argument("--results_root", default="./workspace/results")
     p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
@@ -49,23 +52,30 @@ def main():
     from mmtrack_tpu.trackers.vipt_tracker import ViPTRuntime, ViPTTracker
     from mmtrack_tpu.utils.env import load_env_settings
 
-    cfg = vipt_experiment_config(args.config)
-    model = build_viptrack(cfg)
-    rt = ViPTRuntime.from_config(cfg)
-
-    z = jnp.zeros((1, cfg.DATA.TEMPLATE.SIZE, cfg.DATA.TEMPLATE.SIZE, 6))
-    x = jnp.zeros((1, cfg.DATA.SEARCH.SIZE, cfg.DATA.SEARCH.SIZE, 6))
+    params = None
     if args.checkpoint:
         import orbax.checkpoint as ocp
-        template = jax.eval_shape(lambda r: model.init(r, z, x, None, rt.ce_keep_lens),
-                                  jax.random.PRNGKey(0))
         with ocp.StandardCheckpointer() as ckptr:
             state = ckptr.restore(os.path.abspath(args.checkpoint))
         params = state["params"] if "params" in state else state
     else:
         print("WARNING: no checkpoint given; using random init (pipeline check)")
-        params = jax.jit(lambda r: model.init(r, z, x, None, rt.ce_keep_lens))(
-            jax.random.PRNGKey(0))
+
+    if args.tracker:
+        from mmtrack_tpu.registry import build_tracker
+        tracker_factory = lambda: build_tracker(args.tracker, params=params)
+    else:
+        cfg = vipt_experiment_config(args.config)
+        model = build_viptrack(cfg)
+        rt = ViPTRuntime.from_config(cfg)
+        if params is None:
+            z = jnp.zeros((1, cfg.DATA.TEMPLATE.SIZE, cfg.DATA.TEMPLATE.SIZE, 6))
+            x = jnp.zeros((1, cfg.DATA.SEARCH.SIZE, cfg.DATA.SEARCH.SIZE, 6))
+            params = jax.jit(lambda r: model.init(r, z, x, None, rt.ce_keep_lens))(
+                jax.random.PRNGKey(0))
+        tracker_factory = lambda: ViPTTracker(model, params, rt)
+
+    run_name = args.tracker or args.config
 
     if args.synthetic:
         frames, gt = make_synthetic_sequence(n_frames=12, height=240, width=320)
@@ -73,9 +83,9 @@ def main():
         loaders = {"synth_000": lambda i: frames[i]}
         outputs = []
         for seq in seqs:
-            path = result_path(args.results_root, args.dataset, args.config, seq.name)
+            path = result_path(args.results_root, args.dataset, run_name, seq.name)
             if not os.path.exists(path):
-                res = run_sequence(ViPTTracker(model, params, rt), seq,
+                res = run_sequence(tracker_factory(), seq,
                                    frame_loader=loaders[seq.name])
                 save_result(path, res)
                 print(f"{seq.name} , fps:{res['fps']:.2f}")
@@ -85,19 +95,19 @@ def main():
         seq_dirs = list_sequences(root, args.dataset)
         seq_dirs = seq_dirs[process_local_slice(len(seq_dirs))]
         seqs = [load_sequence(d, args.dataset) for d in seq_dirs]
-        run_dataset(lambda: ViPTTracker(model, params, rt), seqs,
-                    args.results_root, args.dataset, args.config)
+        run_dataset(tracker_factory, seqs,
+                    args.results_root, args.dataset, run_name)
 
     if args.analyze:
-        report = analyze_ope(seqs, args.results_root, args.dataset, args.config)
-        print(print_results(report, args.config))
-        fs = analyze_fscore(seqs, args.results_root, args.dataset, args.config)
+        report = analyze_ope(seqs, args.results_root, args.dataset, run_name)
+        print(print_results(report, run_name))
+        fs = analyze_fscore(seqs, args.results_root, args.dataset, run_name)
         print(f"F-score: {fs['fscore']:.4f} (Pr {fs['precision']:.4f} / "
               f"Re {fs['recall']:.4f})")
         out = {"ope": {k: v for k, v in report["overall"].items()
                        if np.isscalar(v)}, "fscore": fs}
         with open(os.path.join(args.results_root, args.dataset,
-                               f"{args.config}_report.json"), "w") as f:
+                               f"{run_name}_report.json"), "w") as f:
             json.dump(out, f, indent=2)
 
 

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 def main():
     p = argparse.ArgumentParser(description="Train a tracker (TPU-native)")
-    p.add_argument("--script", default="vipt", choices=["vipt", "ostrack"])
+    p.add_argument("--script", default="vipt",
+               choices=["vipt", "ostrack", "dimp", "det_dimp"])
     p.add_argument("--config", default="deep_rgbd",
                    help="experiment name (e.g. deep_rgbd) or a YAML path")
     p.add_argument("--save_dir", default="./workspace")
@@ -94,8 +95,10 @@ def main():
     dtype = jnp.bfloat16 if cfg.TRAIN.AMP else jnp.float32
     if args.script == "vipt":
         model = build_viptrack(cfg, dtype=dtype)
-    else:
+    elif args.script == "ostrack":
         model = build_ostrack(cfg, dtype=dtype)
+    elif args.script in ("dimp", "det_dimp"):
+        return _train_dimp(args, cfg, dtype)
     keep = ce_keep_schedule((cfg.DATA.SEARCH.SIZE // cfg.MODEL.BACKBONE.STRIDE) ** 2,
                             cfg.MODEL.BACKBONE.CE_LOC,
                             cfg.MODEL.BACKBONE.CE_KEEP_RATIO)
@@ -169,6 +172,72 @@ def main():
         return stats
 
     trainer.train_epoch = logged_epoch
+    trainer.train(cfg.TRAIN.EPOCH, load_latest=True, fail_safe=True)
+    print(f"done: {trainer.epoch} epochs, checkpoints in {save_dir}")
+
+
+def _train_dimp(args, cfg, dtype):
+    """DiMP-family offline training (LTR train_settings analog,
+    DeT_DiMP50_Max.py): 288^2 train/test crops, IoU-MSE + LBHinge objective."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmtrack_tpu.data.datasets import SyntheticVideoDataset, names2datasets
+    from mmtrack_tpu.data.loader import BatchLoader
+    from mmtrack_tpu.data.processing import ViPTProcessing
+    from mmtrack_tpu.data.sampler import TrackingSampler
+    from mmtrack_tpu.models.dimp import DiMPNet
+    from mmtrack_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from mmtrack_tpu.train.dimp_actor import make_dimp_train_step
+    from mmtrack_tpu.train.optim import build_optimizer
+    from mmtrack_tpu.train.train_step import TrainState, shard_train_step
+    from mmtrack_tpu.train.trainer import CheckpointManager, Trainer
+    from mmtrack_tpu.utils.env import load_env_settings
+
+    image_sz = 288  # 18 * feat_stride (DeT_DiMP50_Max.py image_sample_size)
+    proc = ViPTProcessing(
+        search_area_factor={"template": 5.0, "search": 5.0},
+        output_sz={"template": image_sz, "search": image_sz},
+        center_jitter_factor={"template": 0.25, "search": 3.0},
+        scale_jitter_factor={"template": 0.0, "search": 0.25})
+    if args.synthetic:
+        datasets, ratios = [SyntheticVideoDataset(8, 60)], None
+    else:
+        env = load_env_settings()
+        roots = {n: env.dataset_root(n) for n in cfg.DATA.TRAIN.DATASETS_NAME}
+        datasets = names2datasets(cfg.DATA.TRAIN.DATASETS_NAME, roots)
+        ratios = cfg.DATA.TRAIN.DATASETS_RATIO
+    sampler = TrackingSampler(datasets, ratios,
+                              samples_per_epoch=cfg.DATA.TRAIN.SAMPLE_PER_EPOCH,
+                              max_gap=cfg.DATA.MAX_SAMPLE_INTERVAL,
+                              processing=proc, seed=args.seed)
+    loader = BatchLoader(sampler, cfg.TRAIN.BATCH_SIZE)
+
+    model = DiMPNet(merge_type="max" if args.script == "det_dimp" else None,
+                    dtype=dtype)
+    im = jnp.zeros((1, image_sz, image_sz, 6))
+    bb = jnp.asarray([[100.0, 100.0, 80.0, 80.0]])
+    props = jnp.asarray([[[100.0, 100.0, 80.0, 80.0]] * 8])
+    params = jax.jit(lambda r: model.init(r, im, im, bb, props))(
+        jax.random.PRNGKey(args.seed))
+    tx = build_optimizer(params, lr=cfg.TRAIN.LR,
+                         weight_decay=cfg.TRAIN.WEIGHT_DECAY,
+                         lr_drop_step=cfg.TRAIN.LR_DROP_EPOCH * len(loader),
+                         grad_clip_norm=cfg.TRAIN.GRAD_CLIP_NORM)
+    state = TrainState.create(params, tx)
+    step = make_dimp_train_step(model, tx, image_sz=image_sz)
+    mesh = make_mesh()
+    sharded = shard_train_step(step, mesh)
+    state = replicate(state, mesh)
+
+    def mesh_step(st, batch, rng):
+        return sharded(st, shard_batch(batch, mesh), replicate(rng, mesh))
+
+    save_dir = os.path.join(args.save_dir, f"{args.script}")
+    ckpts = CheckpointManager(os.path.join(save_dir, "checkpoints"),
+                              save_interval=cfg.TRAIN.SAVE_EPOCH_INTERVAL)
+    trainer = Trainer(mesh_step, state, loader, ckpts, rng_seed=args.seed,
+                      print_interval=cfg.TRAIN.PRINT_INTERVAL)
     trainer.train(cfg.TRAIN.EPOCH, load_latest=True, fail_safe=True)
     print(f"done: {trainer.epoch} epochs, checkpoints in {save_dir}")
 
