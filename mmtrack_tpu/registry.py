@@ -70,6 +70,22 @@ def _dimp(merge_type: str | None):
     return build
 
 
+def _keeptrack():
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.dimp import DiMPNet
+        from mmtrack_tpu.trackers.keeptrack_tracker import (KeepTrackRuntime,
+                                                            KeepTrackTracker)
+        model = DiMPNet(merge_type=None)
+        if params is None:
+            im = jnp.zeros((1, 288, 288, 6))
+            bb = jnp.asarray([[100.0, 100.0, 80.0, 80.0]])
+            props = jnp.asarray([[[100.0, 100.0, 80.0, 80.0]] * 2])
+            params = jax.jit(lambda r: model.init(r, im, im, bb, props))(
+                jax.random.PRNGKey(seed))
+        return KeepTrackTracker(model, params, KeepTrackRuntime())
+    return build
+
+
 def _siamfc():
     def build(seed=0, params=None):
         from mmtrack_tpu.models.siamfc import SiamFC
@@ -170,6 +186,7 @@ TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
     # in the reference) == the dual-backbone DeT recipe fed rgbrgb thermal
     # composition
     "mfdimp": TrackerRecipe(_dimp("mean"), "rgbt", "dimp"),
+    "keep_track": TrackerRecipe(_keeptrack(), "rgb", "dimp"),
     # classic zoo
     "siamfc": TrackerRecipe(_siamfc(), "rgbe", "siamfc"),
     "mdnet": TrackerRecipe(_mdnet("single"), "rgb", "mdnet"),
