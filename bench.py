@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_GPU_FPS = 35.0
-BATCH = 8
+BATCH = 16          # measured sweet spot on v5e-1 (8: ~1.25k, 16: ~1.7k, 32: transfer-bound)
 CHUNK_T = 16
 N_CHUNKS = 4
 H, W = 240, 320
