@@ -7,6 +7,8 @@ requires <=0.1% metric deviation once reference weights are in play).
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,6 +46,44 @@ def test_golden_vipt_trajectory():
     # tolerate only tiny cross-compilation numeric drift (<0.05 px / 1e-4)
     np.testing.assert_allclose(np.asarray(boxes), golden["boxes"], atol=0.05)
     np.testing.assert_allclose(np.asarray(scores), golden["scores"], atol=1e-4)
+
+
+def test_golden_siamfc_trajectory():
+    golden = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                                  "golden_siamfc.npz"))
+    from mmtrack_tpu.models.siamfc import SiamFC
+    from mmtrack_tpu.trackers.siamfc_tracker import SiamFCRuntime, SiamFCTracker
+    model = SiamFC(in_channels=6)
+    z = jnp.zeros((1, 127, 127, 6))
+    x = jnp.zeros((1, 255, 255, 6))
+    params = jax.jit(lambda r: model.init(r, z, x))(jax.random.PRNGKey(3))
+    frames, gt = make_synthetic_sequence(n_frames=6, height=160, width=200,
+                                         seed=13)
+    tr = SiamFCTracker(model, params, SiamFCRuntime())
+    tr.initialize(frames[0], {"init_bbox": gt[0].tolist()})
+    boxes = [tr.track(frames[t])["target_bbox"] for t in range(1, 6)]
+    np.testing.assert_allclose(np.asarray(boxes), golden["boxes"], atol=0.05)
+
+
+@pytest.mark.slow
+def test_golden_dimp_trajectory():
+    golden = np.load(os.path.join(os.path.dirname(__file__), "fixtures",
+                                  "golden_dimp.npz"))
+    from mmtrack_tpu.models.dimp import DiMPNet
+    from mmtrack_tpu.trackers.dimp_tracker import DiMPRuntime, DiMPTracker
+    rt = DiMPRuntime(image_sample_size=96, sample_memory_size=8,
+                     train_skipping=3)
+    net = DiMPNet(merge_type="max")
+    im = jnp.zeros((1, 96, 96, 6))
+    bb = jnp.asarray([[30.0, 30.0, 30.0, 30.0]])
+    props = jnp.asarray([[[30.0, 30.0, 30.0, 30.0]] * 2])
+    params = jax.jit(lambda r: net.init(r, im, im, bb, props))(jax.random.PRNGKey(5))
+    frames, gt = make_synthetic_sequence(n_frames=5, height=120, width=160,
+                                         seed=17)
+    tr = DiMPTracker(net, params, rt)
+    tr.initialize(frames[0], {"init_bbox": gt[0].tolist()})
+    boxes = [tr.track(frames[t])["target_bbox"] for t in range(1, 5)]
+    np.testing.assert_allclose(np.asarray(boxes), golden["boxes"], atol=0.05)
 
 
 def test_pallas_preproc_matches_reference():
