@@ -86,6 +86,38 @@ def test_golden_dimp_trajectory():
     np.testing.assert_allclose(np.asarray(boxes), golden["boxes"], atol=0.05)
 
 
+def test_scan_matches_per_step_tracking():
+    """vipt_track_scan (on-device chunk loop) must reproduce the per-step
+    trajectory (verified to 1.5e-5 on CPU; argmax ties can flip on TPU with
+    random weights — see trackers/vipt_tracker.py)."""
+    from functools import partial
+
+    from mmtrack_tpu.trackers.vipt_tracker import (vipt_init_state,
+                                                   vipt_track_scan,
+                                                   vipt_track_step)
+
+    model = ViPTrack(**TINY)
+    z = jnp.zeros((1, 32, 32, 6))
+    x = jnp.zeros((1, 64, 64, 6))
+    params = jax.jit(lambda r: model.init(r, z, x, None, RT.ce_keep_lens))(
+        jax.random.PRNGKey(7))
+    frames, gt = make_synthetic_sequence(n_frames=5, height=96, width=128,
+                                         seed=19)
+    state0 = jax.jit(partial(vipt_init_state, RT))(
+        jnp.asarray(frames[0]), jnp.asarray(gt[0], dtype=jnp.float32))
+
+    step = jax.jit(partial(vipt_track_step, RT, model))
+    s = state0
+    per_step = []
+    for t in range(1, 5):
+        s, b, _ = step(params, s, jnp.asarray(frames[t]))
+        per_step.append(np.asarray(b))
+
+    scan = jax.jit(partial(vipt_track_scan, RT, model))
+    _, boxes, _ = scan(params, state0, jnp.asarray(frames[1:5]))
+    np.testing.assert_allclose(np.asarray(boxes), np.stack(per_step), atol=1e-3)
+
+
 def test_pallas_preproc_matches_reference():
     from mmtrack_tpu.ops.pallas_preproc import crop_resize_normalize_pallas
     from mmtrack_tpu.ops.crop import crop_resize_normalized
