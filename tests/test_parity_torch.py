@@ -1,0 +1,33 @@
+"""Reference-weight parity: reference torch models -> converter -> flax.
+
+The strongest parity evidence obtainable in this environment (no network,
+no trained checkpoints on disk): build the reference's own torch model at
+full published scale, convert its actual state_dict with
+mmtrack_tpu.models.convert, and require identical outputs on identical
+inputs. See docs/PARITY.md for recorded results and the trained-weights
+blocker note.
+
+Marked slow: a full ViT-B torch forward + flax compile per variant.
+Run with: python -m pytest tests/test_parity_torch.py -m slow -q
+"""
+
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tools.parity.refload import reference_available  # noqa: E402
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not reference_available(),
+                       reason="reference tree not present"),
+]
+
+
+@pytest.mark.parametrize("variant", ["deep_rgbd", "shaw_rgbd"])
+def test_vipt_reference_weight_parity(variant):
+    from tools.parity.check_vipt import run_variant
+
+    res = run_variant(variant)
+    assert res["unconverted_torch_keys"] == []
+    assert res["pass"], res

@@ -1,0 +1,88 @@
+"""Import helpers for running the reference's torch models on CPU.
+
+The environment has no real tracker checkpoints and no network, so the
+strongest obtainable parity evidence is: instantiate the reference's own
+torch model code (under /root/reference) at full published scale, convert
+its *actual* state_dict through mmtrack_tpu's converters, and assert that
+the two frameworks produce the same outputs on the same inputs. That
+exercises every weight tensor and every layer's numerics end to end —
+exactly what loading a trained .pth would exercise, minus the trained
+values themselves.
+
+The reference needs `timm` and `easydict`, which are not installed; a
+minimal shim (tools/parity/shim) provides the handful of symbols used.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import importlib
+import os
+import sys
+
+SHIM_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "shim")
+REFERENCE_ROOT = os.environ.get("MMTRACK_REFERENCE_ROOT", "/root/reference")
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_ROOT, "ViPT", "lib"))
+
+
+@contextlib.contextmanager
+def reference_path(subdir: str):
+    """Temporarily put the shim + one reference project root on sys.path.
+
+    Different reference projects all use a top-level `lib` package, so any
+    previously imported `lib.*` modules are evicted on entry AND exit to
+    keep projects from cross-contaminating.
+    """
+    root = os.path.join(REFERENCE_ROOT, subdir)
+    if not os.path.isdir(root):
+        raise FileNotFoundError(root)
+
+    def _evict():
+        for name in [n for n in sys.modules if n == "lib" or n.startswith("lib.")
+                     or n == "ltr" or n.startswith("ltr.")
+                     or n == "pytracking" or n.startswith("pytracking.")]:
+            del sys.modules[name]
+
+    _evict()
+    sys.path.insert(0, root)
+    sys.path.insert(0, SHIM_DIR)
+    try:
+        yield root
+    finally:
+        for p in (SHIM_DIR, root):
+            with contextlib.suppress(ValueError):
+                sys.path.remove(p)
+        _evict()
+
+
+def load_vipt_reference(variant: str = "deep_rgbd"):
+    """Build the reference ViPTrack (torch, CPU, eval) for one experiment.
+
+    Mirrors lib/test/parameter/vipt.py:7-29 minus checkpoint load: default
+    config + experiments/vipt/<variant>.yaml overlay, build_viptrack(cfg,
+    training=False).
+    """
+    import torch
+
+    with reference_path("ViPT") as root:
+        cfg_mod = importlib.import_module("lib.config.vipt.config")
+        importlib.reload(cfg_mod)  # reset defaults if called twice
+        cfg_mod.update_config_from_file(
+            os.path.join(root, "experiments", "vipt", f"{variant}.yaml"))
+        ostrack_prompt = importlib.import_module("lib.models.vipt.ostrack_prompt")
+        ce_utils = importlib.import_module("lib.utils.ce_utils")
+
+        torch.manual_seed(0)
+        model = ostrack_prompt.build_viptrack(cfg_mod.cfg, training=False)
+        model.eval()
+
+        # test-time CE template mask, as the test tracker builds it
+        # (lib/test/tracker/vipt.py:49-55): template bbox centered in the crop
+        # at 1/template_factor scale.
+        tf = cfg_mod.cfg.TEST.TEMPLATE_FACTOR
+        bbox = torch.tensor([[0.5 - 0.5 / tf, 0.5 - 0.5 / tf, 1 / tf, 1 / tf]])
+        mask = ce_utils.generate_mask_cond(cfg_mod.cfg, 1, torch.device("cpu"), bbox)
+        return model, cfg_mod.cfg, mask
