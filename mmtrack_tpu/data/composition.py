@@ -13,7 +13,12 @@ import cv2
 import numpy as np
 
 X_DTYPES = ("color", "raw_x", "colormap", "3x", "normalized_x",
-            "rgbcolormap", "rgb3x", "rgbrgb")
+            "rgbcolormap", "rgb3x", "rgbrgb", "rgbd_blend")
+
+
+# ProMixTrack rgbd_blend defaults (promix_vot2022_rgbd.py:84-87)
+RGBD_BLEND_DEPTH_MAX = 5000
+RGBD_BLEND_ALPHA = 0.05
 
 
 def _normalize_u8(x: np.ndarray) -> np.ndarray:
@@ -53,6 +58,19 @@ def compose_x(rgb: np.ndarray | None, xmap: np.ndarray | None,
     if dtype == "rgbrgb":
         x3 = cv2.cvtColor(xmap, cv2.COLOR_BGR2RGB) if xmap.ndim == 3 else cv2.merge((xmap,) * 3)
         return cv2.merge((rgb, x3))
+    if dtype == "rgbd_blend":
+        # ProMixTrack composition (ProMixTrack/MixFormer/external/AR/
+        # pytracking/VOT2020_super_only_mask_384_HP/rgbd_blend.py:21-52):
+        # clip depth at a fixed threshold (default 5000mm), JET-colormap it,
+        # alpha-blend 5% into the RGB frame -> a 3-channel input for the
+        # plain RGB MixFormer-L.
+        d = xmap.copy()
+        d[d > RGBD_BLEND_DEPTH_MAX] = RGBD_BLEND_DEPTH_MAX
+        cm = cv2.applyColorMap(_normalize_u8(d), cv2.COLORMAP_JET)
+        cm = cv2.cvtColor(cm, cv2.COLOR_BGR2RGB)
+        a = RGBD_BLEND_ALPHA
+        return np.round((1.0 - a) * rgb.astype(np.float64)
+                        + a * cm.astype(np.float64)).astype(np.uint8)
     raise ValueError(f"unknown composition dtype '{dtype}' (options: {X_DTYPES})")
 
 

@@ -147,6 +147,134 @@ def convert_vipt_checkpoint(state_dict: dict) -> dict:
     return flax.traverse_util.unflatten_dict(out)
 
 
+def _dw_conv_kernel(w):
+    return _np(w).transpose(2, 3, 1, 0)  # (C,1,kh,kw) -> (kh,kw,1,C)
+
+
+def convert_mixformer_checkpoint(state_dict: dict) -> dict:
+    """torch MixFormerRGBDOnlineScore state_dict -> flax params tree.
+
+    Name surface: RGBD/models/MixFormer_RGBD/lib/models/mixformer/
+    mixformerrgbd_online.py (CVT stages, corner head, ScoreDecoder). The
+    unused classifier leftovers (backbone.norm / backbone.head) and BN
+    num_batches_tracked are dropped, mirroring the reference's own
+    non-strict load (build_mixformer_rgbd_online_score:957-969).
+    """
+    out: dict[tuple, np.ndarray] = {}
+
+    def put(path: str, value):
+        out[tuple(path.split("/"))] = value
+
+    def put_ln(base: str, leaf: str, t):
+        put(f"{base}/{'scale' if leaf == 'weight' else 'bias'}", _np(t))
+
+    def put_bn(base: str, leaf: str, t):
+        name = {"weight": "scale", "bias": "bias",
+                "running_mean": "mean", "running_var": "var"}.get(leaf)
+        if name:
+            put(f"{base}/{name}", _np(t))
+
+    for name, t in state_dict.items():
+        m = re.match(r"(backbone(?:_depth)?)\.stage(\d)\.(.+)", name)
+        if m:
+            bk, si, rest = m.groups()
+            base = f"{bk}/stage{si}"
+            m2 = re.match(r"patch_embed\.proj\.(weight|bias)", rest)
+            if m2:
+                leaf = "kernel" if m2.group(1) == "weight" else "bias"
+                v = _conv_kernel(t) if m2.group(1) == "weight" else _np(t)
+                put(f"{base}/patch_embed/proj/{leaf}", v)
+                continue
+            m2 = re.match(r"patch_embed\.norm\.(weight|bias)", rest)
+            if m2:
+                put_ln(f"{base}/patch_embed/norm", m2.group(1), t)
+                continue
+            m2 = re.match(r"blocks\.(\d+)\.(.+)", rest)
+            if not m2:
+                continue
+            j, sub = m2.groups()
+            bb = f"{base}/blocks_{j}"
+            for ln in ("norm1", "norm2"):
+                m3 = re.match(rf"{ln}\.(weight|bias)", sub)
+                if m3:
+                    put_ln(f"{bb}/{ln}", m3.group(1), t)
+            m3 = re.match(r"attn\.conv_proj_([qkv])\.conv\.weight", sub)
+            if m3:
+                put(f"{bb}/attn/conv_proj_{m3.group(1)}/conv/kernel",
+                    _dw_conv_kernel(t))
+                continue
+            m3 = re.match(r"attn\.conv_proj_([qkv])\.bn\.(.+)", sub)
+            if m3:
+                put_bn(f"{bb}/attn/conv_proj_{m3.group(1)}/bn", m3.group(2), t)
+                continue
+            m3 = re.match(r"attn\.proj(_([qkv]))?\.(weight|bias)", sub)
+            if m3:
+                mod = f"proj_{m3.group(2)}" if m3.group(2) else "proj"
+                if m3.group(3) == "weight":
+                    put(f"{bb}/attn/{mod}/kernel", _dense_kernel(t))
+                else:
+                    put(f"{bb}/attn/{mod}/bias", _np(t))
+                continue
+            m3 = re.match(r"mlp\.(fc[12])\.(weight|bias)", sub)
+            if m3:
+                if m3.group(2) == "weight":
+                    put(f"{bb}/mlp/{m3.group(1)}/kernel", _dense_kernel(t))
+                else:
+                    put(f"{bb}/mlp/{m3.group(1)}/bias", _np(t))
+            continue
+
+        m = re.match(r"box_head\.conv(\d)_(tl|br)\.(.+)", name)
+        if m:
+            k, branch, sub = m.groups()
+            base = f"box_head/{branch}/conv{k}"
+            if k == "5":
+                if sub == "weight":
+                    put(f"{base}/kernel", _conv_kernel(t))
+                elif sub == "bias":
+                    put(f"{base}/bias", _np(t))
+            elif sub == "0.weight":
+                put(f"{base}/conv/kernel", _conv_kernel(t))
+            elif sub == "0.bias":
+                put(f"{base}/conv/bias", _np(t))
+            elif sub.startswith("1."):
+                put_bn(f"{base}/bn", sub[2:], t)
+            continue
+
+        m = re.match(r"score_branch\.(.+)", name)
+        if m:
+            rest = m.group(1)
+            if rest == "score_token":
+                put("score_branch/score_token", _np(t))
+                continue
+            m2 = re.match(r"norm1\.(weight|bias)", rest)
+            if m2:
+                put_ln("score_branch/norm1", m2.group(1), t)
+                continue
+            m2 = re.match(r"norm2\.(\d)\.(weight|bias)", rest)
+            if m2:
+                put_ln(f"score_branch/norm2_{m2.group(1)}", m2.group(2), t)
+                continue
+            m2 = re.match(r"proj(_([qkv]))?\.(\d)\.(weight|bias)", rest)
+            if m2:
+                mod = f"proj_{m2.group(2)}_{m2.group(3)}" if m2.group(2) \
+                    else f"proj_{m2.group(3)}"
+                if m2.group(4) == "weight":
+                    put(f"score_branch/{mod}/kernel", _dense_kernel(t))
+                else:
+                    put(f"score_branch/{mod}/bias", _np(t))
+                continue
+            m2 = re.match(r"score_head\.layers\.(\d)\.(weight|bias)", rest)
+            if m2:
+                if m2.group(2) == "weight":
+                    put(f"score_branch/score_head_{m2.group(1)}/kernel",
+                        _dense_kernel(t))
+                else:
+                    put(f"score_branch/score_head_{m2.group(1)}/bias", _np(t))
+            continue
+
+    return flax.traverse_util.unflatten_dict(out)
+
+
 def load_into(flax_params: dict, converted: dict, strict: bool = False) -> tuple[dict, list, list]:
     """Overlay converted leaves onto an initialized flax tree.
 

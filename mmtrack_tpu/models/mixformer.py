@@ -1,188 +1,390 @@
-"""MixFormer: convolutional vision transformer with mixed attention + SPM
-score decoder for online template update.
+"""MixFormer-RGBD: dual CVT backbones with mixed attention + SPM score head.
 
 Rebuild of RGBD/models/MixFormer_RGBD/lib/models/mixformer/
-mixformerrgbd_online.py (ConvolutionalVisionTransformer:453+,
-ScoreDecoder:586+, MixFormerOnlineScore:771-894), re-designed TPU-first:
-  - 3 CVT stages (conv token embedding stride 4/2/2, dims 64/192/384) where
-    template(s) and search are embedded jointly,
-  - Mixed Attention Module (MAM): depthwise-conv q/k/v projections; template
-    queries attend only to template keys (keeping the template clean), search
-    queries attend to everything — implemented as two static-shape attention
-    calls instead of masks,
-  - corner head on the search feature map,
-  - SPM ScoreDecoder: learned query cross-attends pooled template-target and
-    search tokens to produce the online-update confidence.
+mixformerrgbd_online.py at the reference's published scale
+(experiments/mixformerrgbd_online/baseline_large.yaml:42-75):
+  - 3 CVT stages per backbone — conv token embedding (7/4/2pad, 3/2/1pad,
+    3/2/1pad), dims (192, 768, 1024), depths (2, 2, 12), heads (3, 12, 16),
+    QuickGELU MLPs, LayerNorm eps 1e-5;
+  - Mixed Attention Module (Attention:84-398): depthwise-conv+frozen-BN
+    q/k/v token projections (stride 1 for q, stride 2 for k/v) followed by
+    linear projections; template+online-template queries attend template
+    keys only, search queries attend everything. TPU redesign: the three
+    regions stay separate NHWC maps (the reference repeatedly splits/merges
+    one token tensor), so every conv is a plain strided depthwise conv and
+    both attention calls are static-shape MXU matmuls;
+  - RGB and depth streams run through two separate backbones, merged by
+    elementwise max (MixFormerRGBDOnlineScore.merge:936-950);
+  - Corner_Predictor box head (inplanes 1024, channel 384, frozen BN);
+  - SPM ScoreDecoder (ScoreDecoder:769-827): a learned score token
+    cross-attends (1) the PrRoI-pooled 4x4 predicted-box region of the
+    search map and (2) the template map, through two decoder blocks, then a
+    3-layer MLP yields the online-template confidence logit.
+
+Weight conversion from reference checkpoints: models/convert.py
+convert_mixformer_checkpoint (validated against the reference torch model
+in tools/parity/check_mixformer.py).
 """
 
 from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mmtrack_tpu.models.heads import CornerPredictor
+from mmtrack_tpu.models.heads import CornerPredictor, FrozenBatchNorm
+from mmtrack_tpu.ops.prroi import prroi_pool
+
+
+def quick_gelu(x):
+    return x * nn.sigmoid(1.702 * x)
+
+
+# Reference scale: baseline_large.yaml MODEL.BACKBONE.
+CVT_LARGE = dict(
+    stage_dims=(192, 768, 1024),
+    stage_depths=(2, 2, 12),
+    stage_heads=(3, 12, 16),
+    patch_kernels=(7, 3, 3),
+    patch_strides=(4, 2, 2),
+    patch_paddings=(2, 1, 1),
+    drop_path_rates=(0.0, 0.0, 0.3),
+)
 
 
 class ConvEmbed(nn.Module):
+    """Conv token embedding + LayerNorm (ConvEmbed:453-487). Explicit
+    padding: torch pads symmetrically, which differs from XLA 'SAME' for
+    stride>1."""
     dim: int
     kernel: int
     stride: int
+    pad: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = nn.Conv(self.dim, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
+                    strides=(self.stride, self.stride),
+                    padding=((self.pad, self.pad), (self.pad, self.pad)),
                     dtype=self.dtype, name="proj")(x)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
-class ConvProj(nn.Module):
-    """CVT depthwise-conv token projection (3x3, per template/search map)."""
-    dim: int
+class DWConvProj(nn.Module):
+    """dw_bn q/k/v projection: depthwise 3x3 (no bias) + frozen BN
+    (Attention._build_projection:137-160)."""
+    stride: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
-        x = nn.Conv(C, (3, 3), padding="SAME", feature_group_count=C,
-                    dtype=self.dtype, name="dw")(x)
-        return nn.Dense(self.dim, dtype=self.dtype, name="pw")(x)
+        x = nn.Conv(C, (3, 3), strides=(self.stride, self.stride),
+                    padding=((1, 1), (1, 1)), feature_group_count=C,
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        return FrozenBatchNorm(name="bn")(x)
 
 
 class MixedAttention(nn.Module):
-    """Asymmetric mixed attention over (template, search) feature maps.
+    """Asymmetric mixed attention (Attention.forward:239-297).
 
-    t: (B, Ht, Wt, C) template map (possibly the two templates stacked along
-    height), s: (B, Hs, Ws, C). Template tokens attend template-only; search
-    tokens attend the concatenation (mixformer paper MAM).
+    Note the reference scales logits by dim**-0.5 (NOT head_dim**-0.5) —
+    replicated for weight parity.
     """
     dim: int
     heads: int
+    stride_kv: int = 2
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, t, s):
-        hd = self.dim // self.heads
+    def __call__(self, t, ot, s):
         B = t.shape[0]
-        q_proj = ConvProj(self.dim, dtype=self.dtype, name="q")
-        k_proj = ConvProj(self.dim, dtype=self.dtype, name="k")
-        v_proj = ConvProj(self.dim, dtype=self.dtype, name="v")
+        hd = self.dim // self.heads
+        scale = self.dim ** -0.5
 
-        def tok(x):
+        cq = DWConvProj(1, dtype=self.dtype, name="conv_proj_q")
+        ck = DWConvProj(self.stride_kv, dtype=self.dtype, name="conv_proj_k")
+        cv = DWConvProj(self.stride_kv, dtype=self.dtype, name="conv_proj_v")
+        pq = nn.Dense(self.dim, dtype=self.dtype, name="proj_q")
+        pk = nn.Dense(self.dim, dtype=self.dtype, name="proj_k")
+        pv = nn.Dense(self.dim, dtype=self.dtype, name="proj_v")
+
+        # ot carries K online templates as (B, K, H, W, C); convs see (B*K,...)
+        K = ot.shape[1]
+        ot_flat = ot.reshape((B * K,) + ot.shape[2:])
+
+        def tokens(x):
+            return x.reshape(B, -1, x.shape[-1])
+
+        def heads(x):
             return x.reshape(B, -1, self.heads, hd)
 
-        qt, qs = tok(q_proj(t)), tok(q_proj(s))
-        kt, ks = tok(k_proj(t)), tok(k_proj(s))
-        vt, vs = tok(v_proj(t)), tok(v_proj(s))
+        q_t, q_ot, q_s = (heads(pq(tokens(cq(m)))) for m in (t, ot_flat, s))
+        k_t, k_ot, k_s = (heads(pk(tokens(ck(m)))) for m in (t, ot_flat, s))
+        v_t, v_ot, v_s = (heads(pv(tokens(cv(m)))) for m in (t, ot_flat, s))
+
+        q_mt = jnp.concatenate([q_t, q_ot], axis=1)
+        k_mt = jnp.concatenate([k_t, k_ot], axis=1)
+        v_mt = jnp.concatenate([v_t, v_ot], axis=1)
 
         def attend(q, k, v):
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q * hd ** -0.5, k,
-                                preferred_element_type=jnp.float32)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
             a = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             return jnp.einsum("bhqk,bkhd->bqhd", a, v,
-                              preferred_element_type=jnp.float32).astype(self.dtype)
+                              preferred_element_type=jnp.float32
+                              ).astype(self.dtype).reshape(B, -1, self.dim)
 
-        k_all = jnp.concatenate([kt, ks], axis=1)
-        v_all = jnp.concatenate([vt, vs], axis=1)
-        out_t = attend(qt, kt, vt).reshape(*t.shape[:-1], self.dim)
-        out_s = attend(qs, k_all, v_all).reshape(*s.shape[:-1], self.dim)
+        out_mt = attend(q_mt, k_mt, v_mt)
+        out_s = attend(q_s, jnp.concatenate([k_mt, k_s], axis=1),
+                       jnp.concatenate([v_mt, v_s], axis=1))
+
         proj = nn.Dense(self.dim, dtype=self.dtype, name="proj")
-        return proj(out_t), proj(out_s)
+        out_mt, out_s = proj(out_mt), proj(out_s)
+
+        Lt = t.shape[1] * t.shape[2]
+        return (out_mt[:, :Lt].reshape(t.shape[:3] + (self.dim,)),
+                out_mt[:, Lt:].reshape(ot.shape[:4] + (self.dim,)),
+                out_s.reshape(s.shape[:3] + (self.dim,)))
 
 
-class MAMBlock(nn.Module):
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = quick_gelu(x)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+
+
+def _drop_path(x, rate, deterministic, rng):
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return x * mask.astype(x.dtype) / keep
+
+
+class CvtBlock(nn.Module):
+    """MAM block (Block:398-452): shared norms/attn/mlp applied across the
+    three region maps (LayerNorm is per-token, so per-map application is
+    identical to the reference's concatenated-token application)."""
     dim: int
     heads: int
     mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, t, s):
-        n1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
-        at, as_ = MixedAttention(self.dim, self.heads, dtype=self.dtype,
-                                 name="attn")(n1(t), n1(s))
-        t, s = t + at, s + as_
-        n2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
-        mlp = nn.Sequential([
-            nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype),
-            nn.gelu,
-            nn.Dense(self.dim, dtype=self.dtype),
-        ])
-        return t + mlp(n2(t)), s + mlp(n2(s))
+    def __call__(self, t, ot, s, deterministic: bool = True):
+        n1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
+        at, aot, as_ = MixedAttention(self.dim, self.heads, dtype=self.dtype,
+                                      name="attn")(n1(t), n1(ot), n1(s))
+        if not deterministic and self.drop_path_rate > 0:
+            rng = self.make_rng("drop_path")
+            r1, r2, r3 = jax.random.split(rng, 3)
+            at = _drop_path(at, self.drop_path_rate, deterministic, r1)
+            aot = _drop_path(aot, self.drop_path_rate, deterministic, r2)
+            as_ = _drop_path(as_, self.drop_path_rate, deterministic, r3)
+        t, ot, s = t + at, ot + aot, s + as_
+
+        n2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")
+        mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+                  name="mlp")
+        mt, mot, ms = mlp(n2(t)), mlp(n2(ot)), mlp(n2(s))
+        if not deterministic and self.drop_path_rate > 0:
+            rng = self.make_rng("drop_path")
+            r1, r2, r3 = jax.random.split(rng, 3)
+            mt = _drop_path(mt, self.drop_path_rate, deterministic, r1)
+            mot = _drop_path(mot, self.drop_path_rate, deterministic, r2)
+            ms = _drop_path(ms, self.drop_path_rate, deterministic, r3)
+        return t + mt, ot + mot, s + ms
+
+
+class CvtStage(nn.Module):
+    """One VisionTransformer stage (VisionTransformer:489-594)."""
+    dim: int
+    depth: int
+    heads: int
+    patch_kernel: int
+    patch_stride: int
+    patch_pad: int
+    drop_path_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t, ot, s, deterministic: bool = True):
+        embed = ConvEmbed(self.dim, self.patch_kernel, self.patch_stride,
+                          self.patch_pad, dtype=self.dtype, name="patch_embed")
+        B, K = ot.shape[0], ot.shape[1]
+        t, s = embed(t), embed(s)
+        ot = embed(ot.reshape((B * K,) + ot.shape[2:]))
+        ot = ot.reshape((B, K) + ot.shape[1:])
+        dpr = [self.drop_path_rate * j / max(self.depth - 1, 1)
+               for j in range(self.depth)]
+        for j in range(self.depth):
+            t, ot, s = CvtBlock(self.dim, self.heads,
+                                drop_path_rate=dpr[j], dtype=self.dtype,
+                                name=f"blocks_{j}")(t, ot, s, deterministic)
+        return t, ot, s
+
+
+class CvT(nn.Module):
+    """One ConvolutionalVisionTransformer backbone
+    (ConvolutionalVisionTransformer:668-736); returns the first-template and
+    search feature maps (the unused classifier norm/head are dropped)."""
+    stage_dims: tuple = CVT_LARGE["stage_dims"]
+    stage_depths: tuple = CVT_LARGE["stage_depths"]
+    stage_heads: tuple = CVT_LARGE["stage_heads"]
+    patch_kernels: tuple = CVT_LARGE["patch_kernels"]
+    patch_strides: tuple = CVT_LARGE["patch_strides"]
+    patch_paddings: tuple = CVT_LARGE["patch_paddings"]
+    drop_path_rates: tuple = CVT_LARGE["drop_path_rates"]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t, ot, s, deterministic: bool = True):
+        for i in range(len(self.stage_dims)):
+            t, ot, s = CvtStage(
+                self.stage_dims[i], self.stage_depths[i], self.stage_heads[i],
+                self.patch_kernels[i], self.patch_strides[i],
+                self.patch_paddings[i], self.drop_path_rates[i],
+                dtype=self.dtype, name=f"stage{i}")(t, ot, s, deterministic)
+        return t, s
+
+
+class ScoreDecoder(nn.Module):
+    """SPM confidence decoder (ScoreDecoder:769-827)."""
+    dim: int = 1024
+    heads: int = 16
+    pool_size: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, search_feat, template_feat, search_box_xyxy):
+        """search_feat (B,Hs,Ws,C), template_feat (B,Ht,Wt,C), box normalized
+        xyxy (B,4) -> score logit (B,)."""
+        B, Hs, Ws, C = search_feat.shape
+        hd = self.dim // self.heads
+        scale = self.dim ** -0.5
+
+        box = search_box_xyxy * Ws
+        rois = jnp.concatenate(
+            [jnp.arange(B, dtype=jnp.float32)[:, None], box], axis=1)
+        pooled = prroi_pool(search_feat, rois, self.pool_size, self.pool_size,
+                            1.0)  # (B, 4, 4, C)
+        kv = [pooled.reshape(B, -1, C),
+              template_feat.reshape(B, -1, C)]
+
+        token = self.param("score_token", nn.initializers.normal(0.02),
+                           (1, 1, self.dim))
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(
+            jnp.tile(token.astype(self.dtype), (B, 1, 1)))
+        for i in range(2):
+            q = nn.Dense(self.dim, dtype=self.dtype, name=f"proj_q_{i}")(x)
+            k = nn.Dense(self.dim, dtype=self.dtype, name=f"proj_k_{i}")(kv[i])
+            v = nn.Dense(self.dim, dtype=self.dtype, name=f"proj_v_{i}")(kv[i])
+            q = q.reshape(B, -1, self.heads, hd)
+            k = k.reshape(B, -1, self.heads, hd)
+            v = v.reshape(B, -1, self.heads, hd)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            a = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            x = jnp.einsum("bhqk,bkhd->bqhd", a, v,
+                           preferred_element_type=jnp.float32
+                           ).astype(self.dtype).reshape(B, 1, self.dim)
+            x = nn.Dense(self.dim, dtype=self.dtype, name=f"proj_{i}")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name=f"norm2_{i}")(x)
+
+        # 3-layer MLP score head (head.py MLP, relu between layers)
+        h = x[:, 0]
+        h = nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="score_head_0")(h))
+        h = nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="score_head_1")(h))
+        return nn.Dense(1, dtype=self.dtype, name="score_head_2")(h)[:, 0]
 
 
 class MixFormer(nn.Module):
-    """MixFormer tracker model.
+    """MixFormerRGBDOnlineScore (mixformerrgbd_online.py:830-950).
 
-    __call__(template (B,Tz,Tz,C), online_template (B,Tz,Tz,C),
-    search (B,Tx,Tx,C)) -> {'pred_boxes' (B,4) cxcywh in [0,1]}.
+    __call__(template (B,128,128,C), online_template, search (B,320,320,C))
+    with C=6 (RGB+aux through dual backbones, max-merged) or C=3 (single
+    backbone). Returns {'pred_boxes' (B,4) cxcywh in [0,1], 'pred_scores'
+    (B,) sigmoid confidence, 'score_logits' (B,) for BCE training}.
     """
     template_size: int = 128
     search_size: int = 320
-    stage_dims: tuple[int, ...] = (64, 192, 384)
-    stage_depths: tuple[int, ...] = (1, 4, 6)
-    stage_heads: tuple[int, ...] = (1, 3, 6)
-    in_channels: int = 3
+    in_channels: int = 6
+    head_channel: int = 384
+    stage_dims: tuple = CVT_LARGE["stage_dims"]
+    stage_depths: tuple = CVT_LARGE["stage_depths"]
+    stage_heads: tuple = CVT_LARGE["stage_heads"]
+    drop_path_rates: tuple = CVT_LARGE["drop_path_rates"]
     dtype: jnp.dtype = jnp.float32
 
     @property
     def feat_sz_s(self) -> int:
         return self.search_size // 16
 
-    def setup(self):
-        self.embeds = [ConvEmbed(self.stage_dims[0], 7, 4, name="embed_0"),
-                       ConvEmbed(self.stage_dims[1], 3, 2, name="embed_1"),
-                       ConvEmbed(self.stage_dims[2], 3, 2, name="embed_2")]
-        blocks = []
-        for si, (d, n, h) in enumerate(zip(self.stage_dims, self.stage_depths,
-                                           self.stage_heads)):
-            blocks.append([MAMBlock(d, h, dtype=self.dtype,
-                                    name=f"s{si}_b{bi}") for bi in range(n)])
-        self.blocks = blocks
-        self.box_head = CornerPredictor(channel=self.stage_dims[-1],
-                                        feat_sz=self.feat_sz_s, stride=16,
-                                        dtype=self.dtype, name="box_head")
-        # SPM score decoder (ScoreDecoder analog): learned query cross-attends
-        # search tokens conditioned on the pooled template target
-        self.score_query = self.param("score_query",
-                                      nn.initializers.normal(0.02),
-                                      (1, self.stage_dims[-1]))
-        self.score_attn = MixedAttention(self.stage_dims[-1], 6, dtype=self.dtype,
-                                         name="score_attn")
-        self.score_mlp = nn.Sequential([
-            nn.Dense(self.stage_dims[-1], dtype=self.dtype), nn.relu,
-            nn.Dense(1, dtype=self.dtype)])
+    def _cvt(self, name):
+        return CvT(stage_dims=self.stage_dims, stage_depths=self.stage_depths,
+                   stage_heads=self.stage_heads,
+                   drop_path_rates=self.drop_path_rates,
+                   dtype=self.dtype, name=name)
 
-    def backbone(self, template, online_template, search):
-        """Joint CVT over the two templates and the search region."""
-        # stack templates along height so conv stages treat them jointly
-        t = jnp.concatenate([template, online_template], axis=1)
-        s = search
-        for embed, stage in zip(self.embeds, self.blocks):
-            t = embed(t)
-            s = embed(s)
-            for block in stage:
-                t, s = block(t, s)
-        return t, s
+    @nn.compact
+    def __call__(self, template, online_template, search,
+                 run_score_head: bool = True, deterministic: bool = True,
+                 return_features: bool = False,
+                 score_box_xyxy=None) -> dict:
+        """score_box_xyxy: optional (B,4) normalized box for the SPM pooling
+        region; defaults to the predicted box (training feeds GT boxes —
+        forward_head, mixformerrgbd_online.py:907-917)."""
+        if online_template.ndim == 4:      # single online template -> K=1
+            online_template = online_template[:, None]
+        if self.in_channels == 6:
+            t_rgb, s_rgb = self._cvt("backbone")(
+                template[..., :3], online_template[..., :3], search[..., :3],
+                deterministic)
+            t_d, s_d = self._cvt("backbone_depth")(
+                template[..., 3:], online_template[..., 3:], search[..., 3:],
+                deterministic)
+            t_feat = jnp.maximum(t_rgb, t_d)     # merge_type 'max'
+            s_feat = jnp.maximum(s_rgb, s_d)
+        else:
+            t_feat, s_feat = self._cvt("backbone")(
+                template, online_template, search, deterministic)
 
-    def forward_head(self, s_feat):
-        xyxy = self.box_head(s_feat)
+        xyxy = CornerPredictor(channel=self.head_channel,
+                               feat_sz=self.feat_sz_s, stride=16,
+                               dtype=self.dtype, name="box_head")(s_feat)
         cx = (xyxy[:, 0] + xyxy[:, 2]) / 2
         cy = (xyxy[:, 1] + xyxy[:, 3]) / 2
-        return jnp.stack([cx, cy, xyxy[:, 2] - xyxy[:, 0],
-                          xyxy[:, 3] - xyxy[:, 1]], axis=1)
+        boxes = jnp.stack([cx, cy, xyxy[:, 2] - xyxy[:, 0],
+                           xyxy[:, 3] - xyxy[:, 1]], axis=1)
 
-    def predict_score(self, t_feat, s_feat):
-        """SPM confidence for online-template selection -> (B,) in (0,1)."""
-        B = s_feat.shape[0]
-        q = jnp.tile(self.score_query[None], (B, 1, 1)).reshape(B, 1, 1, -1)
-        _, out = self.score_attn(s_feat, q)  # query attends search+itself
-        return nn.sigmoid(self.score_mlp(out.reshape(B, -1)))[:, 0]
+        out = {"pred_boxes": boxes}
+        if return_features:
+            out["template_feat"] = t_feat
+            out["search_feat"] = s_feat
+        if run_score_head:
+            roi = xyxy if score_box_xyxy is None else score_box_xyxy
+            logits = ScoreDecoder(dim=self.stage_dims[-1],
+                                  heads=self.stage_heads[-1],
+                                  dtype=self.dtype, name="score_branch")(
+                s_feat, t_feat, roi)
+            out["score_logits"] = logits
+            out["pred_scores"] = nn.sigmoid(logits)
+        return out
 
-    def __call__(self, template, online_template, search) -> dict:
-        t_feat, s_feat = self.backbone(template, online_template, search)
-        boxes = self.forward_head(s_feat)
-        score = self.predict_score(t_feat, s_feat)
-        return {"pred_boxes": boxes, "pred_scores": score}
+
+def build_mixformer_rgbd(dtype=jnp.float32, **overrides) -> MixFormer:
+    """Reference-scale MixFormer_RGBD (baseline_large.yaml)."""
+    return MixFormer(dtype=dtype, **overrides)

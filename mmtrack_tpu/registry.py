@@ -21,6 +21,9 @@ class TrackerRecipe:
     build: Callable      # (seed) -> tracker object (random-init params)
     modality: str        # rgbd | rgbt | rgbe | rgb | any
     family: str
+    # frame composition the recipe expects (data/composition.py X_DTYPES);
+    # eval drivers use this to build model inputs from (color, X) pairs
+    composition: str = "rgbcolormap"
 
 
 def _vipt(config_name: str):
@@ -151,18 +154,59 @@ def _stark(six_channel: bool, dynamic: bool):
     return build
 
 
-def _mixformer(scales: tuple[float, ...] = (1.0,)):
+def _mixformer(scales: tuple[float, ...] = (1.0,), online_size: int = 3):
+    """Reference-scale MixFormer_RGBD (CVT dims 192/768/1024, depths 2/2/12,
+    baseline_large.yaml); online_size=3 matches TEST.ONLINE_SIZES.VOT2022RGBD."""
     def build(seed=0, params=None):
-        from mmtrack_tpu.models.mixformer import MixFormer
+        from mmtrack_tpu.models.mixformer import build_mixformer_rgbd
         from mmtrack_tpu.trackers.mixformer_tracker import (MixFormerRuntime,
                                                             MixFormerTracker)
-        model = MixFormer(in_channels=6)
+        model = build_mixformer_rgbd()
         if params is None:
             z = jnp.zeros((1, 128, 128, 6))
             x = jnp.zeros((1, 320, 320, 6))
             params = jax.jit(lambda r: model.init(r, z, z, x))(jax.random.PRNGKey(seed))
         return MixFormerTracker(model, params,
-                                MixFormerRuntime(scale_factors=scales))
+                                MixFormerRuntime(scale_factors=scales,
+                                                 online_size=online_size))
+    return build
+
+
+def _ostrack_online():
+    """OSTrack-online: dual-template OSTrack + ScoreTransformer-gated
+    refresh (RGBD/models/OSTrack ostrack_online.py); the vot22 RGBD entry
+    feeds color frames only."""
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.vipt import ScoreTransformer, build_ostrack
+        from mmtrack_tpu.trackers.ostrack_online import (OSTrackOnlineRuntime,
+                                                         OSTrackOnlineTracker)
+        model = build_ostrack(template_size=128, search_size=256)
+        rt = OSTrackOnlineRuntime()
+        if params is None:
+            z = jnp.zeros((1, 128, 128, 3))
+            x = jnp.zeros((1, 256, 256, 3))
+            params = jax.jit(lambda r: model.init(r, z, x))(jax.random.PRNGKey(seed))
+        cls = ScoreTransformer(d_model=768)
+        toks = jnp.zeros((1, rt.feat_sz * rt.feat_sz, 768))
+        cls_params = jax.jit(lambda r: cls.init(r, toks, jnp.zeros((1, 4))))(
+            jax.random.PRNGKey(seed + 1))
+        return OSTrackOnlineTracker(model, params, cls_params, rt)
+    return build
+
+
+def _promixtrack():
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.mixformer import build_mixformer_rgbd
+        from mmtrack_tpu.trackers.mixformer_tracker import (MixFormerRuntime,
+                                                            MixFormerTracker)
+        model = build_mixformer_rgbd(in_channels=3)
+        if params is None:
+            z = jnp.zeros((1, 128, 128, 3))
+            x = jnp.zeros((1, 320, 320, 3))
+            params = jax.jit(lambda r: model.init(r, z, z, x))(jax.random.PRNGKey(seed))
+        return MixFormerTracker(model, params,
+                                MixFormerRuntime(online_size=3,
+                                                 re_constrain="none"))
     return build
 
 
@@ -175,6 +219,8 @@ TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
     "vipt_shaw_rgbt": TrackerRecipe(_vipt("shaw_rgbt"), "rgbt", "vipt"),
     "vipt_shaw_rgbe": TrackerRecipe(_vipt("shaw_rgbe"), "rgbe", "vipt"),
     "ostrack": TrackerRecipe(_ostrack(), "rgb", "ostrack"),
+    "ostrack_online": TrackerRecipe(_ostrack_online(), "rgbd", "ostrack",
+                                    composition="color"),
     # DiMP family
     "dimp50": TrackerRecipe(_dimp(None), "rgb", "dimp"),
     "det_dimp50_max": TrackerRecipe(_dimp("max"), "rgbd", "dimp"),
@@ -203,9 +249,12 @@ TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
     "mixformer_rgbd": TrackerRecipe(_mixformer(), "rgbd", "mixformer"),
     # SAMF: scale-adaptive MixFormer (RGBD/models/SAMF README)
     "samf": TrackerRecipe(_mixformer((0.8, 1.0, 1.25)), "rgbd", "mixformer"),
-    # ProMixTrack: MixFormer fork (RGBD/models/ProMixTrack); base recipe until
-    # its probabilistic-mixing delta lands (docs/ROADMAP.md item 4)
-    "promixtrack": TrackerRecipe(_mixformer(), "rgbd", "mixformer"),
+    # ProMixTrack (RGBD/models/ProMixTrack): the VANILLA RGB MixFormer-L run
+    # on an rgbd_blend composition (5% JET-colormapped-depth alpha blend into
+    # the color frame, promix_vot2022_rgbd.py:84-115), no re-constraint; its
+    # VOT entry adds Alpha-Refine masks.
+    "promixtrack": TrackerRecipe(_promixtrack(), "rgbd", "mixformer",
+                                 composition="rgbd_blend"),
 }
 
 

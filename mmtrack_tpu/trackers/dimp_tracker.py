@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmtrack_tpu.models.dimp import AtomIoUNet, DiMPNet
+from mmtrack_tpu.ops.augment import dimp_init_augmentations, feature_dropout
 from mmtrack_tpu.ops.crop import crop_at
 from mmtrack_tpu.trackers.vipt_tracker import MEAN_6CH, STD_6CH
 
@@ -62,6 +63,20 @@ class DiMPRuntime:
     maximal_aspect_ratio: float = 6.0
     box_refinement_iter: int = 5
     box_refinement_step_length: float = 1.0
+    # First-frame augmentation set (DeT_DiMP50_Max.py:30-39; the image
+    # transforms live in ops/augment.py, dropout is feature-space).
+    use_augmentation: bool = True
+    augmentation_expansion_factor: int = 2
+    random_shift_factor: float = 1.0 / 3.0
+    aug_dropout_num: int = 2
+    aug_dropout_prob: float = 0.2
+
+    @property
+    def num_init_samples(self) -> int:
+        if not self.use_augmentation:
+            return 1
+        from mmtrack_tpu.ops.augment import num_image_augmentations
+        return num_image_augmentations() + self.aug_dropout_num
 
     @property
     def feat_sz(self) -> int:
@@ -103,7 +118,16 @@ def _max2d(scores: jnp.ndarray):
 
 def dimp_init_state(rt: DiMPRuntime, model: DiMPNet, params, frame: jnp.ndarray,
                     init_box_xywh: jnp.ndarray) -> dict:
-    """First-frame initialization (dimp.py:25-91, single init sample)."""
+    """First-frame initialization (dimp.py:25-91).
+
+    With rt.use_augmentation (the DeT_DiMP50_Max default) the initial filter
+    is optimized over the full augmented sample set — identity, 4 relative
+    shifts, flip, 3 blurs, 4 rotations as one static image batch
+    (generate_init_samples, dimp.py:331-400) plus 2 feature-space dropout
+    copies (init_classifier, dimp.py:546-549) — and all N samples seed the
+    memory with weight 1/N (init_memory, dimp.py:412-431). IoU modulation
+    uses only the identity sample (init_iou_net, iounet_augmentation=False).
+    """
     x, y, w, h = init_box_xywh
     pos = jnp.stack([y + (h - 1) / 2, x + (w - 1) / 2])
     target_sz = jnp.stack([h, w])
@@ -113,26 +137,54 @@ def dimp_init_state(rt: DiMPRuntime, model: DiMPNet, params, frame: jnp.ndarray,
     base_target_sz = target_sz / target_scale
 
     crop_sz, sample_pos, sample_scale = _sample_geometry(rt, pos, target_scale)
-    patch = _normalize(crop_at(frame, pos, crop_sz, rt.image_sample_size))
-
-    bfeat = model.apply(params, patch[None], method=DiMPNet.extract_backbone)
-    clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
-
+    rng = jax.random.PRNGKey(0)
     box_crop = _get_iounet_box(rt, pos, target_sz, sample_pos, sample_scale)
-    w0 = model.apply(params, clf_feat, box_crop[None], method=DiMPNet.get_filter)
-    filt = model.apply(params, w0, clf_feat, box_crop[None], None,
+
+    if rt.use_augmentation:
+        rng, rng_shift, rng_drop = jax.random.split(rng, 3)
+        S_im = rt.image_sample_size
+        expanded = _normalize(crop_at(
+            frame, pos, crop_sz * rt.augmentation_expansion_factor,
+            S_im * rt.augmentation_expansion_factor))
+        patches, shifts = dimp_init_augmentations(
+            expanded, S_im, rng_shift,
+            random_shift_factor=rt.random_shift_factor)
+
+        bfeat = model.apply(params, patches, method=DiMPNet.extract_backbone)
+        clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
+        drop = feature_dropout(clf_feat[0], rng_drop, rt.aug_dropout_num,
+                               rt.aug_dropout_prob)
+        clf_feat = jnp.concatenate([clf_feat, drop], axis=0)
+
+        # target box per sample: + (shift_x, shift_y) (init_target_boxes,
+        # dimp.py:402-410); dropout copies reuse the identity transform.
+        shifts = jnp.concatenate(
+            [shifts, jnp.zeros((rt.aug_dropout_num, 2), jnp.float32)], axis=0)
+        boxes = box_crop[None] + jnp.concatenate(
+            [shifts[:, ::-1], jnp.zeros_like(shifts)], axis=1)
+        bfeat0 = {k: v[:1] for k, v in bfeat.items()}
+    else:
+        patch = _normalize(crop_at(frame, pos, crop_sz, rt.image_sample_size))
+        bfeat = model.apply(params, patch[None], method=DiMPNet.extract_backbone)
+        clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
+        boxes = box_crop[None]
+        bfeat0 = bfeat
+
+    N = rt.num_init_samples
+    w0 = model.apply(params, clf_feat, boxes, method=DiMPNet.get_filter)
+    filt = model.apply(params, w0, clf_feat, boxes, None,
                        rt.net_opt_iter, method=DiMPNet.optimize_filter)
 
     mod3, mod4 = model.apply(
-        params, [bfeat["layer2"], bfeat["layer3"]], box_crop[None],
+        params, [bfeat0["layer2"], bfeat0["layer3"]], box_crop[None],
         method=lambda m, f, b: m.bb_regressor.get_modulation(f, b))
 
     M = rt.sample_memory_size
     S = rt.feat_sz
     C = clf_feat.shape[-1]
-    memory_feat = jnp.zeros((M, S, S, C), jnp.float32).at[0].set(clf_feat[0])
-    memory_boxes = jnp.zeros((M, 4), jnp.float32).at[0].set(box_crop)
-    sample_weights = jnp.zeros((M,), jnp.float32).at[0].set(1.0)
+    memory_feat = jnp.zeros((M, S, S, C), jnp.float32).at[:N].set(clf_feat)
+    memory_boxes = jnp.zeros((M, 4), jnp.float32).at[:N].set(boxes)
+    sample_weights = jnp.zeros((M,), jnp.float32).at[:N].set(1.0 / N)
 
     return {
         "pos": pos, "target_sz": target_sz,
@@ -140,11 +192,11 @@ def dimp_init_state(rt: DiMPRuntime, model: DiMPNet, params, frame: jnp.ndarray,
         "filter": filt,
         "memory_feat": memory_feat, "memory_boxes": memory_boxes,
         "sample_weights": sample_weights,
-        "num_stored": jnp.asarray(1, jnp.int32),
+        "num_stored": jnp.asarray(N, jnp.int32),
         "prev_replace_ind": jnp.asarray(-1, jnp.int32),
         "frame_num": jnp.asarray(1, jnp.int32),
         "iou_mod3": mod3[0], "iou_mod4": mod4[0],
-        "rng": jax.random.PRNGKey(0),
+        "rng": rng,
     }
 
 
@@ -251,8 +303,8 @@ def _update_memory(rt: DiMPRuntime, state, clf_feat, box_crop, lr):
     sw = state["sample_weights"]
     num = state["num_stored"]
     prev = state["prev_replace_ind"]
-    num_init = 1
-    s_ind = num_init  # init_samples_minimum_weight is set -> protect init slot
+    num_init = rt.num_init_samples
+    s_ind = num_init  # init_samples_minimum_weight is set -> protect init slots
 
     cand = jnp.where(jnp.arange(rt.sample_memory_size) >= s_ind, sw, jnp.inf)
     r_min = jnp.argmin(cand).astype(jnp.int32)

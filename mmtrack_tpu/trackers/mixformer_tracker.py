@@ -1,11 +1,19 @@
 """MixFormer online tracker runtime.
 
-Rebuild of MixFormerOnlineScore tracking (RGBD/models/MixFormer_RGBD/
-lib/test/tracker/ + mixformerrgbd_online.py:771-894): fixed init template +
-online template; every `update_interval` frames the current prediction's
-template candidate is scored by the SPM decoder and becomes the online
-template if its confidence beats the stored one. RGBD variant feeds
-6-channel input.
+Rebuild of MixFormerRGBDOnline tracking (RGBD/models/MixFormer_RGBD/
+lib/test/tracker/mixformerrgbd_online.py:63-217) as a functional state +
+one jitted step:
+  - fixed init template + K online templates (TEST.ONLINE_SIZES, a ring
+    buffer with forget pointer; the reference grows from 1 to K, here the
+    ring starts filled with the init template — same attention targets
+    once warm);
+  - every frame the SPM confidence nominates the best template candidate
+    (pred_score > 0.5 and > decayed max), every `update_interval` frames
+    the nominee enters the ring (tracker lines 157-183);
+  - re-constraint on the predicted state (tracker_utils.py:131-143
+    re_constraint_simple) suppressing implausible jumps;
+  - SAMF (RGBD/models/SAMF): several search scales in one batched forward,
+    most-confident scale wins; (1.0,) recovers plain MixFormer.
 """
 
 from __future__ import annotations
@@ -27,14 +35,17 @@ from mmtrack_tpu.trackers.vipt_tracker import MEAN_6CH, STD_6CH
 class MixFormerRuntime:
     template_factor: float = 2.0
     template_size: int = 128
-    search_factor: float = 4.5
+    search_factor: float = 5.0     # TEST.SEARCH_FACTOR (config.py:107)
     search_size: int = 320
     margin: float = 10.0
-    update_interval: int = 200
+    update_interval: int = 200     # TEST.UPDATE_INTERVALS.VOT2022RGBD
+    online_size: int = 1           # TEST.ONLINE_SIZES (VOT2022RGBD uses 3)
     online_threshold: float = 0.5
-    # SAMF (Scale-Adaptive MixFormer, RGBD/models/SAMF): evaluate several
-    # search-window scales in one batched forward and keep the most
-    # confident; (1.0,) recovers plain MixFormer.
+    max_score_decay: float = 1.0
+    # 'simple' | 'none' (TEST.RE_CONSTRAIN_TYPE, baseline_large.yaml:100)
+    re_constrain: str = "simple"
+    # SAMF (Scale-Adaptive MixFormer): extra search-window scales evaluated
+    # in the same batched forward; (1.0,) == plain MixFormer.
     scale_factors: tuple[float, ...] = (1.0,)
 
 
@@ -47,10 +58,14 @@ def mixformer_init_state(rt: MixFormerRuntime, model: MixFormer, params,
     mean, std = _mean_std(frame.shape[-1])
     patch, _ = crop_resize_normalized(frame, init_box, rt.template_factor,
                                       rt.template_size, mean, std)
+    K = rt.online_size
     return {"box": init_box.astype(jnp.float32),
-            "template": patch, "online_template": patch,
-            "online_score": jnp.asarray(0.0),
-            "frame_num": jnp.asarray(1, jnp.int32)}
+            "template": patch,
+            "online_templates": jnp.tile(patch[None], (K, 1, 1, 1)),
+            "online_max_template": patch,
+            "max_pred_score": jnp.asarray(-1.0),
+            "forget_id": jnp.asarray(0, jnp.int32),
+            "frame_num": jnp.asarray(0, jnp.int32)}
 
 
 def mixformer_track_step(rt: MixFormerRuntime, model: MixFormer, params,
@@ -58,47 +73,71 @@ def mixformer_track_step(rt: MixFormerRuntime, model: MixFormer, params,
     H, W = frame.shape[0], frame.shape[1]
     mean, std = _mean_std(frame.shape[-1])
     state = {**state, "frame_num": state["frame_num"] + 1}
+    prev = state["box"]
 
     n_scales = len(rt.scale_factors)
     crops, rfs = [], []
     for sf in rt.scale_factors:
         crop, rf = crop_resize_normalized(
-            frame, state["box"], rt.search_factor * sf, rt.search_size,
-            mean, std)
+            frame, prev, rt.search_factor * sf, rt.search_size, mean, std)
         crops.append(crop)
         rfs.append(rf)
     search = jnp.stack(crops)                        # (S, H, W, C)
     resize_factors = jnp.stack(rfs)
-    out = model.apply(params,
-                      jnp.tile(state["template"][None], (n_scales, 1, 1, 1)),
-                      jnp.tile(state["online_template"][None], (n_scales, 1, 1, 1)),
-                      search)
+
+    out = model.apply(
+        params,
+        jnp.tile(state["template"][None], (n_scales, 1, 1, 1)),
+        jnp.tile(state["online_templates"][None], (n_scales, 1, 1, 1, 1)),
+        search)
     best = jnp.argmax(out["pred_scores"])
     pred = out["pred_boxes"][best]
     score = out["pred_scores"][best]
     resize_factor = resize_factors[best]
 
+    # map_box_back (tracker:202-208) + clip_box(margin=10)
     pred_img = pred * rt.search_size / resize_factor
-    prev = state["box"]
     half_side = 0.5 * rt.search_size / resize_factor
     cx = pred_img[0] + (prev[0] + 0.5 * prev[2] - half_side)
     cy = pred_img[1] + (prev[1] + 0.5 * prev[3] - half_side)
     box = jnp.stack([cx - 0.5 * pred_img[2], cy - 0.5 * pred_img[3],
                      pred_img[2], pred_img[3]])
     box = clip_box(box, float(H), float(W), margin=rt.margin)
+
+    if rt.re_constrain == "simple":
+        # suppress displacement > 2x previous mean extent (tracker_utils.py:131)
+        prev_avg_wh = (prev[2] + prev[3]) / 2
+        dis = (jnp.abs(box[0] + box[2] / 2 - prev[0] - prev[2] / 2)
+               + jnp.abs(box[1] + box[3] / 2 - prev[1] - prev[3] / 2))
+        box = jnp.where(dis > 2 * prev_avg_wh, prev, box)
     state = {**state, "box": box}
 
-    # online template selection by SPM confidence at the update interval
+    # online-template nomination (tracker:155-166)
+    max_score = state["max_pred_score"] * rt.max_score_decay
     cand, _ = crop_resize_normalized(frame, box, rt.template_factor,
                                      rt.template_size, mean, std)
-    at_interval = (state["frame_num"] % rt.update_interval) == 0
-    better = score > jnp.maximum(state["online_score"], rt.online_threshold)
-    take = at_interval & better
+    nominate = (score > rt.online_threshold) & (score > max_score)
     state = {
         **state,
-        "online_template": jnp.where(take, cand, state["online_template"]),
-        "online_score": jnp.where(take, score,
-                                  jnp.where(at_interval, 0.0, state["online_score"])),
+        "online_max_template": jnp.where(nominate, cand,
+                                         state["online_max_template"]),
+        "max_pred_score": jnp.where(nominate, score, max_score),
+    }
+
+    # ring update at the interval (tracker:167-183)
+    at_interval = (state["frame_num"] % rt.update_interval) == 0
+    K = rt.online_size
+    slot = state["forget_id"]
+    new_ring = state["online_templates"].at[slot].set(state["online_max_template"])
+    state = {
+        **state,
+        "online_templates": jnp.where(at_interval, new_ring,
+                                      state["online_templates"]),
+        "forget_id": jnp.where(at_interval, (slot + 1) % K, slot),
+        "max_pred_score": jnp.where(at_interval, -1.0,
+                                    state["max_pred_score"]),
+        "online_max_template": jnp.where(at_interval, state["template"],
+                                         state["online_max_template"]),
     }
     return state, box, score
 

@@ -4,6 +4,7 @@ import flax
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mmtrack_tpu.models.convert import convert_vipt_checkpoint, load_into
 from mmtrack_tpu.models.vipt import ViPTrack
@@ -100,6 +101,7 @@ def test_converter_roundtrip_full_coverage():
                                    err_msg=str(k))
 
 
+@pytest.mark.slow
 def test_converter_forward_equivalence():
     """Converted weights must drive the model identically to the originals."""
     model = ViPTrack(**TINY)
@@ -117,6 +119,7 @@ def test_converter_forward_equivalence():
                                np.asarray(out_orig["score_map"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_load_into_shape_mismatch_raises():
     import pytest
     model = ViPTrack(**TINY)

@@ -124,6 +124,7 @@ def _loader():
     return BatchLoader(s, batch_size=2, batches_per_epoch=2)
 
 
+@pytest.mark.slow
 def test_trainer_epoch_and_checkpoint_resume(tmp_path):
     _, state, step = _training_setup()
     ckpts = CheckpointManager(str(tmp_path / "ck"), save_interval=1, keep_last=2)
@@ -163,6 +164,7 @@ def test_trainer_validation_and_step_swap(tmp_path):
     assert "val/Loss/total" in tr.val_history[0]
 
 
+@pytest.mark.slow
 def test_trainer_fail_safe_restarts(tmp_path):
     _, state, step = _training_setup()
     ckpts = CheckpointManager(str(tmp_path / "ck"), save_interval=1, keep_last=2)

@@ -140,6 +140,7 @@ def test_gn_optimizer_sample_weights_mask_memory():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_atom_iou_net_shapes_and_grad():
     rng = np.random.RandomState(5)
     f2 = jnp.asarray(rng.randn(1, 16, 16, 512).astype(np.float32) * 0.1)
@@ -167,6 +168,7 @@ def test_atom_iou_net_shapes_and_grad():
 
 
 @pytest.mark.parametrize("merge", [None, "max", "weightedSum"])
+@pytest.mark.slow
 def test_dimp_net_smoke(merge):
     net = DiMPNet(merge_type=merge) if merge else build_dimp50()
     im = jnp.zeros((1, 96, 96, 6))

@@ -18,7 +18,11 @@ from mmtrack_tpu.trackers.dimp_tracker import (
     _update_memory,
 )
 
-RT = DiMPRuntime(image_sample_size=96, sample_memory_size=8, train_skipping=3)
+# use_augmentation=False: these unit tests exercise the single-init-sample
+# memory/localization math; the augmented init path is covered by
+# tests/test_augment.py and the golden DiMP trajectory.
+RT = DiMPRuntime(image_sample_size=96, sample_memory_size=8, train_skipping=3,
+                 use_augmentation=False)
 
 
 def test_iounet_box_roundtrip():

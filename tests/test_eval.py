@@ -97,6 +97,21 @@ def test_compose_x_modes():
         compose_x(rgb, depth, "bogus")
 
 
+def test_compose_rgbd_blend():
+    """ProMixTrack composition: 3-channel, 95% color + 5% JET(clipped depth)
+    (rgbd_blend.py:21-52)."""
+    rng = np.random.RandomState(1)
+    rgb = rng.randint(0, 255, (20, 30, 3), np.uint8)
+    depth = rng.randint(0, 9000, (20, 30), np.uint16)
+    out = compose_x(rgb, depth, "rgbd_blend")
+    assert out.shape == (20, 30, 3) and out.dtype == np.uint8
+    # dominated by the color frame at alpha=0.05
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= np.ceil(0.05 * 255) + 1
+    # depth must still influence the output
+    out2 = compose_x(rgb, np.zeros_like(depth), "rgbd_blend")
+    assert (out != out2).any()
+
+
 def test_compose_depth_clip():
     depth = np.full((10, 10), 100, np.uint16)
     depth[0, 0] = 60000

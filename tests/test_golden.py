@@ -71,7 +71,9 @@ def test_golden_dimp_trajectory():
                                   "golden_dimp.npz"))
     from mmtrack_tpu.models.dimp import DiMPNet
     from mmtrack_tpu.trackers.dimp_tracker import DiMPRuntime, DiMPTracker
-    rt = DiMPRuntime(image_sample_size=96, sample_memory_size=8,
+    # memory >= the 15 augmented init samples (identity+shift/flip/blur/
+    # rotate + feature dropout; ops/augment.py)
+    rt = DiMPRuntime(image_sample_size=96, sample_memory_size=20,
                      train_skipping=3)
     net = DiMPNet(merge_type="max")
     im = jnp.zeros((1, 96, 96, 6))

@@ -12,7 +12,8 @@ from mmtrack_tpu.trackers.keeptrack_tracker import KeepTrackRuntime, KeepTrackTr
 
 RT = KeepTrackRuntime(image_sample_size=96, sample_memory_size=6,
                       train_skipping=3, scale_memory=4,
-                      peaks=PeakMatchConfig(num_peaks=4))
+                      peaks=PeakMatchConfig(num_peaks=4),
+                      use_augmentation=False)
 
 
 @pytest.mark.slow

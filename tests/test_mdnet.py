@@ -90,6 +90,7 @@ def test_bbreg_roundtrip_and_ridge():
     np.testing.assert_allclose(np.asarray(pred), np.asarray(Y), atol=1e-2)
 
 
+@pytest.mark.slow
 def test_mdnet_tracker_end_to_end():
     rt = MDNetRuntime(n_init_pos=64, n_init_neg=128, init_iters=3,
                       update_iters=2, batch_test=64, batch_pos=8,

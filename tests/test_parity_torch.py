@@ -31,3 +31,14 @@ def test_vipt_reference_weight_parity(variant):
     res = run_variant(variant)
     assert res["unconverted_torch_keys"] == []
     assert res["pass"], res
+
+
+def test_mixformer_reference_weight_parity_small():
+    """Structural parity at reduced dims (full published scale takes ~15 min
+    on this 1-core host; run `python tools/parity/check_mixformer.py` for the
+    recorded full-scale result in docs/PARITY.md)."""
+    from tools.parity.check_mixformer import run
+
+    res = run(small=True)
+    assert res["unexpected_torch_keys"] == []
+    assert res["pass"], res

@@ -81,16 +81,19 @@ def test_mixformer_forward_shapes():
 
 
 def test_mixformer_template_isolation():
-    """Mixed attention: template features must not depend on the search."""
+    """Mixed attention: template features must not depend on the search
+    (template/online-template queries only see template keys,
+    mixformerrgbd_online.py:262-270)."""
     model = MixFormer(in_channels=3, **MF_SMALL)
     rng = np.random.RandomState(0)
     z = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
     x1 = jnp.asarray(rng.randn(1, 96, 96, 3).astype(np.float32))
     x2 = jnp.asarray(rng.randn(1, 96, 96, 3).astype(np.float32))
     params = jax.jit(lambda r: model.init(r, z, z, x1))(jax.random.PRNGKey(0))
-    f = jax.jit(lambda p, s: model.apply(p, z, z, s, method=MixFormer.backbone))
-    t1, _ = f(params, x1)
-    t2, _ = f(params, x2)
+    f = jax.jit(lambda p, s: model.apply(
+        p, z, z, s, run_score_head=False, return_features=True))
+    t1 = f(params, x1)["template_feat"]
+    t2 = f(params, x2)["template_feat"]
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
 
 

@@ -28,6 +28,17 @@ def reference_available() -> bool:
     return os.path.isdir(os.path.join(REFERENCE_ROOT, "ViPT", "lib"))
 
 
+def patch_cuda_to_cpu():
+    """The reference hard-codes .cuda() in a few module __init__s (e.g.
+    Corner_Predictor's coordinate grids, MixFormer head.py:49-53). This box
+    has CPU-only torch; make .cuda() a no-op so those modules build. Only
+    the parity harness imports this."""
+    import torch
+
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+
 @contextlib.contextmanager
 def reference_path(subdir: str):
     """Temporarily put the shim + one reference project root on sys.path.
@@ -41,9 +52,8 @@ def reference_path(subdir: str):
         raise FileNotFoundError(root)
 
     def _evict():
-        for name in [n for n in sys.modules if n == "lib" or n.startswith("lib.")
-                     or n == "ltr" or n.startswith("ltr.")
-                     or n == "pytracking" or n.startswith("pytracking.")]:
+        for name in [n for n in sys.modules
+                     if n.split(".")[0] in ("lib", "ltr", "pytracking", "external")]:
             del sys.modules[name]
 
     _evict()
@@ -86,3 +96,28 @@ def load_vipt_reference(variant: str = "deep_rgbd"):
         bbox = torch.tensor([[0.5 - 0.5 / tf, 0.5 - 0.5 / tf, 1 / tf, 1 / tf]])
         mask = ce_utils.generate_mask_cond(cfg_mod.cfg, 1, torch.device("cpu"), bbox)
         return model, cfg_mod.cfg, mask
+
+
+def load_mixformer_reference(variant: str = "baseline_large"):
+    """Build the reference MixFormerRGBDOnlineScore (torch, CPU, eval) at
+    published scale (build_mixformer_rgbd_online_score, train=False skips
+    checkpoint loading). The CUDA PrRoIPool2D is satisfied by the shim's
+    exact CPU implementation."""
+    import torch
+
+    patch_cuda_to_cpu()
+    root_sub = "RGBD/models/MixFormer_RGBD"
+    with reference_path(root_sub) as root:
+        cfg_mod = importlib.import_module("lib.config.mixformerrgbd_online.config")
+        importlib.reload(cfg_mod)
+        cfg_mod.update_config_from_file(
+            os.path.join(root, "experiments", "mixformerrgbd_online",
+                         f"{variant}.yaml"))
+        model_mod = importlib.import_module(
+            "lib.models.mixformer.mixformerrgbd_online")
+
+        torch.manual_seed(0)
+        model = model_mod.build_mixformer_rgbd_online_score(
+            cfg_mod.cfg, train=False)
+        model.eval()
+        return model, cfg_mod.cfg
