@@ -161,7 +161,9 @@ class SyntheticVideoDataset(VideoDataset):
 
 
 def _rgb_registry():
-    from mmtrack_tpu.data.rgb_datasets import COCOSeq, GOT10k, LaSOT, TrackingNet
+    from mmtrack_tpu.data.rgb_datasets import (COCOSeq, COCOSeqDepth, GOT10k,
+                                               Got10kDepth, ImageNetVID,
+                                               LaSOT, LaSOTDepth, TrackingNet)
     return {
         "LASOT": LaSOT,
         "GOT10K_vottrain": GOT10k,
@@ -169,6 +171,12 @@ def _rgb_registry():
         "GOT10K_train_full": GOT10k,
         "TRACKINGNET": TrackingNet,
         "COCO17": COCOSeq,
+        "IMAGENETVID": ImageNetVID,
+        # depth-augmented RGB corpora (DeT/ltr/dataset/*_depth.py; the
+        # MixFormer_RGBD training mix, baseline_large.yaml DATASETS_NAME)
+        "GOT10K_Depth": Got10kDepth,
+        "LASOT_Depth": LaSOTDepth,
+        "COCO17_Depth": COCOSeqDepth,
     }
 
 

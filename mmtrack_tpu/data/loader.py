@@ -32,6 +32,9 @@ class BatchLoader:
 
     def __init__(self, sampler: TrackingSampler, batch_size: int,
                  batches_per_epoch: int | None = None, prefetch: int = 2):
+        from mmtrack_tpu.utils.hostmem import tune_host_allocator
+
+        tune_host_allocator()  # image decode/copy is 10-20x slower without it
         self.sampler = sampler
         self.batch_size = batch_size
         self.batches_per_epoch = (batches_per_epoch if batches_per_epoch is not None

@@ -196,3 +196,195 @@ class COCOSeq(VideoDataset):
         info = self.seq_info(seq_id)
         return [frame for _ in frame_ids], \
             np.tile(info["bbox"][0], (len(frame_ids), 1)).astype(np.float32)
+
+
+class Got10kDepth(VideoDataset):
+    """GOT-10k with estimated depth: root/<seq>/{color,depth} pairs,
+    rgbcolormap composition with the DepthTrack clip
+    (DeT/ltr/dataset/got10k_depth.py:164-177)."""
+
+    name = "GOT10K_Depth"
+
+    def __init__(self, root: str, sequences: list[str] | None = None,
+                 dtype: str = "rgbcolormap"):
+        from mmtrack_tpu.data.datasets import DepthTrackTrain
+
+        self._inner = DepthTrackTrain(root, sequences)
+        self._inner.dtype = dtype
+        self._inner.depth_clip = True
+
+    def num_sequences(self):
+        return self._inner.num_sequences()
+
+    def seq_info(self, seq_id):
+        return self._inner.seq_info(seq_id)
+
+    def get_frames(self, seq_id, frame_ids):
+        return self._inner.get_frames(seq_id, frame_ids)
+
+
+class LaSOTDepth(VideoDataset):
+    """LaSOT with estimated depth (DeT/ltr/dataset/lasot_depth.py): class/
+    sequence nesting with color/ + depth/ per sequence, groundtruth.txt,
+    full_occlusion + out_of_view visibility."""
+
+    name = "LASOT_Depth"
+
+    def __init__(self, root: str, sequences: list[str] | None = None,
+                 dtype: str = "rgbcolormap"):
+        from mmtrack_tpu.data.composition import get_x_frame
+
+        self.root = root
+        self.dtype = dtype
+        self._get_x_frame = get_x_frame
+        if sequences is None:
+            sequences = []
+            for cls in sorted(os.listdir(root)):
+                cdir = os.path.join(root, cls)
+                if not os.path.isdir(cdir):
+                    continue
+                if os.path.isdir(os.path.join(cdir, "color")):
+                    sequences.append(cls)      # flat layout
+                else:
+                    sequences += [os.path.join(cls, s)
+                                  for s in sorted(os.listdir(cdir))
+                                  if os.path.isdir(os.path.join(cdir, s))]
+        self.sequences = sequences
+        self._cache: dict[int, dict] = {}
+
+    def num_sequences(self):
+        return len(self.sequences)
+
+    def _seq_path(self, seq_id):
+        return os.path.join(self.root, self.sequences[seq_id])
+
+    def seq_info(self, seq_id):
+        if seq_id not in self._cache:
+            p = self._seq_path(seq_id)
+            gt = np.atleast_2d(np.loadtxt(os.path.join(p, "groundtruth.txt"),
+                                          delimiter=","))
+            valid = (gt[:, 2] > 0) & (gt[:, 3] > 0)
+            visible = valid.copy()
+            occ_f = os.path.join(p, "full_occlusion.txt")
+            oov_f = os.path.join(p, "out_of_view.txt")
+            if os.path.exists(occ_f) and os.path.exists(oov_f):
+                occ = np.loadtxt(occ_f, delimiter=",").reshape(-1).astype(bool)
+                oov = np.loadtxt(oov_f, delimiter=",").reshape(-1).astype(bool)
+                n = min(len(gt), len(occ), len(oov))
+                visible = valid[:n] & ~occ[:n] & ~oov[:n]
+                gt, valid = gt[:n], valid[:n]
+            self._cache[seq_id] = {"bbox": gt, "valid": valid,
+                                   "visible": visible}
+        return self._cache[seq_id]
+
+    def get_frames(self, seq_id, frame_ids):
+        p = self._seq_path(seq_id)
+        rgb = sorted(os.path.join(p, "color", f)
+                     for f in os.listdir(os.path.join(p, "color")))
+        dep = sorted(os.path.join(p, "depth", f)
+                     for f in os.listdir(os.path.join(p, "depth")))
+        frames = [self._get_x_frame(rgb[i], dep[i], self.dtype,
+                                    depth_clip=True) for i in frame_ids]
+        boxes = self.seq_info(seq_id)["bbox"][frame_ids].astype(np.float32)
+        return frames, boxes
+
+
+class COCOSeqDepth(COCOSeq):
+    """COCO instances with estimated depth: <split>/color/NAME.jpg +
+    <split>/depth/NAME.png (DeT/ltr/dataset/coco_seq_depth.py:131-140)."""
+
+    name = "COCO17_Depth"
+
+    def __init__(self, root: str, split: str = "train2017",
+                 dtype: str = "rgbcolormap"):
+        super().__init__(root, split)
+        self.dtype = dtype
+
+    def get_frames(self, seq_id, frame_ids):
+        from mmtrack_tpu.data.composition import get_x_frame
+
+        ann = self.coco.anns[self.ann_ids[seq_id]]
+        img = self.coco.loadImgs([ann["image_id"]])[0]
+        color = os.path.join(self.root, self.split, "color", img["file_name"])
+        depth = os.path.join(self.root, self.split, "depth",
+                             os.path.splitext(img["file_name"])[0] + ".png")
+        frame = get_x_frame(color, depth, self.dtype, depth_clip=True)
+        info = self.seq_info(seq_id)
+        return [frame for _ in frame_ids], \
+            np.tile(info["bbox"][0], (len(frame_ids), 1)).astype(np.float32)
+
+
+class ImageNetVID(VideoDataset):
+    """ImageNet VID training videos (DeT/ltr/dataset/imagenetvid.py):
+    ILSVRC layout Data/VID/train/<set>/<seq>/NNNNNN.JPEG with per-frame
+    Annotations XML; one track per pseudo-sequence."""
+
+    name = "IMAGENETVID"
+
+    def __init__(self, root: str, image_loader=default_image_loader):
+        import xml.etree.ElementTree as ET
+
+        self.root = root
+        self.loader = image_loader
+        self._ET = ET
+        data_dir = os.path.join(root, "Data", "VID", "train")
+        self._seqs = []  # (frames_dir, anno_dir, track_id)
+        for set_name in sorted(os.listdir(data_dir)):
+            sdir = os.path.join(data_dir, set_name)
+            if not os.path.isdir(sdir):
+                continue
+            for seq in sorted(os.listdir(sdir)):
+                anno_dir = os.path.join(root, "Annotations", "VID", "train",
+                                        set_name, seq)
+                if not os.path.isdir(anno_dir):
+                    continue
+                tracks = self._track_ids(anno_dir)
+                for t in tracks:
+                    self._seqs.append((os.path.join(sdir, seq), anno_dir, t))
+        self._cache: dict[int, dict] = {}
+
+    def _track_ids(self, anno_dir):
+        first = sorted(os.listdir(anno_dir))[0]
+        tree = self._ET.parse(os.path.join(anno_dir, first))
+        return sorted({obj.findtext("trackid")
+                       for obj in tree.getroot().iter("object")})
+
+    def num_sequences(self):
+        return len(self._seqs)
+
+    def _parse(self, seq_id):
+        frames_dir, anno_dir, track = self._seqs[seq_id]
+        names, boxes, vis = [], [], []
+        for f in sorted(os.listdir(anno_dir)):
+            tree = self._ET.parse(os.path.join(anno_dir, f))
+            root = tree.getroot()
+            found = None
+            occluded = False
+            for obj in root.iter("object"):
+                if obj.findtext("trackid") == track:
+                    bb = obj.find("bndbox")
+                    x1 = float(bb.findtext("xmin")); y1 = float(bb.findtext("ymin"))
+                    x2 = float(bb.findtext("xmax")); y2 = float(bb.findtext("ymax"))
+                    found = [x1, y1, x2 - x1, y2 - y1]
+                    occluded = obj.findtext("occluded") == "1"
+                    break
+            names.append(os.path.splitext(f)[0] + ".JPEG")
+            boxes.append(found if found else [0, 0, 0, 0])
+            vis.append(found is not None and not occluded)
+        return {"frames": [os.path.join(frames_dir, n) for n in names],
+                "bbox": np.asarray(boxes, np.float64),
+                "visible": np.asarray(vis, bool)}
+
+    def seq_info(self, seq_id):
+        if seq_id not in self._cache:
+            d = self._parse(seq_id)
+            valid = (d["bbox"][:, 2] > 0) & (d["bbox"][:, 3] > 0)
+            self._cache[seq_id] = {"bbox": d["bbox"], "valid": valid,
+                                   "visible": d["visible"] & valid,
+                                   "frames": d["frames"]}
+        return self._cache[seq_id]
+
+    def get_frames(self, seq_id, frame_ids):
+        info = self.seq_info(seq_id)
+        frames = [self.loader(info["frames"][i]) for i in frame_ids]
+        return frames, info["bbox"][frame_ids].astype(np.float32)

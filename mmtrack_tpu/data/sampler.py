@@ -37,14 +37,18 @@ class TrackingSampler:
         return self.samples_per_epoch
 
     def _sample_visible_ids(self, visible: np.ndarray, num_ids: int = 1,
-                            min_id=None, max_id=None):
+                            min_id=None, max_id=None,
+                            allow_invisible: bool = False):
         if num_ids == 0:
             return []
         lo = 0 if min_id is None or min_id < 0 else int(min_id)
         hi = len(visible) if max_id is None or max_id > len(visible) else int(max_id)
         if hi <= lo:
             return None
-        valid = np.nonzero(visible[lo:hi])[0] + lo
+        if allow_invisible:
+            valid = np.arange(lo, hi)
+        else:
+            valid = np.nonzero(visible[lo:hi])[0] + lo
         if valid.size == 0:
             return None
         return list(self.rng.choice(valid, size=num_ids, replace=True))
@@ -87,6 +91,39 @@ class TrackingSampler:
                 return None, None
         return template_ids, search_ids
 
+    def _gap_list(self):
+        g = self.max_gap
+        return list(g) if isinstance(g, (list, tuple)) else [g]
+
+    def _trident_ids(self, visible: np.ndarray, allow_invisible: bool,
+                     valid: np.ndarray | None = None):
+        """'trident'/'trident_pro'/'stark' sampling (sampler.py:298-345):
+        initial template + search anywhere, then one extra template per
+        max_gap entry drawn from the window between them. stark mode draws
+        extras from the `valid` flags instead of `visible`."""
+        extra_pool = visible if valid is None else valid
+        for _ in range(100):
+            t1 = self._sample_visible_ids(visible, 1)
+            s = self._sample_visible_ids(visible, 1)
+            if t1 is None or s is None:
+                return None, None
+            extras = []
+            ok = True
+            for gap in self._gap_list():
+                if t1[0] >= s[0]:
+                    lo, hi = s[0], s[0] + gap
+                else:
+                    lo, hi = s[0] - gap, s[0]
+                f = self._sample_visible_ids(extra_pool, 1, lo, hi,
+                                             allow_invisible=allow_invisible)
+                if f is None:
+                    ok = False
+                    break
+                extras += f
+            if ok:
+                return t1 + extras, s
+        return None, None
+
     def sample(self) -> dict:
         """One training sample (getitem analog, sampler.py:101-170)."""
         while True:
@@ -95,7 +132,14 @@ class TrackingSampler:
             seq_id, visible, info = self._sample_seq(dataset)
 
             if dataset.is_video:
-                template_ids, search_ids = self._causal_ids(visible)
+                if self.frame_sample_mode in ("trident", "trident_pro"):
+                    template_ids, search_ids = self._trident_ids(
+                        visible, self.frame_sample_mode == "trident_pro")
+                elif self.frame_sample_mode == "stark":
+                    template_ids, search_ids = self._trident_ids(
+                        visible, False, info.get("valid", visible))
+                else:
+                    template_ids, search_ids = self._causal_ids(visible)
                 if template_ids is None:
                     continue
             else:

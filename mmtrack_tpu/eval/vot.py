@@ -18,20 +18,75 @@ from collections import namedtuple
 Rectangle = namedtuple("Rectangle", ["x", "y", "width", "height"])
 Point = namedtuple("Point", ["x", "y"])
 Polygon = namedtuple("Polygon", ["points"])
+Mask = namedtuple("Mask", ["x", "y", "mask"])  # offset + binary (h, w) array
+
+
+def _rle_encode(flat) -> list[int]:
+    """Run lengths of a flat binary array, starting with the zero run
+    (TraX mask payload convention, VOT2020+)."""
+    runs = []
+    cur, count = 0, 0
+    for v in flat:
+        v = int(v)
+        if v == cur:
+            count += 1
+        else:
+            runs.append(count)
+            cur, count = v, 1
+    runs.append(count)
+    return runs
+
+
+def _rle_decode(runs, n: int):
+    import numpy as np
+
+    out = np.zeros(n, np.uint8)
+    pos, val = 0, 0
+    for r in runs:
+        if val:
+            out[pos:pos + r] = 1
+        pos += r
+        val ^= 1
+    return out
 
 
 def _encode_region(region) -> str:
     if isinstance(region, Polygon):
         return ",".join(f"{p.x:.4f},{p.y:.4f}" for p in region.points)
+    if isinstance(region, Mask):
+        h, w = region.mask.shape
+        runs = _rle_encode(region.mask.reshape(-1))
+        return "m" + ",".join(
+            str(v) for v in [int(region.x), int(region.y), w, h] + runs)
     return f"{region.x:.4f},{region.y:.4f},{region.width:.4f},{region.height:.4f}"
 
 
 def _decode_region(s: str):
+    if s.startswith("m"):
+        import numpy as np
+
+        vals = [int(float(v)) for v in s[1:].split(",")]
+        x, y, w, h = vals[:4]
+        mask = _rle_decode(vals[4:], h * w).reshape(h, w)
+        return Mask(x, y, np.asarray(mask))
     vals = [float(v) for v in s.split(",")]
     if len(vals) == 4:
         return Rectangle(*vals)
     pts = [Point(vals[i], vals[i + 1]) for i in range(0, len(vals), 2)]
     return Polygon(pts)
+
+
+def rect_from_mask(m: Mask) -> Rectangle:
+    """Axis-aligned bounds of a mask region (vot20_utils.rect_from_mask)."""
+    import numpy as np
+
+    ys, xs = np.nonzero(m.mask)
+    if len(xs) == 0:
+        return Rectangle(float(m.x), float(m.y), 1.0, 1.0)
+    x0, x1 = xs.min(), xs.max()
+    y0, y1 = ys.min(), ys.max()
+    return Rectangle(float(m.x + x0), float(m.y + y0),
+                     float(x1 - x0 + 1), float(y1 - y0 + 1))
 
 
 def _strip_uri(token: str) -> str:
@@ -139,12 +194,21 @@ class VOT:
 
 
 def run_vot_exp(tracker_factory, channels: str, dtype: str = "rgbcolormap",
-                fin=None, fout=None) -> None:
+                fin=None, fout=None, mask: bool = False,
+                refine_factory=None) -> None:
     """VOT entry loop (run_vot_exp analog, vipt_class.py:50-114):
-    tracker_factory() -> object with initialize(image, info)/track(image)."""
+    tracker_factory() -> object with initialize(image, info)/track(image).
+
+    With mask=True the entry speaks the VOT2020+ mask protocol: the init
+    region may arrive as a mask (bounding rect seeds the tracker,
+    vot20_utils.rect_from_mask) and every state is reported as a
+    segmentation mask produced by the Alpha-Refine plug-in
+    (refine_factory() -> ARcmSeg; MIXFORMER_ALPHA_SEG pattern,
+    promix_vot2022_rgbd.py:24-60)."""
     from mmtrack_tpu.data.composition import get_x_frame
 
-    handle = VOT("rectangle", channels=channels, fin=fin, fout=fout)
+    handle = VOT("mask" if mask else "rectangle", channels=channels,
+                 fin=fin, fout=fout)
     region = handle.region()
     paths = handle.frame()
     if paths is None:
@@ -152,9 +216,17 @@ def run_vot_exp(tracker_factory, channels: str, dtype: str = "rgbcolormap",
     depth_clip = channels == "rgbd"
     image = get_x_frame(paths[0], paths[1] if len(paths) > 1 else None,
                         dtype, depth_clip=depth_clip)
+    if isinstance(region, Mask):
+        rect = rect_from_mask(region)
+    else:
+        rect = region
+    init_box = [rect.x, rect.y, rect.width, rect.height]
     tracker = tracker_factory()
-    tracker.initialize(image, {"init_bbox": [region.x, region.y,
-                                             region.width, region.height]})
+    tracker.initialize(image, {"init_bbox": init_box})
+    refiner = None
+    if mask:
+        refiner = refine_factory()
+        refiner.initialize(image[..., :3].astype("float32"), init_box)
     while True:
         paths = handle.frame()
         if paths is None:
@@ -163,5 +235,12 @@ def run_vot_exp(tracker_factory, channels: str, dtype: str = "rgbcolormap",
                             dtype, depth_clip=depth_clip)
         out = tracker.track(image)
         b = out["target_bbox"]
-        handle.report(Rectangle(b[0], b[1], b[2], b[3]),
-                      out.get("best_score", 1.0))
+        if refiner is not None:
+            import numpy as np
+
+            _, m = refiner.refine(image[..., :3].astype("float32"), b)
+            binary = (np.asarray(m) > refiner.rt.mask_threshold).astype("uint8")
+            handle.report(Mask(0, 0, binary), out.get("best_score", 1.0))
+        else:
+            handle.report(Rectangle(b[0], b[1], b[2], b[3]),
+                          out.get("best_score", 1.0))

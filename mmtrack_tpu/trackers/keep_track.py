@@ -114,14 +114,22 @@ def init_peak_state(cfg: PeakMatchConfig, scores, coords, valid, descriptors):
 
 
 def update_peak_state(state: dict, cfg: PeakMatchConfig, scores, coords,
-                      valid, descriptors):
+                      valid, descriptors, match_fn=None):
     """One frame of identity bookkeeping (PeakCollection.update,
     keep_track.py:276-364). Returns (new_state, selected_peak_idx (int, -1
-    if lost), flag_not_found)."""
+    if lost), flag_not_found).
+
+    match_fn(prev_state, scores, coords, valid, descriptors) ->
+    (match_idx, match_prob) overrides the mutual-NN matcher — the learned
+    SuperGlue-style matcher (models/peak_matching.py) plugs in here."""
     K = cfg.num_peaks
-    match_idx, match_prob = match_peaks(
-        state["peak_desc"], state["peak_coords"], state["peak_valid"],
-        descriptors, coords, valid, cfg)
+    if match_fn is not None:
+        match_idx, match_prob = match_fn(state, scores, coords, valid,
+                                         descriptors)
+    else:
+        match_idx, match_prob = match_peaks(
+            state["peak_desc"], state["peak_coords"], state["peak_valid"],
+            descriptors, coords, valid, cfg)
 
     matched = match_idx >= 0
     prev_obj = jnp.where(matched, state["object_ids"][jnp.maximum(match_idx, 0)],

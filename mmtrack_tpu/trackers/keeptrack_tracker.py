@@ -44,10 +44,45 @@ from mmtrack_tpu.trackers.keep_track import (
 class KeepTrackRuntime(DiMPRuntime):
     peaks: PeakMatchConfig = PeakMatchConfig()
     scale_memory: int = 30   # recent target-scale ring for occlusion rescale
+    # learned SuperGlue-style matcher (models/peak_matching.py, the
+    # reference's peak_matching.py) vs the mutual-NN fallback
+    use_learned_matcher: bool = True
+    descriptor_dim: int = 256
 
 
-def keeptrack_init_state(rt: KeepTrackRuntime, model: DiMPNet, params,
-                         frame: jnp.ndarray, init_box: jnp.ndarray) -> dict:
+def _peak_descriptors(rt: KeepTrackRuntime, bundle, matcher_params, feat,
+                      coords):
+    """Peak descriptors: learned DescriptorExtractor conv when the learned
+    matcher is active, plain normalized feature gather otherwise."""
+    if bundle is None:
+        return gather_descriptors(feat, coords)
+    desc_mod, _ = bundle
+    return desc_mod.apply(matcher_params["desc"], feat, coords)
+
+
+def _make_match_fn(rt: KeepTrackRuntime, bundle, matcher_params):
+    """Adapter: PeakMatcher -> update_peak_state's match_fn interface."""
+    if bundle is None:
+        return None
+    _, matcher = bundle
+
+    def fn(prev, scores, coords, valid, desc):
+        to_px = lambda c: (c[:, ::-1] + 0.5) * rt.feat_stride   # (y,x)->(x,y)
+        out = matcher.apply(
+            matcher_params["matcher"],
+            desc[None], to_px(coords)[None], scores[None], valid[None],
+            prev["peak_desc"][None], to_px(prev["peak_coords"])[None],
+            prev["peak_scores"][None], prev["peak_valid"][None],
+            image_size_wh=(float(rt.image_sample_size),
+                           float(rt.image_sample_size)))
+        return out["matches0"][0], out["match_scores0"][0]
+
+    return fn
+
+
+def keeptrack_init_state(rt: KeepTrackRuntime, model: DiMPNet, bundle,
+                         params, matcher_params, frame: jnp.ndarray,
+                         init_box: jnp.ndarray) -> dict:
     from mmtrack_tpu.trackers.dimp_tracker import dimp_init_state
 
     state = dimp_init_state(rt, model, params, frame, init_box)
@@ -63,15 +98,16 @@ def keeptrack_init_state(rt: KeepTrackRuntime, model: DiMPNet, params,
     p_scores, p_coords, p_valid = extract_peaks(scores, rt.peaks)
     # descriptors from the classification feature grid (score grid offset by
     # the even-kernel halo is within one cell; gather at clipped coords)
-    desc = gather_descriptors(clf_feat[0], p_coords)
+    desc = _peak_descriptors(rt, bundle, matcher_params, clf_feat[0], p_coords)
     state["peaks"] = init_peak_state(rt.peaks, p_scores, p_coords, p_valid, desc)
     state["scale_ring"] = jnp.full((rt.scale_memory,), state["target_scale"])
     state["scale_ptr"] = jnp.asarray(0, jnp.int32)
     return state
 
 
-def keeptrack_track_step(rt: KeepTrackRuntime, model: DiMPNet, params,
-                         state: dict, frame: jnp.ndarray):
+def keeptrack_track_step(rt: KeepTrackRuntime, model: DiMPNet, bundle,
+                         params, matcher_params, state: dict,
+                         frame: jnp.ndarray):
     """One frame with peak-matching association."""
     H, W = frame.shape[0], frame.shape[1]
     state = {**state, "frame_num": state["frame_num"] + 1}
@@ -93,9 +129,10 @@ def keeptrack_track_step(rt: KeepTrackRuntime, model: DiMPNet, params,
 
     # peak matching replaces localize_advanced
     p_scores, p_coords, p_valid = extract_peaks(scores, rt.peaks)
-    desc = gather_descriptors(clf_feat[0], p_coords)
-    peaks, sel_peak, lost = update_peak_state(state["peaks"], rt.peaks,
-                                              p_scores, p_coords, p_valid, desc)
+    desc = _peak_descriptors(rt, bundle, matcher_params, clf_feat[0], p_coords)
+    peaks, sel_peak, lost = update_peak_state(
+        state["peaks"], rt.peaks, p_scores, p_coords, p_valid, desc,
+        match_fn=_make_match_fn(rt, bundle, matcher_params))
     state = {**state, "peaks": peaks}
 
     S = rt.score_sz
@@ -165,23 +202,57 @@ def keeptrack_track_step(rt: KeepTrackRuntime, model: DiMPNet, params,
 
 
 class KeepTrackTracker:
-    """OO facade (BaseTracker API)."""
+    """OO facade (BaseTracker API).
+
+    With rt.use_learned_matcher (default), peak association runs through the
+    SuperGlue-style PeakMatcher + DescriptorExtractor
+    (models/peak_matching.py); pass trained weights via `matcher_params`
+    ({'desc': ..., 'matcher': ...}) — random init otherwise."""
 
     def __init__(self, model: DiMPNet, params,
-                 runtime: KeepTrackRuntime | None = None):
+                 runtime: KeepTrackRuntime | None = None,
+                 matcher_params=None, clf_feat_dim: int = 512):
         self.model = model
         self.params = params
         self.rt = runtime or KeepTrackRuntime()
-        self._init_fn = jax.jit(partial(keeptrack_init_state, self.rt, self.model))
-        self._step_fn = jax.jit(partial(keeptrack_track_step, self.rt, self.model))
+
+        if self.rt.use_learned_matcher:
+            from mmtrack_tpu.models.peak_matching import (DescriptorExtractor,
+                                                          PeakMatcher)
+            desc_mod = DescriptorExtractor(self.rt.descriptor_dim)
+            matcher = PeakMatcher(descriptor_dim=self.rt.descriptor_dim,
+                                  input_dim=self.rt.descriptor_dim)
+            self.bundle = (desc_mod, matcher)
+            if matcher_params is None:
+                K = self.rt.peaks.num_peaks
+                S = self.rt.feat_sz
+                rng = jax.random.PRNGKey(0)
+                dvars = desc_mod.init(rng, jnp.zeros((S, S, clf_feat_dim)),
+                                      jnp.zeros((K, 2)))
+                d = jnp.zeros((1, K, self.rt.descriptor_dim))
+                k = jnp.zeros((1, K, 2))
+                s = jnp.zeros((1, K))
+                v = jnp.ones((1, K), bool)
+                mvars = matcher.init(rng, d, k, s, v, d, k, s, v)
+                matcher_params = {"desc": dvars, "matcher": mvars}
+        else:
+            self.bundle = None
+            matcher_params = {}
+        self.matcher_params = matcher_params
+
+        self._init_fn = jax.jit(partial(keeptrack_init_state, self.rt,
+                                        self.model, self.bundle))
+        self._step_fn = jax.jit(partial(keeptrack_track_step, self.rt,
+                                        self.model, self.bundle))
         self.state = None
 
     def initialize(self, image: np.ndarray, info: dict) -> None:
         box = jnp.asarray(np.asarray(info["init_bbox"], np.float32))
-        self.state = self._init_fn(self.params, jnp.asarray(image), box)
+        self.state = self._init_fn(self.params, self.matcher_params,
+                                   jnp.asarray(image), box)
 
     def track(self, image: np.ndarray, info: dict | None = None) -> dict:
-        self.state, box, score = self._step_fn(self.params, self.state,
-                                               jnp.asarray(image))
+        self.state, box, score = self._step_fn(
+            self.params, self.matcher_params, self.state, jnp.asarray(image))
         return {"target_bbox": np.asarray(box).tolist(),
                 "best_score": float(score)}

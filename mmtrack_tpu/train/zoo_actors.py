@@ -1,0 +1,227 @@
+"""Training objectives for the non-ViPT zoo: STARK, MixFormer, SiamFC,
+MDNet/APFNet.
+
+Reference recipes rebuilt per family:
+  - STARK (SPT/lib/train, lib/train/actors/stark_s.py + stark_st.py):
+    stage 'bbox' = GIoU(2.0) + L1(5.0) on the corner-decoded box; stage
+    'score' = BCE on the classification head with positive (real) and
+    negative (cross-sequence shuffled search) pairs, backbone frozen via an
+    optimizer mask at the caller.
+  - MixFormer (MixFormer_RGBD/lib/train, actors/mixformer.py): stage 'bbox'
+    = GIoU + L1 on the corner head; stage 'score' = BCE on the SPM logit at
+    the GT box (TRAIN_SCORE: true, SCORE_WEIGHT 1.0).
+  - SiamFC (siamfc paper / RGBE's empty submodule): balanced logistic loss
+    on the 17x17 response with radius-16px positive labels.
+  - MDNet family (pyMDNet train/train_mdnet.py, APFNet train_stage{1,2,3}):
+    binary CE over pos/neg 107^2 patches sampled around the target (the
+    RegionExtractor + LocalSampler ported to device-side crop ops); APFNet
+    staging reuses models/apfnet.stage_mask optimizer masks.
+
+All steps consume the standard sampler batch (template (B,T,T,C), search
+(B,S,S,C), search_anno (B,4) normalized xywh) and return (state, stats) —
+same contract as train_step.make_train_step, so shard_train_step/Trainer
+work unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mmtrack_tpu.ops.box import box_cxcywh_to_xyxy, box_xywh_to_xyxy
+from mmtrack_tpu.ops.crop import crop_resize
+from mmtrack_tpu.ops.losses import giou_loss, l1_loss
+from mmtrack_tpu.train.train_step import TrainState
+
+
+def _bce_logits(logits, labels):
+    return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+
+
+def _apply_update(state: TrainState, tx, loss_grads):
+    (loss, stats), grads = loss_grads
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(step=state.step + 1, params=new_params,
+                      opt_state=new_opt), stats
+
+
+# ------------------------------------------------------------------ STARK
+
+def make_stark_train_step(model, tx, stage: str = "bbox",
+                          weights=(2.0, 5.0)):
+    def train_step(state, batch, rng):
+        def loss_fn(params):
+            out = model.apply(params, batch["template"], batch["search"])
+            gt_xyxy = jnp.clip(box_xywh_to_xyxy(batch["search_anno"]), 0, 1)
+            pred_xyxy = box_cxcywh_to_xyxy(out["pred_boxes"])
+            if stage == "bbox":
+                g, iou = giou_loss(pred_xyxy, gt_xyxy)
+                l1 = l1_loss(pred_xyxy, gt_xyxy)
+                loss = weights[0] * g + weights[1] * l1
+                return loss, {"Loss/total": loss, "Loss/giou": g,
+                              "Loss/l1": l1, "IoU": iou}
+            # score stage: negatives = batch-rolled searches (different
+            # sequence -> target absent), labels 1/0 (stark_st stage 2)
+            neg = jnp.roll(batch["search"], 1, axis=0)
+            pos_out = out
+            neg_out = model.apply(params, batch["template"], neg)
+            logits = jnp.concatenate([
+                _logit(pos_out["pred_scores"]), _logit(neg_out["pred_scores"])])
+            labels = jnp.concatenate([
+                jnp.ones(batch["search"].shape[0]),
+                jnp.zeros(batch["search"].shape[0])])
+            loss = _bce_logits(logits, labels)
+            acc = ((logits > 0) == (labels > 0.5)).mean()
+            return loss, {"Loss/total": loss, "Acc": acc}
+
+        lg = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return _apply_update(state, tx, lg)
+
+    return train_step
+
+
+def _logit(p, eps=1e-6):
+    p = jnp.clip(p, eps, 1 - eps)
+    return jnp.log(p) - jnp.log1p(-p)
+
+
+# --------------------------------------------------------------- MixFormer
+
+def make_mixformer_train_step(model, tx, stage: str = "bbox",
+                              weights=(2.0, 5.0), score_weight: float = 1.0):
+    def train_step(state, batch, rng):
+        def loss_fn(params):
+            gt_xyxy = jnp.clip(box_xywh_to_xyxy(batch["search_anno"]), 0, 1)
+            out = model.apply(params, batch["template"], batch["template"],
+                              batch["search"], run_score_head=stage == "score",
+                              score_box_xyxy=gt_xyxy if stage == "score" else None)
+            pred_xyxy = box_cxcywh_to_xyxy(out["pred_boxes"])
+            if stage == "bbox":
+                g, iou = giou_loss(pred_xyxy, gt_xyxy)
+                l1 = l1_loss(pred_xyxy, gt_xyxy)
+                loss = weights[0] * g + weights[1] * l1
+                return loss, {"Loss/total": loss, "Loss/giou": g,
+                              "Loss/l1": l1, "IoU": iou}
+            # TRAIN_SCORE: positives = true pair, negatives = rolled search
+            neg = jnp.roll(batch["search"], 1, axis=0)
+            neg_out = model.apply(params, batch["template"], batch["template"],
+                                  neg, run_score_head=True,
+                                  score_box_xyxy=gt_xyxy)
+            logits = jnp.concatenate([out["score_logits"],
+                                      neg_out["score_logits"]])
+            labels = jnp.concatenate([
+                jnp.ones(batch["search"].shape[0]),
+                jnp.zeros(batch["search"].shape[0])])
+            loss = score_weight * _bce_logits(logits, labels)
+            acc = ((logits > 0) == (labels > 0.5)).mean()
+            return loss, {"Loss/total": loss, "Acc": acc}
+
+        lg = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return _apply_update(state, tx, lg)
+
+    return train_step
+
+
+# ------------------------------------------------------------------ SiamFC
+
+def siamfc_response_labels(anno_xywh, search_size: int, response_sz: int,
+                           total_stride: int, r_pos_px: float = 16.0):
+    """+1 within r_pos of the target center on the response grid, -1 outside
+    (SiamFC logistic labels). anno normalized to the search crop."""
+    B = anno_xywh.shape[0]
+    cx = (anno_xywh[:, 0] + anno_xywh[:, 2] / 2 - 0.5) * search_size
+    cy = (anno_xywh[:, 1] + anno_xywh[:, 3] / 2 - 0.5) * search_size
+    c = (response_sz - 1) / 2.0
+    iy = jnp.arange(response_sz, dtype=jnp.float32)[None, :, None]
+    ix = jnp.arange(response_sz, dtype=jnp.float32)[None, None, :]
+    dy = (iy - c) * total_stride - cy[:, None, None]
+    dx = (ix - c) * total_stride - cx[:, None, None]
+    dist = jnp.sqrt(dy * dy + dx * dx)
+    return jnp.where(dist <= r_pos_px, 1.0, -1.0)
+
+
+def make_siamfc_train_step(model, tx, search_size: int = 255,
+                           total_stride: int = 8):
+    def train_step(state, batch, rng):
+        def loss_fn(params):
+            resp = model.apply(params, batch["template"], batch["search"])
+            y = siamfc_response_labels(batch["search_anno"], search_size,
+                                       resp.shape[-1], total_stride)
+            # balanced logistic loss: log(1 + exp(-y * v))
+            ll = jnp.logaddexp(0.0, -y * resp)
+            pos = (y > 0).astype(jnp.float32)
+            neg = 1.0 - pos
+            loss = 0.5 * ((ll * pos).sum() / jnp.maximum(pos.sum(), 1)
+                          + (ll * neg).sum() / jnp.maximum(neg.sum(), 1))
+            return loss, {"Loss/total": loss,
+                          "Resp/pos_mean": (resp * pos).sum() / jnp.maximum(pos.sum(), 1)}
+
+        lg = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return _apply_update(state, tx, lg)
+
+    return train_step
+
+
+# ------------------------------------------------------------ MDNet family
+
+def mdnet_training_patches(search_img, anno_xywh, rng, n_pos: int = 32,
+                           n_neg: int = 96, patch_sz: int = 107):
+    """Pos/neg 107^2 patches from a search crop (RegionExtractor +
+    SampleGenerator, pyMDNet train path): positives are small gaussian
+    jitters of the GT box, negatives are large uniform shifts/scales."""
+    S = search_img.shape[0]
+    box = anno_xywh * S  # pixels in the crop
+    rp, rn = jax.random.split(rng)
+
+    def jitter(r, n, pos_std, scale_std):
+        rc, rs = jax.random.split(r)
+        c_noise = jax.random.normal(rc, (n, 2)) * pos_std * jnp.mean(box[2:])
+        s_noise = jnp.exp(jax.random.normal(rs, (n, 1)) * scale_std)
+        wh = box[2:] * s_noise
+        ctr = box[:2] + box[2:] / 2 + c_noise
+        return jnp.concatenate([ctr - wh / 2, wh], axis=1)
+
+    pos_boxes = jitter(rp, n_pos, 0.1, 0.1)
+    neg_boxes = jitter(rn, n_neg, 1.0, 0.5)
+    boxes = jnp.concatenate([pos_boxes, neg_boxes])
+
+    def extract(b):
+        # crop_resize takes xywh + area factor; factor 1 -> exact box,
+        # padded square via the sample-target geometry
+        crop, _ = crop_resize(search_img, b, 1.0, patch_sz)
+        return crop
+
+    patches = jax.vmap(extract)(boxes)
+    labels = jnp.concatenate([jnp.ones(n_pos), jnp.zeros(n_neg)])
+    return patches, labels
+
+
+def make_mdnet_train_step(model, tx, n_pos: int = 32, n_neg: int = 96,
+                          branch: int = 0):
+    """Multi-domain offline training step: per-sample pos/neg patch sets,
+    2-way softmax CE (train_mdnet.py BinaryLoss)."""
+    def train_step(state, batch, rng):
+        B = batch["search"].shape[0]
+        rngs = jax.random.split(rng, B)
+
+        def build(img, anno, r):
+            return mdnet_training_patches(img, anno, r, n_pos, n_neg)
+
+        patches, labels = jax.vmap(build)(batch["search"],
+                                          batch["search_anno"], rngs)
+        patches = patches.reshape((-1,) + patches.shape[2:])
+        labels = labels.reshape(-1)
+
+        def loss_fn(params):
+            logits = model.apply(params, patches, branch)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            loss = -(labels * logp[:, 1] + (1 - labels) * logp[:, 0]).mean()
+            acc = ((logits[:, 1] > logits[:, 0]) == (labels > 0.5)).mean()
+            return loss, {"Loss/total": loss, "Acc": acc}
+
+        lg = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return _apply_update(state, tx, lg)
+
+    return train_step

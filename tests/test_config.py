@@ -41,3 +41,22 @@ def test_experiment_presets_match_reference_yaml():
     assert cfg.TRAIN.EPOCH == 60 and cfg.TRAIN.LR_DROP_EPOCH == 48
     assert vipt_experiment_config("shaw_rgbt").TRAIN.PROMPT.TYPE == "vipt_shaw"
     assert vipt_experiment_config("deep_rgbe").DATA.TRAIN.DATASETS_NAME == ["VisEvent_train"]
+
+
+def test_shipped_experiment_yamls_load():
+    """configs/vipt/*.yaml must overlay cleanly onto the default tree and
+    reproduce the code presets (the reference ships these as files,
+    ViPT/experiments/vipt/)."""
+    import glob
+    import os
+
+    from mmtrack_tpu.config import vipt_default_config, vipt_experiment_config
+
+    paths = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                          "configs", "vipt", "*.yaml")))
+    assert len(paths) == 6
+    for p in paths:
+        name = os.path.splitext(os.path.basename(p))[0]
+        cfg = vipt_default_config()
+        cfg.merge_from_yaml(p)
+        assert cfg.to_dict() == vipt_experiment_config(name).to_dict()

@@ -175,3 +175,27 @@ def test_ope_runner_and_resume(tmp_path):
     outs = run_dataset(lambda: tracker, [seq], str(tmp_path), "SYNTH", "tiny",
                        verbose=False)
     assert outs == []
+
+
+def test_device_compose_matches_host_bitexact():
+    """ops/compose.py: device-side rgbcolormap (clip+normalize+JET LUT)
+    must reproduce the host composition bit-for-bit (the model consumes
+    these values; bench.py streams the device path)."""
+    import jax.numpy as jnp
+
+    from mmtrack_tpu.ops.compose import compose_rgbcolormap_device, jet_lut
+
+    lut = jnp.asarray(jet_lut())
+    for seed in range(3):
+        r = np.random.RandomState(seed)
+        rgb = r.randint(0, 255, (32, 48, 3)).astype(np.uint8)
+        dep = r.randint(100, 60000, (32, 48)).astype(np.uint16)
+        host = compose_x(rgb, dep, "rgbcolormap", x_clip=True)
+        dev = np.asarray(compose_rgbcolormap_device(
+            jnp.asarray(rgb), jnp.asarray(dep), lut))
+        np.testing.assert_array_equal(host, dev)
+    # batched (T, B) leading dims
+    rgb = np.random.RandomState(9).randint(0, 255, (2, 3, 16, 16, 3)).astype(np.uint8)
+    dep = np.random.RandomState(9).randint(0, 9000, (2, 3, 16, 16)).astype(np.uint16)
+    out = compose_rgbcolormap_device(jnp.asarray(rgb), jnp.asarray(dep), lut)
+    assert out.shape == (2, 3, 16, 16, 6)

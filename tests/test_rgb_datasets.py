@@ -113,3 +113,79 @@ def test_names2datasets_registry(tmp_path):
     assert out[0].num_sequences() == 1
     with pytest.raises(KeyError):
         names2datasets(["NOPE"], {})
+
+
+def _img16(path, seed=0, size=(40, 60)):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.RandomState(seed)
+    cv2.imwrite(path, rng.randint(200, 4000, size, np.int32).astype(np.uint16))
+
+
+def _make_depth_seq(seq, n=6):
+    for i in range(n):
+        _img(os.path.join(seq, "color", f"{i + 1:08d}.jpg"), i)
+        _img16(os.path.join(seq, "depth", f"{i + 1:08d}.png"), i)
+    np.savetxt(os.path.join(seq, "groundtruth.txt"),
+               np.tile([4.0, 5.0, 12.0, 10.0], (n, 1)), delimiter=",")
+
+
+def test_got10k_depth_layout(tmp_path):
+    from mmtrack_tpu.data.rgb_datasets import Got10kDepth
+    _make_depth_seq(str(tmp_path / "GOT-10k_Train_000001"))
+    ds = Got10kDepth(str(tmp_path))
+    assert ds.num_sequences() == 1
+    frames, boxes = ds.get_frames(0, [0, 2])
+    assert frames[0].shape == (40, 60, 6)  # rgbcolormap composition
+    np.testing.assert_allclose(boxes[0], [4, 5, 12, 10])
+
+
+def test_lasot_depth_layout_nested(tmp_path):
+    from mmtrack_tpu.data.rgb_datasets import LaSOTDepth
+    seq = str(tmp_path / "cat" / "cat-1")
+    _make_depth_seq(seq, n=5)
+    np.savetxt(os.path.join(seq, "full_occlusion.txt"),
+               np.array([[0, 0, 1, 0, 0]]), delimiter=",", fmt="%d")
+    np.savetxt(os.path.join(seq, "out_of_view.txt"),
+               np.array([[0, 0, 0, 1, 0]]), delimiter=",", fmt="%d")
+    ds = LaSOTDepth(str(tmp_path))
+    assert ds.num_sequences() == 1
+    info = ds.seq_info(0)
+    np.testing.assert_array_equal(info["visible"], [1, 1, 0, 0, 1])
+    frames, _ = ds.get_frames(0, [1])
+    assert frames[0].shape == (40, 60, 6)
+
+
+def test_imagenet_vid_layout(tmp_path):
+    from mmtrack_tpu.data.rgb_datasets import ImageNetVID
+    data = tmp_path / "Data" / "VID" / "train" / "a" / "seq0"
+    anno = tmp_path / "Annotations" / "VID" / "train" / "a" / "seq0"
+    os.makedirs(str(anno))
+    for i in range(4):
+        _img(str(data / f"{i:06d}.JPEG"), i)
+        occluded = 1 if i == 2 else 0
+        (anno / f"{i:06d}.xml").write_text(f"""
+<annotation><object><trackid>0</trackid><occluded>{occluded}</occluded>
+<bndbox><xmin>5</xmin><ymin>6</ymin><xmax>25</xmax><ymax>21</ymax></bndbox>
+</object></annotation>""")
+    ds = ImageNetVID(str(tmp_path))
+    assert ds.num_sequences() == 1
+    info = ds.seq_info(0)
+    np.testing.assert_array_equal(info["visible"], [1, 1, 0, 1])
+    frames, boxes = ds.get_frames(0, [0])
+    assert frames[0].shape == (40, 60, 3)
+    np.testing.assert_allclose(boxes[0], [5, 6, 20, 15])
+
+
+def test_sampler_trident_and_stark_modes(tmp_path):
+    """trident/trident_pro/stark frame-id sampling (ViPT sampler.py:298-345):
+    1 + len(max_gap) templates; stark draws extras from `valid`."""
+    from mmtrack_tpu.data.datasets import SyntheticVideoDataset
+
+    ds = SyntheticVideoDataset(n_sequences=2, n_frames=40)
+    for mode in ("trident", "trident_pro", "stark"):
+        s = TrackingSampler([ds], None, samples_per_epoch=4,
+                            max_gap=[10, 30], num_template_frames=3,
+                            frame_sample_mode=mode, seed=1)
+        out = s.sample()
+        assert len(out["template_images"]) == 3   # t1 + 2 extras
+        assert len(out["search_images"]) == 1

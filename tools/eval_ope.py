@@ -42,6 +42,10 @@ def main():
                    help="also compute SR/PR/NPR and F-score from the results")
     args = p.parse_args()
 
+    from mmtrack_tpu.utils.hostmem import tune_host_allocator
+
+    tune_host_allocator()  # frame decode is host-bound on this 1-core box
+
     from mmtrack_tpu.config import vipt_experiment_config
     from mmtrack_tpu.data.synthetic import make_synthetic_sequence
     from mmtrack_tpu.eval.analysis import analyze_fscore, analyze_ope, print_results

@@ -25,7 +25,13 @@ import jax.numpy as jnp
 def main():
     p = argparse.ArgumentParser(description="Train a tracker (TPU-native)")
     p.add_argument("--script", default="vipt",
-               choices=["vipt", "ostrack", "dimp", "det_dimp"])
+                   choices=["vipt", "ostrack", "dimp", "det_dimp", "stark",
+                            "mixformer", "siamfc", "mdnet", "apfnet"])
+    p.add_argument("--stage", default=None,
+                   help="stark/mixformer: bbox|score; apfnet: 1|2|3 "
+                        "(train_stage{1,2,3}.py)")
+    p.add_argument("--attribute", type=int, default=0,
+                   help="apfnet stage 1: attribute branch index (0-4)")
     p.add_argument("--config", default="deep_rgbd",
                    help="experiment name (e.g. deep_rgbd) or a YAML path")
     p.add_argument("--save_dir", default="./workspace")
@@ -99,6 +105,8 @@ def main():
         model = build_ostrack(cfg, dtype=dtype)
     elif args.script in ("dimp", "det_dimp"):
         return _train_dimp(args, cfg, dtype)
+    elif args.script in ("stark", "mixformer", "siamfc", "mdnet", "apfnet"):
+        return _train_zoo(args, cfg, dtype)
     keep = ce_keep_schedule((cfg.DATA.SEARCH.SIZE // cfg.MODEL.BACKBONE.STRIDE) ** 2,
                             cfg.MODEL.BACKBONE.CE_LOC,
                             cfg.MODEL.BACKBONE.CE_KEEP_RATIO)
@@ -172,6 +180,123 @@ def main():
         return stats
 
     trainer.train_epoch = logged_epoch
+    trainer.train(cfg.TRAIN.EPOCH, load_latest=True, fail_safe=True)
+    print(f"done: {trainer.epoch} epochs, checkpoints in {save_dir}")
+
+
+def _train_zoo(args, cfg, dtype):
+    """Offline training for the non-ViPT zoo (SPT/lib/train,
+    MixFormer_RGBD/lib/train TRAIN_SCORE stage, SiamFC pair training,
+    pyMDNet train_mdnet.py / APFNet train_stage{1,2,3}.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmtrack_tpu.data.datasets import SyntheticVideoDataset, names2datasets
+    from mmtrack_tpu.data.loader import BatchLoader
+    from mmtrack_tpu.data.processing import ViPTProcessing
+    from mmtrack_tpu.data.sampler import TrackingSampler
+    from mmtrack_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from mmtrack_tpu.train import zoo_actors
+    from mmtrack_tpu.train.optim import build_optimizer
+    from mmtrack_tpu.train.train_step import TrainState, shard_train_step
+    from mmtrack_tpu.train.trainer import CheckpointManager, Trainer
+    from mmtrack_tpu.utils.env import load_env_settings
+
+    # per-family geometry
+    sizes = {
+        "stark": dict(template=128, search=320, tf=2.0, sf=5.0),
+        "mixformer": dict(template=128, search=320, tf=2.0, sf=5.0),
+        "siamfc": dict(template=127, search=255, tf=1.0, sf=4.0),
+        "mdnet": dict(template=107, search=320, tf=1.2, sf=3.0),
+        "apfnet": dict(template=107, search=320, tf=1.2, sf=3.0),
+    }[args.script]
+    proc = ViPTProcessing(
+        search_area_factor={"template": sizes["tf"], "search": sizes["sf"]},
+        output_sz={"template": sizes["template"], "search": sizes["search"]},
+        center_jitter_factor={"template": 0.0, "search": 3.0},
+        scale_jitter_factor={"template": 0.0, "search": 0.25})
+    if args.synthetic:
+        datasets, ratios = [SyntheticVideoDataset(8, 60)], None
+    else:
+        env = load_env_settings()
+        roots = {n: env.dataset_root(n) for n in cfg.DATA.TRAIN.DATASETS_NAME}
+        datasets = names2datasets(cfg.DATA.TRAIN.DATASETS_NAME, roots)
+        ratios = cfg.DATA.TRAIN.DATASETS_RATIO
+    sampler = TrackingSampler(datasets, ratios,
+                              samples_per_epoch=cfg.DATA.TRAIN.SAMPLE_PER_EPOCH,
+                              max_gap=cfg.DATA.MAX_SAMPLE_INTERVAL,
+                              processing=proc, seed=args.seed)
+    loader = BatchLoader(sampler, cfg.TRAIN.BATCH_SIZE)
+
+    stage = args.stage or ("bbox" if args.script in ("stark", "mixformer")
+                           else "3" if args.script == "apfnet" else "")
+    trainable_mask = None
+
+    if args.script == "stark":
+        from mmtrack_tpu.models.stark import STARK
+        model = STARK(six_channel=True, score_head=stage == "score", dtype=dtype)
+        z = jnp.zeros((1, 128, 128, 6)); x = jnp.zeros((1, 320, 320, 6))
+        params = jax.jit(lambda r: model.init(r, z, x))(jax.random.PRNGKey(args.seed))
+        step_builder = lambda tx: zoo_actors.make_stark_train_step(model, tx, stage)
+        if stage == "score":
+            # stage 2 trains only the score head (stark_st2 recipe)
+            import flax
+            flat = flax.traverse_util.flatten_dict(params["params"])
+            trainable_mask = {"params": flax.traverse_util.unflatten_dict(
+                {k: ("cls_head" in k[0]) for k in flat})}
+    elif args.script == "mixformer":
+        from mmtrack_tpu.models.mixformer import build_mixformer_rgbd
+        model = build_mixformer_rgbd(dtype=dtype)
+        z = jnp.zeros((1, 128, 128, 6)); x = jnp.zeros((1, 320, 320, 6))
+        params = jax.jit(lambda r: model.init(r, z, z, x))(jax.random.PRNGKey(args.seed))
+        step_builder = lambda tx: zoo_actors.make_mixformer_train_step(model, tx, stage)
+        if stage == "score":
+            import flax
+            flat = flax.traverse_util.flatten_dict(params["params"])
+            trainable_mask = {"params": flax.traverse_util.unflatten_dict(
+                {k: (k[0] == "score_branch") for k in flat})}
+    elif args.script == "siamfc":
+        from mmtrack_tpu.models.siamfc import SiamFC
+        model = SiamFC(in_channels=6, dtype=dtype)
+        z = jnp.zeros((1, 127, 127, 6)); x = jnp.zeros((1, 255, 255, 6))
+        params = jax.jit(lambda r: model.init(r, z, x))(jax.random.PRNGKey(args.seed))
+        step_builder = lambda tx: zoo_actors.make_siamfc_train_step(model, tx)
+    else:  # mdnet / apfnet
+        if args.script == "apfnet":
+            from mmtrack_tpu.models.apfnet import APFNet, stage_mask
+            model = APFNet(dtype=dtype)
+        else:
+            from mmtrack_tpu.models.mdnet import MDNet
+            model = MDNet(mode="dual", dtype=dtype)
+        xp = jnp.zeros((1, 107, 107, 6))
+        params = jax.jit(lambda r: model.init(r, xp))(jax.random.PRNGKey(args.seed))
+        step_builder = lambda tx: zoo_actors.make_mdnet_train_step(model, tx)
+        if args.script == "apfnet":
+            # stage 1 trains one attribute branch at a time
+            # (train_stage1.py loops the five attributes)
+            trainable_mask = {"params": stage_mask(
+                params["params"], int(stage),
+                attribute=args.attribute if int(stage) == 1 else None)}
+
+    tx = build_optimizer(params, lr=cfg.TRAIN.LR,
+                         weight_decay=cfg.TRAIN.WEIGHT_DECAY,
+                         lr_drop_step=cfg.TRAIN.LR_DROP_EPOCH * len(loader),
+                         grad_clip_norm=cfg.TRAIN.GRAD_CLIP_NORM,
+                         trainable_mask=trainable_mask)
+    state = TrainState.create(params, tx)
+    step = step_builder(tx)
+    mesh = make_mesh()
+    sharded = shard_train_step(step, mesh)
+    state = replicate(state, mesh)
+
+    def mesh_step(st, batch, rng):
+        return sharded(st, shard_batch(batch, mesh), replicate(rng, mesh))
+
+    save_dir = os.path.join(args.save_dir, f"{args.script}-{stage or 'base'}")
+    ckpts = CheckpointManager(os.path.join(save_dir, "checkpoints"),
+                              save_interval=cfg.TRAIN.SAVE_EPOCH_INTERVAL)
+    trainer = Trainer(mesh_step, state, loader, ckpts, rng_seed=args.seed,
+                      print_interval=cfg.TRAIN.PRINT_INTERVAL)
     trainer.train(cfg.TRAIN.EPOCH, load_latest=True, fail_safe=True)
     print(f"done: {trainer.epoch} epochs, checkpoints in {save_dir}")
 
