@@ -275,6 +275,152 @@ def convert_mixformer_checkpoint(state_dict: dict) -> dict:
     return flax.traverse_util.unflatten_dict(out)
 
 
+def _convert_resnet(prefix_t: str, prefix_f: str, name: str, t, put) -> bool:
+    """Map one torchvision-style ResNet tensor under `prefix_t` onto the
+    mmtrack_tpu ResNet tree (models/resnet.py naming)."""
+    if not name.startswith(prefix_t + "."):
+        return False
+    rest = name[len(prefix_t) + 1:]
+
+    def put_bn(base, leaf):
+        nm = {"weight": "scale", "bias": "bias", "running_mean": "mean",
+              "running_var": "var"}.get(leaf)
+        if nm:
+            put(f"{base}/{nm}", _np(t))
+        return True
+
+    m = re.match(r"conv1\.weight", rest)
+    if m:
+        put(f"{prefix_f}/conv1/kernel", _conv_kernel(t))
+        return True
+    m = re.match(r"bn1\.(.+)", rest)
+    if m:
+        return put_bn(f"{prefix_f}/bn1", m.group(1))
+    m = re.match(r"layer(\d)\.(\d+)\.(.+)", rest)
+    if m:
+        li, bi, sub = m.groups()
+        base = f"{prefix_f}/layer{li}_{bi}"
+        m2 = re.match(r"conv(\d)\.weight", sub)
+        if m2:
+            put(f"{base}/conv{m2.group(1)}/kernel", _conv_kernel(t))
+            return True
+        m2 = re.match(r"bn(\d)\.(.+)", sub)
+        if m2:
+            return put_bn(f"{base}/bn{m2.group(1)}", m2.group(2))
+        m2 = re.match(r"downsample\.0\.weight", sub)
+        if m2:
+            put(f"{base}/downsample_conv/kernel", _conv_kernel(t))
+            return True
+        m2 = re.match(r"downsample\.1\.(.+)", sub)
+        if m2:
+            return put_bn(f"{base}/downsample_bn", m2.group(1))
+    return True  # consumed (fc head etc. are dropped)
+
+
+def convert_dimp_checkpoint(state_dict: dict) -> dict:
+    """torch DiMPnet / DiMPnet_DeT state_dict -> flax params tree.
+
+    Name surface: RGBD/models/DeT/ltr/models/tracking/dimpnet.py (ResNet-50
+    backbones, residual_bottleneck clf features, FilterInitializerLinear,
+    DiMPSteepestDescentGN, AtomIoUNet). The 1x1 distance-bin predictor convs
+    become (bins,) kernels; LinearBlock weights are permuted from the
+    torch CHW flatten to the NHWC flatten.
+    """
+    out: dict[tuple, np.ndarray] = {}
+
+    def put(path, value):
+        out[tuple(path.split("/"))] = value
+
+    def put_bn(base, leaf):
+        nm = {"weight": "scale", "bias": "bias", "running_mean": "mean",
+              "running_var": "var"}.get(leaf)
+        return nm and f"{base}/{nm}"
+
+    # LinearBlock pool sizes (atom_iou_net.py:47-48): fc3_rt 5x5, fc4_rt 3x3
+    lin_pool = {"fc3_rt": 5, "fc4_rt": 3}
+
+    for name, t in state_dict.items():
+        if _convert_resnet("feature_extractor", "backbone", name, t, put) \
+                and name.startswith("feature_extractor."):
+            continue
+        if name.startswith("feature_extractor_depth."):
+            _convert_resnet("feature_extractor_depth", "backbone_x", name, t, put)
+            continue
+
+        m = re.match(r"merge_layer(\d)\.(weight|bias)", name)
+        if m:
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            v = _conv_kernel(t) if m.group(2) == "weight" else _np(t)
+            put(f"merge_conv{m.group(1)}/{leaf}", v)
+            continue
+
+        m = re.match(r"classifier\.feature_extractor\.0\.weight", name)
+        if m:
+            put("clf_features/final_conv/kernel", _conv_kernel(t))
+            continue
+        m = re.match(r"classifier\.filter_initializer\.filter_conv\.(weight|bias)", name)
+        if m:
+            leaf = "kernel" if m.group(1) == "weight" else "bias"
+            v = _conv_kernel(t) if m.group(1) == "weight" else _np(t)
+            put(f"filter_initializer/filter_conv/{leaf}", v)
+            continue
+        m = re.match(r"classifier\.filter_optimizer\.(log_step_length|filter_reg)", name)
+        if m:
+            put(f"filter_optimizer/{m.group(1)}", _np(t).reshape(1))
+            continue
+        m = re.match(r"classifier\.filter_optimizer\.label_map_predictor\.weight", name)
+        if m:
+            put("filter_optimizer/label_map_kernel", _np(t).reshape(-1))
+            continue
+        m = re.match(r"classifier\.filter_optimizer\.target_mask_predictor\.0\.weight", name)
+        if m:
+            put("filter_optimizer/target_mask_kernel", _np(t).reshape(-1))
+            continue
+        m = re.match(r"classifier\.filter_optimizer\.spatial_weight_predictor\.weight", name)
+        if m:
+            put("filter_optimizer/spatial_weight_kernel", _np(t).reshape(-1))
+            continue
+
+        m = re.match(r"bb_regressor\.(\w+)\.(.+)", name)
+        if m:
+            mod, sub = m.groups()
+            base = f"bb_regressor/{mod}"
+            if mod == "iou_predictor":
+                if sub == "weight":
+                    put(f"{base}/kernel", _dense_kernel(t))
+                else:
+                    put(f"{base}/bias", _np(t))
+                continue
+            if mod in lin_pool:
+                sz = lin_pool[mod]
+                if sub == "linear.weight":
+                    w = _np(t)  # (out, C*sz*sz) flattened CHW
+                    o = w.shape[0]
+                    w = w.reshape(o, -1, sz, sz).transpose(0, 2, 3, 1).reshape(o, -1)
+                    put(f"{base}/linear/kernel", w.T)
+                elif sub == "linear.bias":
+                    put(f"{base}/linear/bias", _np(t))
+                else:
+                    m2 = re.match(r"bn\.(.+)", sub)
+                    if m2:
+                        p = put_bn(f"{base}/bn", m2.group(1))
+                        if p:
+                            put(p, _np(t))
+                continue
+            # ConvBlock: .0 conv (with bias), .1 BN
+            if sub == "0.weight":
+                put(f"{base}/conv/kernel", _conv_kernel(t))
+            elif sub == "0.bias":
+                put(f"{base}/conv/bias", _np(t))
+            elif sub.startswith("1."):
+                p = put_bn(f"{base}/bn", sub[2:])
+                if p:
+                    put(p, _np(t))
+            continue
+
+    return flax.traverse_util.unflatten_dict(out)
+
+
 def load_into(flax_params: dict, converted: dict, strict: bool = False) -> tuple[dict, list, list]:
     """Overlay converted leaves onto an initialized flax tree.
 

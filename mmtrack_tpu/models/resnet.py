@@ -26,10 +26,11 @@ class BasicBlock(nn.Module):
     def __call__(self, x):
         identity = x
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=False, dtype=self.dtype, name="conv1")(x)
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)  # explicit pad: torch-symmetric under stride 2
         y = FrozenBatchNorm(name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False,
+        y = nn.Conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                     dtype=self.dtype, name="conv2")(y)
         y = FrozenBatchNorm(name="bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.planes:
@@ -52,7 +53,8 @@ class Bottleneck(nn.Module):
         y = FrozenBatchNorm(name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=False, dtype=self.dtype, name="conv2")(y)
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
+                    name="conv2")(y)  # explicit pad: torch-symmetric under stride 2
         y = FrozenBatchNorm(name="bn2")(y)
         y = nn.relu(y)
         y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)

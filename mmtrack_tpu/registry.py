@@ -102,7 +102,7 @@ def _siamfc():
     return build
 
 
-def _mdnet(mode: str):
+def _mdnet(mode: str, vital: bool = False):
     def build(seed=0, params=None):
         from mmtrack_tpu.models.mdnet import MDNet
         from mmtrack_tpu.trackers.mdnet_tracker import MDNetRuntime, MDNetTracker
@@ -110,7 +110,7 @@ def _mdnet(mode: str):
         if params is None:
             x = jnp.zeros((1, 107, 107, 6))
             params = jax.jit(lambda r: model.init(r, x))(jax.random.PRNGKey(seed))
-        return MDNetTracker(model, params, MDNetRuntime())
+        return MDNetTracker(model, params, MDNetRuntime(vital=vital))
     return build
 
 
@@ -237,7 +237,9 @@ TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
     "siamfc": TrackerRecipe(_siamfc(), "rgbe", "siamfc"),
     "mdnet": TrackerRecipe(_mdnet("single"), "rgb", "mdnet"),
     "pymdnet": TrackerRecipe(_mdnet("dual"), "rgbe", "mdnet"),
-    "pyvital": TrackerRecipe(_mdnet("dual"), "rgbe", "mdnet"),  # VITAL weights
+    # pyVITAL: dual MDNet + adversarial GNet masking in the online protocol
+    # (g_pretrain at init + masked positives + G updates; models/vital.py)
+    "pyvital": TrackerRecipe(_mdnet("dual", vital=True), "rgbe", "mdnet"),
     "manet": TrackerRecipe(_mdnet("adapter"), "rgbe", "mdnet"),
     "apfnet": TrackerRecipe(_apfnet(), "rgbt", "mdnet"),
     "dafnet": TrackerRecipe(_dafnet(), "rgbt", "mdnet"),

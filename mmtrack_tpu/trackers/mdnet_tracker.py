@@ -61,6 +61,17 @@ class MDNetRuntime:
     bbreg_lambda: float = 1000.0
     success_thr: float = 0.0
     topk: int = 5
+    # VITAL adversarial masking (pyVITAL run_tracker.py train():83-151 +
+    # g_pretrain at init): the GNet proposes (3,3) feature drop masks; the
+    # classifier trains on masked positives, G trains to minimize the
+    # classifier's positive score.
+    vital: bool = False
+    vital_drop_cells: int = 3      # lowest-G cells dropped (lines 113-127)
+    vital_feat_hw: int = 3
+    vital_feat_dim: int = 512
+    g_pretrain_iters: int = 20     # g_pretrain.py supervised warmup
+    g_update_iters: int = 2        # G SGD steps per classifier update
+    lr_g: float = 1e-3
 
 
 # ---------------------------------------------------------------- sampling
@@ -140,14 +151,43 @@ def _score_fn(model, params, fc_params, feats, branch=0, rng=None, train=False):
                        method=type(model).score)
 
 
+def _vital_drop_mask(rt: MDNetRuntime, gnet, g_params, pos_batch):
+    """Per-sample hard drop mask: zero the rt.vital_drop_cells cells with the
+    LOWEST GNet response (run_tracker.py:107-133; implemented per sample —
+    the reference's python loop overwrote the mask batch-wide)."""
+    B = pos_batch.shape[0]
+    flat = pos_batch.sum(axis=1)  # streams summed (vis + event, line 109)
+    scores = gnet.apply(g_params, flat).reshape(B, -1)
+    _, low = jax.lax.top_k(-scores, rt.vital_drop_cells)
+    drop = jax.nn.one_hot(low, scores.shape[1]).sum(axis=1)
+    return (1.0 - drop).reshape(B, rt.vital_feat_hw, rt.vital_feat_hw)
+
+
+def _apply_cell_mask(rt: MDNetRuntime, feats, mask):
+    """feats (B, streams, D) with D = hw*hw*C (NHWC flatten); mask (B,h,w)."""
+    B, S = feats.shape[0], feats.shape[1]
+    f = feats.reshape(B, S, rt.vital_feat_hw, rt.vital_feat_hw,
+                      rt.vital_feat_dim)
+    return (f * mask[:, None, :, :, None]).reshape(B, S, -1)
+
+
 def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
-              pos_feats, pos_valid, neg_feats, neg_valid, n_iter, lr, rng):
+              pos_feats, pos_valid, neg_feats, neg_valid, n_iter, lr, rng,
+              gnet=None, g_state=None):
     """SGD+momentum fine-tuning with hard-negative mining (pyMDNet train(),
     run_tracker.py:52-117). pos/neg_feats: (Np, S, D)/(Nn, S, D) with
-    validity masks; n_iter may be traced (0 = no-op)."""
+    validity masks; n_iter may be traced (0 = no-op).
 
-    def loss_fn(fc, pos_idx, neg_idx, drop_rng):
+    With rt.vital (gnet + g_state given), positives are adversarially
+    masked by GNet before the classifier loss, and G takes its own SGD
+    steps against the updated classifier afterwards. Returns
+    (fc, momentum, rng, g_state)."""
+    use_vital = rt.vital and gnet is not None and g_state is not None
+
+    def loss_fn(fc, pos_idx, neg_idx, drop_rng, g_params):
         pf = pos_feats[pos_idx]
+        if use_vital:
+            pf = _apply_cell_mask(rt, pf, _vital_drop_mask(rt, gnet, g_params, pf))
         nf = neg_feats[neg_idx]
         r1, r2 = jax.random.split(drop_rng)
         pos_logits = _score_fn(model, params, fc, pf, rng=r1, train=True)
@@ -165,7 +205,7 @@ def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
             fc)
 
     def body(i, carry):
-        fc, mom, rng = carry
+        fc, mom, rng, g_st = carry
         rng, r_pos, r_neg, r_mine, r_drop = jax.random.split(rng, 5)
         pos_p = pos_valid / jnp.maximum(pos_valid.sum(), 1)
         pos_idx = jax.random.choice(r_pos, pos_feats.shape[0],
@@ -178,13 +218,48 @@ def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
         _, top = jax.lax.top_k(cand_scores, rt.batch_neg)
         neg_idx = cand_idx[top]
 
-        grads = jax.grad(loss_fn)(fc, pos_idx, neg_idx, r_drop)
+        g_params = g_st["g"] if use_vital else None
+        grads = jax.grad(loss_fn)(fc, pos_idx, neg_idx, r_drop, g_params)
         lrs = lr_tree(fc)
         mom = jax.tree.map(lambda m, g: rt.momentum * m + g, mom, grads)
         fc = jax.tree.map(lambda p, m, l: p - l * m, fc, mom, lrs)
-        return fc, mom, rng
+        return fc, mom, rng, g_st
 
-    return jax.lax.fori_loop(0, n_iter, body, (fc_params, momentum, rng))
+    if g_state is None:
+        g_state = {}
+    fc_params, momentum, rng, g_state = jax.lax.fori_loop(
+        0, n_iter, body, (fc_params, momentum, rng, g_state))
+
+    if use_vital:
+        # adversarial G step against the updated classifier
+        # (run_tracker.py:181-191): minimize positive score under G's mask
+        from mmtrack_tpu.models.vital import apply_mask
+
+        def g_objective(g_params, pos_idx):
+            pf = pos_feats[pos_idx]
+            flat = pf.sum(axis=1)
+            mask = gnet.apply(g_params, flat)
+            masked = jax.vmap(
+                lambda f, m: _apply_cell_mask(rt, f[None], m[None])[0]
+            )(pf, mask)
+            return _score_fn(model, params, fc_params, masked)[:, 1].mean()
+
+        def g_body(i, carry):
+            g_st, rng = carry
+            rng, r = jax.random.split(rng)
+            pos_p = pos_valid / jnp.maximum(pos_valid.sum(), 1)
+            idx = jax.random.choice(r, pos_feats.shape[0], (rt.batch_pos,),
+                                    p=pos_p)
+            grads = jax.grad(g_objective)(g_st["g"], idx)
+            g_mom = jax.tree.map(lambda m, g: rt.momentum * m + g,
+                                 g_st["g_mom"], grads)
+            g = jax.tree.map(lambda p, m: p - rt.lr_g * m, g_st["g"], g_mom)
+            return {"g": g, "g_mom": g_mom}, rng
+
+        g_iters = jnp.where(n_iter > 0, rt.g_update_iters, 0)
+        g_state, rng = jax.lax.fori_loop(0, g_iters, g_body, (g_state, rng))
+
+    return fc_params, momentum, rng, g_state
 
 
 # ---------------------------------------------------------------- bbox regression
@@ -219,7 +294,7 @@ def _ridge_fit(X, Y, lam):
 # ---------------------------------------------------------------- runtime
 
 def mdnet_init_state(rt: MDNetRuntime, model: MDNet, params, frame,
-                     init_box, rng) -> dict:
+                     init_box, rng, gnet=None) -> dict:
     H, W = frame.shape[0], frame.shape[1]
     img_hw = (H, W)
     rngs = jax.random.split(rng, 8)
@@ -238,10 +313,52 @@ def mdnet_init_state(rt: MDNetRuntime, model: MDNet, params, frame,
     fc_params = {k: params["params"][k] for k in params["params"]
                  if k.startswith("fc")}
     momentum = jax.tree.map(jnp.zeros_like, fc_params)
-    fc_params, momentum, _ = _fc_train(
+    fc_params, momentum, _, _ = _fc_train(
         rt, model, params, fc_params, momentum,
         pos_feats, jnp.ones(rt.n_init_pos), neg_feats, jnp.ones(rt.n_init_neg),
         rt.init_iters, rt.lr_init, rngs[2])
+
+    g_state = {}
+    if rt.vital and gnet is not None:
+        # g_pretrain (pyVITAL g_pretrain.py + run_tracker.py:251): supervised
+        # warmup — G learns to flag the cells whose removal hurts the freshly
+        # trained classifier most (lowest output at the most damaging cells).
+        n_cells = rt.vital_feat_hw * rt.vital_feat_hw
+        g_params = gnet.init(rngs[5], jnp.zeros(
+            (1, n_cells * rt.vital_feat_dim)))
+        g_mom = jax.tree.map(jnp.zeros_like, g_params)
+        one_cell = 1.0 - jnp.eye(n_cells).reshape(n_cells, rt.vital_feat_hw,
+                                                  rt.vital_feat_hw)
+
+        def damage(pf):
+            def one(mask):
+                masked = _apply_cell_mask(
+                    rt, pf, jnp.tile(mask[None], (pf.shape[0], 1, 1)))
+                return _score_fn(model, params, fc_params, masked)[:, 1].mean()
+            return jax.vmap(one)(one_cell)  # (D,) lower = more damaging
+
+        def pre_body(i, carry):
+            g, mom_g, rng_g = carry
+            rng_g, r = jax.random.split(rng_g)
+            idx = jax.random.choice(r, rt.n_init_pos, (rt.batch_pos,))
+            pf = pos_feats[idx]
+            dmg = damage(pf)
+            _, worst = jax.lax.top_k(-dmg, rt.vital_drop_cells)
+            target = 1.0 - jax.nn.one_hot(worst, n_cells).sum(axis=0)
+
+            def pre_loss(gp):
+                pred = gnet.apply(gp, pf.sum(axis=1)).reshape(pf.shape[0],
+                                                              n_cells)
+                return ((pred - target[None]) ** 2).mean()
+
+            grads = jax.grad(pre_loss)(g)
+            mom_g = jax.tree.map(lambda m, gr: rt.momentum * m + gr, mom_g, grads)
+            g = jax.tree.map(lambda p, m: p - rt.lr_g * m, g, mom_g)
+            return g, mom_g, rng_g
+
+        g_params, g_mom, _ = jax.lax.fori_loop(
+            0, rt.g_pretrain_iters, pre_body, (g_params, g_mom, rngs[6]))
+        g_state = {"g": g_params, "g_mom": g_mom}
 
     # ridge bbox regressor on init pos samples (run_tracker.py bbreg section)
     bb_boxes = _sample_filtered(
@@ -268,10 +385,12 @@ def mdnet_init_state(rt: MDNetRuntime, model: MDNet, params, frame,
         "frame_num": jnp.asarray(1, jnp.int32),
         "bbreg_X": Xb, "bbreg_alpha": bb_alpha,
         "rng": rngs[4],
+        "g_state": g_state,
     }
 
 
-def mdnet_track_step(rt: MDNetRuntime, model: MDNet, params, state, frame):
+def mdnet_track_step(rt: MDNetRuntime, model: MDNet, params, state, frame,
+                     gnet=None):
     H, W = frame.shape[0], frame.shape[1]
     img_hw = (H, W)
     state = {**state, "frame_num": state["frame_num"] + 1}
@@ -343,10 +462,13 @@ def mdnet_track_step(rt: MDNetRuntime, model: MDNet, params, state, frame):
     pos_valid = jnp.repeat(pos_sel.astype(jnp.float32), rt.n_pos_update)
     neg_valid = jnp.repeat(filled_n.astype(jnp.float32), rt.n_neg_update)
 
-    fc, mom, _ = _fc_train(rt, model, params, state["fc"], state["momentum"],
-                           pos_flat, pos_valid, neg_flat, neg_valid,
-                           n_iter, rt.lr_update, r_train)
-    state = {**state, "fc": fc, "momentum": mom}
+    fc, mom, _, g_state = _fc_train(
+        rt, model, params, state["fc"], state["momentum"],
+        pos_flat, pos_valid, neg_flat, neg_valid,
+        n_iter, rt.lr_update, r_train,
+        gnet=gnet, g_state=state["g_state"] if state["g_state"] else None)
+    state = {**state, "fc": fc, "momentum": mom,
+             "g_state": g_state if g_state else state["g_state"]}
 
     return state, box, mean_score
 
@@ -360,8 +482,16 @@ class MDNetTracker:
         self.params = params
         self.rt = runtime or MDNetRuntime()
         self.seed = seed
-        self._init_fn = jax.jit(partial(mdnet_init_state, self.rt, self.model))
-        self._step_fn = jax.jit(partial(mdnet_track_step, self.rt, self.model))
+        self.gnet = None
+        if self.rt.vital:
+            from mmtrack_tpu.models.vital import GNet
+
+            self.gnet = GNet(feat_hw=self.rt.vital_feat_hw,
+                             feat_dim=self.rt.vital_feat_dim)
+        self._init_fn = jax.jit(partial(mdnet_init_state, self.rt, self.model,
+                                        gnet=self.gnet))
+        self._step_fn = jax.jit(partial(mdnet_track_step, self.rt, self.model,
+                                        gnet=self.gnet))
         self.state = None
 
     def initialize(self, image: np.ndarray, info: dict) -> None:

@@ -110,3 +110,33 @@ def test_mdnet_tracker_end_to_end():
         assert np.isfinite(b).all() and b[2] > 0 and b[3] > 0
         assert np.isfinite(out["best_score"])
     assert int(tracker.state["frame_num"]) == 4
+
+
+@pytest.mark.slow
+def test_pyvital_adversarial_protocol():
+    """pyVITAL: the GNet is pretrained at init, masks positives during
+    updates, and is itself updated adversarially (run_tracker.py:83-151,
+    251). The recipe must actually exercise models/vital.py."""
+    rt = MDNetRuntime(n_init_pos=64, n_init_neg=128, init_iters=3,
+                      update_iters=2, batch_test=64, batch_pos=8,
+                      batch_neg=16, batch_neg_cand=64, n_pos_update=8,
+                      n_neg_update=16, n_frames_long=6, n_frames_short=3,
+                      n_bbreg=32, long_interval=2,
+                      vital=True, g_pretrain_iters=3, g_update_iters=1)
+    model = MDNet(mode="dual")
+    x = jnp.zeros((1, 107, 107, 6))
+    params = jax.jit(lambda r: model.init(r, x))(jax.random.PRNGKey(0))
+    frames, gt = make_synthetic_sequence(n_frames=4, height=120, width=160)
+    tracker = MDNetTracker(model, params, rt)
+    assert tracker.gnet is not None
+    tracker.initialize(frames[0], {"init_bbox": gt[0].tolist()})
+    g0 = jax.tree.map(np.asarray, tracker.state["g_state"]["g"])
+    assert jax.tree.leaves(g0), "g params must exist after init"
+    for t in range(1, 4):
+        out = tracker.track(frames[t])
+        assert np.isfinite(out["target_bbox"]).all()
+    g1 = tracker.state["g_state"]["g"]
+    # G moved: at least one frame forced an update (long_interval=2)
+    diff = max(float(np.abs(a - np.asarray(b)).max())
+               for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)))
+    assert diff > 0, "GNet must be updated adversarially during tracking"

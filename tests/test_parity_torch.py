@@ -33,6 +33,17 @@ def test_vipt_reference_weight_parity(variant):
     assert res["pass"], res
 
 
+def test_dimp_reference_weight_parity():
+    """Full-scale DeT-DiMP50 (max merge): backbone+merge, clf features,
+    filter init, 5 GN iterations, scores and IoUNet vs the reference torch
+    model (68.8M params)."""
+    from tools.parity.check_dimp import run
+
+    res = run("max")
+    assert res["unexpected_torch_keys"] == []
+    assert res["pass"], res
+
+
 def test_mixformer_reference_weight_parity_small():
     """Structural parity at reduced dims (full published scale takes ~15 min
     on this 1-core host; run `python tools/parity/check_mixformer.py` for the

@@ -98,6 +98,52 @@ def load_vipt_reference(variant: str = "deep_rgbd"):
         return model, cfg_mod.cfg, mask
 
 
+def load_dimp_reference(merge_type: str | None = "max", filter_size: int = 4,
+                        num_dist_bins: int = 100, bin_displacement: float = 0.1,
+                        init_gauss_sigma: float = 0.9,
+                        mask_init_factor: float = 3.0):
+    """Build the reference DiMPnet / DiMPnet_DeT (torch, CPU, eval) with the
+    dimp50 training-settings hyper-parameters (the published DiMP-50 config;
+    dimpnet.py dimp50_DeT / dimpnet50). The CUDA PrRoIPool2D import inside
+    ltr is satisfied by pre-registering the shim's CPU implementation."""
+    import torch
+
+    # torch._six was removed in torch>=2; ltr.data.loader still imports it
+    if "torch._six" not in sys.modules:
+        import types
+
+        six = types.ModuleType("torch._six")
+        six.string_classes = (str,)
+        six.int_classes = (int,)
+        sys.modules["torch._six"] = six
+
+    with reference_path("RGBD/models/DeT"):
+        # ltr.external.PreciseRoIPooling is a CUDA build; alias the shim's
+        # exact CPU PrRoIPool2D under that name BEFORE atom_iou_net imports.
+        import importlib as _il
+
+        shim_pp = _il.import_module("external.PreciseRoIPooling.pytorch.prroi_pool")
+        for alias in ("ltr.external", "ltr.external.PreciseRoIPooling",
+                      "ltr.external.PreciseRoIPooling.pytorch",
+                      "ltr.external.PreciseRoIPooling.pytorch.prroi_pool"):
+            sys.modules[alias] = shim_pp
+
+        dimpnet = importlib.import_module("ltr.models.tracking.dimpnet")
+        torch.manual_seed(0)
+        kwargs = dict(filter_size=filter_size, optim_iter=5,
+                      backbone_pretrained=False,
+                      out_feature_dim=512, init_gauss_sigma=init_gauss_sigma,
+                      num_dist_bins=num_dist_bins,
+                      bin_displacement=bin_displacement,
+                      mask_init_factor=mask_init_factor, score_act="relu")
+        if merge_type is None:
+            model = dimpnet.dimpnet50(**kwargs)
+        else:
+            model = dimpnet.dimp50_DeT(merge_type=merge_type, **kwargs)
+        model.eval()
+        return model
+
+
 def load_mixformer_reference(variant: str = "baseline_large"):
     """Build the reference MixFormerRGBDOnlineScore (torch, CPU, eval) at
     published scale (build_mixformer_rgbd_online_score, train=False skips
