@@ -421,6 +421,214 @@ def convert_dimp_checkpoint(state_dict: dict) -> dict:
     return flax.traverse_util.unflatten_dict(out)
 
 
+def _put_mha(put, base_t: str, base_f: str, name: str, t) -> bool:
+    """torch nn.MultiheadAttention -> q/k/v/proj Dense leaves."""
+    m = re.match(rf"{re.escape(base_t)}\.in_proj_(weight|bias)$", name)
+    if m:
+        v = _np(t)
+        d = v.shape[0] // 3
+        for i, part in enumerate(("q", "k", "v")):
+            chunk = v[i * d:(i + 1) * d]
+            if m.group(1) == "weight":
+                put(f"{base_f}/{part}/kernel", chunk.T)
+            else:
+                put(f"{base_f}/{part}/bias", chunk)
+        return True
+    m = re.match(rf"{re.escape(base_t)}\.out_proj\.(weight|bias)$", name)
+    if m:
+        if m.group(1) == "weight":
+            put(f"{base_f}/proj/kernel", _dense_kernel(t))
+        else:
+            put(f"{base_f}/proj/bias", _np(t))
+        return True
+    return False
+
+
+def convert_stark_checkpoint(state_dict: dict) -> dict:
+    """torch STARKS/STARKST (SPT) state_dict -> flax params tree.
+
+    Name surface: RGBD/models/SPT/lib/models/stark/{stark_s,stark_st,
+    transformer}.py — dual DETR backbones (Joiner index 0 + body), color/
+    depth/fusion encoders, decoder with final norm, Conv1d neck, corner
+    head, ST2 MLP cls head. The unused positional-embedding Joiner slot has
+    no parameters (sine).
+    """
+    out: dict[tuple, np.ndarray] = {}
+
+    def put(path, value):
+        out[tuple(path.split("/"))] = value
+
+    def put_ln(base, leaf, t):
+        put(f"{base}/{'scale' if leaf == 'weight' else 'bias'}", _np(t))
+
+    def put_bn(base, leaf, t):
+        nm = {"weight": "scale", "bias": "bias", "running_mean": "mean",
+              "running_var": "var"}.get(leaf)
+        if nm:
+            put(f"{base}/{nm}", _np(t))
+
+    enc_map = {"transformer.encoder_color.layers": "enc",
+               "transformer.encoder_depth.layers": "enc_d",
+               "transformer.fusion.layers": "fus",
+               "transformer.encoder.layers": "enc"}   # single-backbone stark
+
+    for name, t in state_dict.items():
+        if name.startswith("backbone_color.0.body.") or \
+                name.startswith("backbone.0.body."):
+            pref = name.split(".body.")[0] + ".body"
+            _convert_resnet(pref, "backbone", name, t, put)
+            continue
+        if name.startswith("backbone_depth.0.body."):
+            _convert_resnet("backbone_depth.0.body", "backbone_x", name, t, put)
+            continue
+        m = re.match(r"bottleneck(_color)?\.(weight|bias)", name)
+        if m:
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            v = _conv_kernel(t) if m.group(2) == "weight" else _np(t)
+            put(f"bottleneck/{leaf}", v)
+            continue
+        m = re.match(r"bottleneck_depth\.(weight|bias)", name)
+        if m:
+            leaf = "kernel" if m.group(1) == "weight" else "bias"
+            v = _conv_kernel(t) if m.group(1) == "weight" else _np(t)
+            put(f"bottleneck_x/{leaf}", v)
+            continue
+        if name == "query_embed.weight":
+            put("query_embed", _np(t))
+            continue
+        m = re.match(r"transformer\.neck\.(weight|bias)", name)
+        if m:
+            if m.group(1) == "weight":
+                put("neck/kernel", _np(t)[:, :, 0].T)  # Conv1d (O,I,1)
+            else:
+                put("neck/bias", _np(t))
+            continue
+        m = re.match(r"transformer\.decoder\.norm\.(weight|bias)", name)
+        if m:
+            put_ln("dec_norm", m.group(1), t)
+            continue
+
+        handled = False
+        for tpref, fpref in enc_map.items():
+            m = re.match(rf"{re.escape(tpref)}\.(\d+)\.(.+)", name)
+            if not m:
+                continue
+            i, sub = m.groups()
+            base = f"{fpref}_{i}"
+            if _put_mha(put, "self_attn", f"{base}/self_attn", sub, t):
+                handled = True
+                break
+            m2 = re.match(r"linear([12])\.(weight|bias)", sub)
+            if m2:
+                leaf = "kernel" if m2.group(2) == "weight" else "bias"
+                v = _dense_kernel(t) if m2.group(2) == "weight" else _np(t)
+                put(f"{base}/linear{m2.group(1)}/{leaf}", v)
+                handled = True
+                break
+            m2 = re.match(r"norm([12])\.(weight|bias)", sub)
+            if m2:
+                put_ln(f"{base}/norm{m2.group(1)}", m2.group(2), t)
+                handled = True
+                break
+            handled = True
+            break
+        if handled:
+            continue
+
+        m = re.match(r"transformer\.decoder\.layers\.(\d+)\.(.+)", name)
+        if m:
+            i, sub = m.groups()
+            base = f"dec_{i}"
+            if _put_mha(put, "self_attn", f"{base}/self_attn", sub, t):
+                continue
+            if _put_mha(put, "multihead_attn", f"{base}/cross_attn", sub, t):
+                continue
+            m2 = re.match(r"linear([12])\.(weight|bias)", sub)
+            if m2:
+                leaf = "kernel" if m2.group(2) == "weight" else "bias"
+                v = _dense_kernel(t) if m2.group(2) == "weight" else _np(t)
+                put(f"{base}/linear{m2.group(1)}/{leaf}", v)
+                continue
+            m2 = re.match(r"norm([123])\.(weight|bias)", sub)
+            if m2:
+                put_ln(f"{base}/norm{m2.group(1)}", m2.group(2), t)
+            continue
+
+        m = re.match(r"box_head\.conv(\d)_(tl|br)\.(.+)", name)
+        if m:
+            k, branch, sub = m.groups()
+            base = f"box_head/{branch}/conv{k}"
+            if k == "5":
+                if sub == "weight":
+                    put(f"{base}/kernel", _conv_kernel(t))
+                elif sub == "bias":
+                    put(f"{base}/bias", _np(t))
+            elif sub == "0.weight":
+                put(f"{base}/conv/kernel", _conv_kernel(t))
+            elif sub == "0.bias":
+                put(f"{base}/conv/bias", _np(t))
+            elif sub.startswith("1."):
+                put_bn(f"{base}/bn", sub[2:], t)
+            continue
+
+        m = re.match(r"cls_head\.layers\.(\d)\.(weight|bias)", name)
+        if m:
+            if m.group(2) == "weight":
+                put(f"cls_{m.group(1)}/kernel", _dense_kernel(t))
+            else:
+                put(f"cls_{m.group(1)}/bias", _np(t))
+            continue
+
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def convert_mdnet_checkpoint(state_dict: dict) -> dict:
+    """torch pyMDNet/pyVITAL state_dict -> flax params tree.
+
+    Name surface: RGBE/models/pyMDNet/modules/model.py:44-66 (conv1-3
+    Sequential trunk, fc4/fc5 linears, fc6 domain branches). The fc4 weight
+    is permuted from the torch CHW conv flatten to the NHWC flatten.
+    """
+    out: dict[tuple, np.ndarray] = {}
+
+    def put(path, value):
+        out[tuple(path.split("/"))] = value
+
+    for name, t in state_dict.items():
+        m = re.match(r"layers\.conv(\d)\.0\.(weight|bias)", name)
+        if m:
+            if m.group(2) == "weight":
+                put(f"features/conv{m.group(1)}/kernel", _conv_kernel(t))
+            else:
+                put(f"features/conv{m.group(1)}/bias", _np(t))
+            continue
+        m = re.match(r"layers\.fc4\.0\.(weight|bias)", name)
+        if m:
+            if m.group(1) == "weight":
+                w = _np(t)  # (512, 512*3*3) CHW flatten
+                w = w.reshape(w.shape[0], 512, 3, 3).transpose(0, 2, 3, 1)
+                put("fc4/kernel", w.reshape(w.shape[0], -1).T)
+            else:
+                put("fc4/bias", _np(t))
+            continue
+        m = re.match(r"layers\.fc5\.1\.(weight|bias)", name)
+        if m:
+            if m.group(1) == "weight":
+                put("fc5/kernel", _dense_kernel(t))
+            else:
+                put("fc5/bias", _np(t))
+            continue
+        m = re.match(r"branches\.(\d+)\.1\.(weight|bias)", name)
+        if m:
+            if m.group(2) == "weight":
+                put(f"fc6_{m.group(1)}/kernel", _dense_kernel(t))
+            else:
+                put(f"fc6_{m.group(1)}/bias", _np(t))
+            continue
+
+    return flax.traverse_util.unflatten_dict(out)
+
+
 def load_into(flax_params: dict, converted: dict, strict: bool = False) -> tuple[dict, list, list]:
     """Overlay converted leaves onto an initialized flax tree.
 

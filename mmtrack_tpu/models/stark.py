@@ -2,13 +2,16 @@
 
 Rebuild of RGBD/models/SPT/lib/models/stark/{stark_s.py,stark_st.py,
 transformer.py,head.py}: ResNet-50 layer3 features bottlenecked to d=256,
-sine positional encodings, DETR-style encoder over concatenated
-template+search tokens, 1-query decoder, and the corner head driven by the
-decoder-modulated encoder memory (stark_s.py:92-108). The SPT VOT22-RGBD
-variant feeds 6-channel (RGB + JET-colormapped depth) input through dual
-backbones whose token sequences are concatenated (stark_s.py:16-41).
-STARK-ST's classification head (template-update gating) is the `score_head`
-option.
+DETR sine positional encodings, post-norm encoder layers over the
+template+search token sequence, 1-query decoder (with final norm), and the
+corner head driven by the decoder-modulated encoder memory
+(stark_s.py:87-102). The SPT VOT22-RGBD variant (six_channel=True) runs a
+6-layer encoder PER modality over dual-backbone tokens, fuses them through
+a 1x1 Conv1d neck + 2-layer fusion encoder (transformer.py:36-121), then
+decodes from the fused memory. STARK-ST's 3-layer MLP classification head
+(template-update gating) is the `score_head` option. Weight conversion:
+models/convert.py convert_stark_checkpoint, validated at full scale in
+tools/parity/check_stark.py.
 """
 
 from __future__ import annotations
@@ -102,8 +105,16 @@ class STARK(nn.Module):
     """STARK-S/ST tracker model.
 
     __call__(template (B,Tz,Tz,C), search (B,Tx,Tx,C)) -> dict with
-    pred_boxes (B, 4) cxcywh normalized; `six_channel` selects the SPT
-    dual-backbone variant; `score_head` adds the ST2 confidence branch.
+    pred_boxes (B, 4) cxcywh normalized.
+
+    six_channel=True is the SPT architecture (SPT/lib/models/stark/
+    stark_s.py + transformer.py:36-78): separate color/depth ResNet-50
+    (layer3) backbones and bottlenecks, a 6-layer encoder PER modality over
+    the template+search token sequence, channel concat -> 1x1 neck ->
+    2-layer fusion encoder, then the 1-query decoder and corner head on the
+    fused memory. six_channel=False is the original RGB STARK-S (single
+    backbone + 6-layer encoder). `score_head` adds the ST2 confidence
+    branch (stark_st2 cls head).
     """
     template_size: int = 128
     search_size: int = 320
@@ -111,6 +122,7 @@ class STARK(nn.Module):
     heads: int = 8
     enc_layers: int = 6
     dec_layers: int = 6
+    fusion_layers: int = 2          # TRANSFORMER.FUS_LAYERS (config.py:28)
     six_channel: bool = False
     score_head: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -120,55 +132,76 @@ class STARK(nn.Module):
         return self.search_size // 16
 
     def setup(self):
-        self.backbone = resnet50(self.dtype)
+        # layer3-truncated ResNet-50 (backbone.py:101-106, last_layer='layer3')
+        from mmtrack_tpu.models.resnet import ResNet
+        self.backbone = ResNet(stage_sizes=(3, 4, 6), block="bottleneck",
+                               dtype=self.dtype, name="backbone")
         self.bottleneck = nn.Conv(self.dim, (1, 1), name="bottleneck")
         if self.six_channel:
-            self.backbone_x = resnet50(self.dtype)
+            self.backbone_x = ResNet(stage_sizes=(3, 4, 6), block="bottleneck",
+                                     dtype=self.dtype, name="backbone_x")
             self.bottleneck_x = nn.Conv(self.dim, (1, 1), name="bottleneck_x")
+            self.encoder_d = [EncoderLayer(self.dim, self.heads, dtype=self.dtype,
+                                           name=f"enc_d_{i}")
+                              for i in range(self.enc_layers)]
+            self.neck = nn.Dense(self.dim, name="neck")  # Conv1d k=1
+            self.fusion = [EncoderLayer(self.dim, self.heads, dtype=self.dtype,
+                                        name=f"fus_{i}")
+                           for i in range(self.fusion_layers)]
         self.query_embed = self.param("query_embed",
                                       nn.initializers.normal(1.0), (1, self.dim))
         self.encoder = [EncoderLayer(self.dim, self.heads, dtype=self.dtype,
                                      name=f"enc_{i}") for i in range(self.enc_layers)]
         self.decoder = [DecoderLayer(self.dim, self.heads, dtype=self.dtype,
                                      name=f"dec_{i}") for i in range(self.dec_layers)]
+        self.dec_norm = nn.LayerNorm(dtype=self.dtype, name="dec_norm")
         self.box_head = CornerPredictor(channel=self.dim, feat_sz=self.feat_sz_s,
                                         stride=16, dtype=self.dtype, name="box_head")
         if self.score_head:
-            self.cls_head = nn.Dense(1, name="cls_head")
+            # ST2 cls head is a 3-layer MLP (build_starkst, stark_st.py:65)
+            self.cls_head = [nn.Dense(self.dim, name="cls_0"),
+                             nn.Dense(self.dim, name="cls_1"),
+                             nn.Dense(1, name="cls_2")]
 
     def embed(self, im: jnp.ndarray):
-        """(B, S, S, 3|6) -> (B, hw, dim) tokens + (hw, dim) pos embed."""
+        """(B, S, S, 3|6) -> (color tokens (B,hw,d), depth tokens or None,
+        pos (hw, d))."""
         f = self.backbone(im[..., :3], ("layer3",))["layer3"]
         tok = self.bottleneck(f)
         B, h, w, _ = tok.shape
-        tokens = tok.reshape(B, h * w, self.dim)
+        tokens_c = tok.reshape(B, h * w, self.dim)
         pos = sine_position_embedding(h, w, self.dim)
+        tokens_d = None
         if self.six_channel:
             fx = self.backbone_x(im[..., 3:6], ("layer3",))["layer3"]
-            tokens_x = self.bottleneck_x(fx).reshape(B, h * w, self.dim)
-            tokens = jnp.concatenate([tokens, tokens_x], axis=1)
-            pos = jnp.concatenate([pos, pos], axis=0)
-        return tokens, pos
+            tokens_d = self.bottleneck_x(fx).reshape(B, h * w, self.dim)
+        return tokens_c, tokens_d, pos
 
-    def transformer(self, z_tokens, z_pos, x_tokens, x_pos):
-        """Returns (decoder output (B, 1, dim), encoder memory (B, L, dim))."""
-        mem = jnp.concatenate([z_tokens, x_tokens], axis=1)
+    def transformer(self, z_c, z_d, z_pos, x_c, x_d, x_pos):
+        """Returns (decoder output (B, 1, dim), memory (B, L, dim)) with
+        L = len_z + len_x (transformer.py:85-121)."""
         pos = jnp.concatenate([z_pos, x_pos], axis=0)[None]
+        mem = jnp.concatenate([z_c, x_c], axis=1)
         for layer in self.encoder:
             mem = layer(mem, pos)
+        if self.six_channel:
+            mem_d = jnp.concatenate([z_d, x_d], axis=1)
+            for layer in self.encoder_d:
+                mem_d = layer(mem_d, pos)
+            # channel concat -> 1x1 neck -> fusion encoder (lines 98-101)
+            mem = self.neck(jnp.concatenate([mem, mem_d], axis=-1))
+            for layer in self.fusion:
+                mem = layer(mem, pos)
         tgt = jnp.zeros((mem.shape[0], 1, self.dim), self.dtype)
         qpos = self.query_embed[None]
         for layer in self.decoder:
             tgt = layer(tgt, mem, qpos, pos)
-        return tgt, mem
+        return self.dec_norm(tgt), mem
 
     def forward_box_head(self, dec_out, memory):
-        """Decoder-modulated corner decode (stark_s.py:92-108)."""
-        L = self.feat_sz_s ** 2 * (2 if self.six_channel else 1)
-        enc_opt = memory[:, -L:]                           # (B, HW[*2], C)
-        if self.six_channel:
-            # SPT: average the color/depth search memories back to one grid
-            enc_opt = 0.5 * (enc_opt[:, :L // 2] + enc_opt[:, L // 2:])
+        """Decoder-modulated corner decode (stark_s.py:87-102)."""
+        L = self.feat_sz_s ** 2
+        enc_opt = memory[:, -L:]                            # (B, HW, C)
         att = jnp.einsum("blc,bqc->blq", enc_opt, dec_out)  # (B, HW, 1)
         opt = enc_opt * att                                 # modulated memory
         B = opt.shape[0]
@@ -181,14 +214,17 @@ class STARK(nn.Module):
 
     def predict_score(self, dec_out: jnp.ndarray) -> jnp.ndarray:
         """ST2 confidence head on the decoder embedding -> (B,) in (0,1)."""
-        return nn.sigmoid(self.cls_head(dec_out[:, 0]))[:, 0]
+        h = dec_out[:, 0]
+        h = nn.relu(self.cls_head[0](h))
+        h = nn.relu(self.cls_head[1](h))
+        return nn.sigmoid(self.cls_head[2](h))[:, 0]
 
     def __call__(self, template: jnp.ndarray, search: jnp.ndarray) -> dict:
-        z_tokens, z_pos = self.embed(template)
-        x_tokens, x_pos = self.embed(search)
-        dec, mem = self.transformer(z_tokens, z_pos, x_tokens, x_pos)
+        z_c, z_d, z_pos = self.embed(template)
+        x_c, x_d, x_pos = self.embed(search)
+        dec, mem = self.transformer(z_c, z_d, z_pos, x_c, x_d, x_pos)
         boxes = self.forward_box_head(dec, mem)
         out = {"pred_boxes": boxes}
         if self.score_head:
-            out["pred_scores"] = nn.sigmoid(self.cls_head(dec[:, 0]))[:, 0]
+            out["pred_scores"] = self.predict_score(dec)
         return out

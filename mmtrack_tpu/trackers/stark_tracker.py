@@ -43,12 +43,16 @@ def stark_init_state(rt: STARKRuntime, model: STARK, params, frame, init_box):
     mean, std = _mean_std(frame.shape[-1])
     patch, _ = crop_resize_normalized(frame, init_box, rt.template_factor,
                                       rt.template_size, mean, std)
-    z_tokens, z_pos = model.apply(params, patch[None], method=STARK.embed)
+    z_c, z_d, z_pos = model.apply(params, patch[None], method=STARK.embed)
     state = {"box": init_box.astype(jnp.float32),
-             "z_tokens": z_tokens[0], "z_pos": z_pos,
+             "z_tokens": z_c[0], "z_pos": z_pos,
              "frame_num": jnp.asarray(1, jnp.int32)}
+    if model.six_channel:
+        state["z_tokens_d"] = z_d[0]
     if rt.dynamic_template:
-        state["z_dyn"] = z_tokens[0]
+        state["z_dyn"] = z_c[0]
+        if model.six_channel:
+            state["z_dyn_d"] = z_d[0]
     return state
 
 
@@ -59,15 +63,19 @@ def stark_track_step(rt: STARKRuntime, model: STARK, params, state, frame):
     search, resize_factor = crop_resize_normalized(
         frame, state["box"], rt.search_factor, rt.search_size, mean, std)
 
-    x_tokens, x_pos = model.apply(params, search[None], method=STARK.embed)
+    x_c, x_d, x_pos = model.apply(params, search[None], method=STARK.embed)
 
-    z_tokens = state["z_tokens"][None]
+    z_c = state["z_tokens"][None]
+    z_d = state.get("z_tokens_d")
+    z_d = z_d[None] if z_d is not None else None
     z_pos = state["z_pos"]
     if rt.dynamic_template:
-        z_tokens = jnp.concatenate([z_tokens, state["z_dyn"][None]], axis=1)
+        z_c = jnp.concatenate([z_c, state["z_dyn"][None]], axis=1)
+        if z_d is not None:
+            z_d = jnp.concatenate([z_d, state["z_dyn_d"][None]], axis=1)
         z_pos = jnp.concatenate([z_pos, z_pos], axis=0)
 
-    dec, mem = model.apply(params, z_tokens, z_pos, x_tokens[0][None], x_pos,
+    dec, mem = model.apply(params, z_c, z_d, z_pos, x_c, x_d, x_pos,
                            method=STARK.transformer)
     pred = model.apply(params, dec, mem, method=STARK.forward_box_head)[0]
 
@@ -93,9 +101,12 @@ def stark_track_step(rt: STARKRuntime, model: STARK, params, state, frame):
             & (score > rt.update_threshold)
         patch, _ = crop_resize_normalized(frame, box, rt.template_factor,
                                           rt.template_size, mean, std)
-        z_new, _ = model.apply(params, patch[None], method=STARK.embed)
+        z_new_c, z_new_d, _ = model.apply(params, patch[None], method=STARK.embed)
         state = {**state,
-                 "z_dyn": jnp.where(do_update, z_new[0], state["z_dyn"])}
+                 "z_dyn": jnp.where(do_update, z_new_c[0], state["z_dyn"])}
+        if z_new_d is not None:
+            state["z_dyn_d"] = jnp.where(do_update, z_new_d[0],
+                                         state["z_dyn_d"])
     return state, box, score
 
 

@@ -44,6 +44,23 @@ def test_dimp_reference_weight_parity():
     assert res["pass"], res
 
 
+def test_stark_spt_reference_weight_parity():
+    """Full-scale SPT STARK-S (dual backbones + fusion transformer)."""
+    from tools.parity.check_stark import run
+
+    res = run()
+    assert res["unexpected_torch_keys"] == []
+    assert res["pass"], res
+
+
+def test_mdnet_reference_weight_parity():
+    from tools.parity.check_mdnet import run
+
+    res = run()
+    assert res["unexpected_torch_keys"] == []
+    assert res["pass"], res
+
+
 def test_mixformer_reference_weight_parity_small():
     """Structural parity at reduced dims (full published scale takes ~15 min
     on this 1-core host; run `python tools/parity/check_mixformer.py` for the

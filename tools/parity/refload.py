@@ -144,6 +144,38 @@ def load_dimp_reference(merge_type: str | None = "max", filter_size: int = 4,
         return model
 
 
+def load_spt_reference(variant: str = "baseline", st: bool = False):
+    """Build the reference SPT STARKS/STARKST (torch, CPU, eval) —
+    SPT/lib/models/stark/stark_s.py build_starks at experiments/stark_s/
+    baseline.yaml (dual ResNet-50, d=256, 6 enc per modality, 2 fusion,
+    6 dec)."""
+    import torch
+
+    patch_cuda_to_cpu()
+    with reference_path("RGBD/models/SPT") as root:
+        # block the torchvision pretrained download in lib resnet builders
+        misc = importlib.import_module("lib.utils.misc")
+        misc.is_main_process = lambda: False
+
+        sub = "stark_st2" if st else "stark_s"
+        cfg_mod = importlib.import_module(f"lib.config.{sub}.config")
+        importlib.reload(cfg_mod)
+        cfg_mod.update_config_from_file(
+            os.path.join(root, "experiments", sub, f"{variant}.yaml"))
+        torch.manual_seed(0)
+        if st:
+            mod = importlib.import_module("lib.models.stark.stark_st")
+            model = mod.build_starkst(cfg_mod.cfg)
+        else:
+            mod = importlib.import_module("lib.models.stark.stark_s")
+            model = mod.build_starks(cfg_mod.cfg)
+        model.eval()
+        merge = importlib.import_module("lib.utils.merge")
+        # hand back the same module objects the model bound (a re-import in
+        # a later context would fail the NestedTensor isinstance check)
+        return model, cfg_mod.cfg, misc, merge
+
+
 def load_mixformer_reference(variant: str = "baseline_large"):
     """Build the reference MixFormerRGBDOnlineScore (torch, CPU, eval) at
     published scale (build_mixformer_rgbd_online_score, train=False skips
