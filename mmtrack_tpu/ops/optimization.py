@@ -1,0 +1,77 @@
+"""Least-squares solver family: Conjugate Gradient + Gauss-Newton CG.
+
+Rebuild of RGBD/models/DeT/pytracking/libs/optimization.py:49-713 (the
+ECO/ATOM-era solvers) as pure pytree functions: the reference hand-writes
+problem-specific Jacobian products (L2Problem.ip_input etc.); here
+jax.linearize/vjp produce them for ANY residual function, so one
+implementation serves ATOM's FactorizedConvProblem (joint filter +
+projection), its online ConvProblem, and future meta-optimizer users
+(KYS/LWL-style heads). Everything runs as lax.fori_loop bodies inside jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _tree_vdot(a, b):
+    return sum(jnp.vdot(x, y) for x, y in
+               zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+
+def _tree_axpy(alpha, x, y):
+    return jax.tree.map(lambda a, b: alpha * a + b, x, y)
+
+
+def conjugate_gradient(A, b, x0, num_iter: int, eps: float = 1e-10):
+    """Solve A x = b for a symmetric PSD linear operator A on pytrees.
+
+    Standard CG (optimization.py ConjugateGradientBase.run_CG); num_iter may
+    be a traced int.
+    """
+    def body(_, carry):
+        x, r, p, rho = carry
+        Ap = A(p)
+        denom = _tree_vdot(p, Ap)
+        alpha = jnp.where(jnp.abs(denom) > eps, rho / denom, 0.0)
+        x = _tree_axpy(alpha, p, x)
+        r = _tree_axpy(-alpha, Ap, r)
+        rho_new = _tree_vdot(r, r)
+        beta = jnp.where(jnp.abs(rho) > eps, rho_new / rho, 0.0)
+        p = _tree_axpy(beta, p, r)
+        return x, r, p, rho_new
+
+    r0 = jax.tree.map(lambda bb, ax: bb - ax, b, A(x0))
+    carry = (x0, r0, r0, _tree_vdot(r0, r0))
+    x, _, _, _ = jax.lax.fori_loop(0, num_iter, body, carry)
+    return x
+
+
+def gauss_newton_cg(residual_fn, x, num_gn_iter: int, num_cg_iter: int):
+    """Minimize ||residual_fn(x)||^2 by Gauss-Newton steps, each solved with
+    `num_cg_iter` CG iterations on the normal equations
+    (GaussNewtonCG, optimization.py:49-230).
+
+    residual_fn: pytree -> pytree of residuals. Returns the optimized x.
+    num_gn_iter must be static (python int); num_cg_iter may be traced.
+    """
+    for _ in range(num_gn_iter):
+        r, jvp_fn = jax.linearize(residual_fn, x)
+        _, vjp_fn = jax.vjp(residual_fn, x)
+
+        def A(u, jvp_fn=jvp_fn, vjp_fn=vjp_fn):
+            return vjp_fn(jvp_fn(u))[0]
+
+        b = jax.tree.map(lambda g: -g, vjp_fn(r)[0])
+        zero = jax.tree.map(jnp.zeros_like, x)
+        dx = conjugate_gradient(A, b, zero, num_cg_iter)
+        x = jax.tree.map(jnp.add, x, dx)
+    return x
+
+
+def mlu(x, a: float = 0.05):
+    """The 'mlu' response activation (atom.py:455,471):
+    elu(leaky_relu(x, 1/a), alpha=a)."""
+    y = jnp.where(x >= 0, x, x * (1.0 / a))   # leaky_relu(x, 1/a)
+    return jnp.where(y >= 0, y, a * (jnp.exp(y) - 1.0))  # elu(y, alpha=a)

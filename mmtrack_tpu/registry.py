@@ -73,6 +73,22 @@ def _dimp(merge_type: str | None):
     return build
 
 
+def _atom(merge_type: str | None):
+    """ATOM (pytracking/parameter/atom/default.py) and the DeT_ATOM_*
+    RGBD variants: online factorized-conv classifier (GN-CG) + IoUNet."""
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.atom import ATOMNet
+        from mmtrack_tpu.trackers.atom_tracker import ATOMRuntime, ATOMTracker
+        model = ATOMNet(merge_type=merge_type)
+        if params is None:
+            im = jnp.zeros((1, 288, 288, 6))
+            bb = jnp.asarray([[100.0, 100.0, 80.0, 80.0]])
+            props = jnp.asarray([[[100.0, 100.0, 80.0, 80.0]] * 2])
+            params = jax.jit(lambda r: model.init(r, im, bb, props))(jax.random.PRNGKey(seed))
+        return ATOMTracker(model, params, ATOMRuntime())
+    return build
+
+
 def _keeptrack():
     def build(seed=0, params=None):
         from mmtrack_tpu.models.dimp import DiMPNet
@@ -232,6 +248,11 @@ TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
     # in the reference) == the dual-backbone DeT recipe fed rgbrgb thermal
     # composition
     "mfdimp": TrackerRecipe(_dimp("mean"), "rgbt", "dimp"),
+    # ATOM family (pytracking parameter/atom + DeT_ATOM_{Max,Mean,MC})
+    "atom": TrackerRecipe(_atom(None), "rgb", "dimp"),
+    "det_atom_max": TrackerRecipe(_atom("max"), "rgbd", "dimp"),
+    "det_atom_mean": TrackerRecipe(_atom("mean"), "rgbd", "dimp"),
+    "det_atom_mc": TrackerRecipe(_atom("conv"), "rgbd", "dimp"),
     "keep_track": TrackerRecipe(_keeptrack(), "rgb", "dimp"),
     # classic zoo
     "siamfc": TrackerRecipe(_siamfc(), "rgbe", "siamfc"),
