@@ -582,6 +582,63 @@ def convert_stark_checkpoint(state_dict: dict) -> dict:
     return flax.traverse_util.unflatten_dict(out)
 
 
+def convert_score_head_checkpoint(state_dict: dict, prefix: str = "cls_head.") -> dict:
+    """OSTrack-online ScoreTransformer weights -> flax tree for
+    models/vipt.ScoreTransformer (RGBD/models/OSTrack/lib/models/ostrack/
+    score_head.py + layers/cross_attn.py naming). Pass the full OSTrack
+    state_dict; only `prefix`-rooted tensors are consumed (combine with
+    convert_vipt_checkpoint for the backbone/box head)."""
+    out: dict[tuple, np.ndarray] = {}
+
+    def put(path, value):
+        out[tuple(path.split("/"))] = value
+
+    for name, t in state_dict.items():
+        if not name.startswith(prefix):
+            continue
+        rest = name[len(prefix):]
+        m = re.match(r"cls_proj\.(weight|bias)", rest)
+        if m:
+            v = _dense_kernel(t) if m.group(1) == "weight" else _np(t)
+            put(f"cls_proj/{'kernel' if m.group(1) == 'weight' else 'bias'}", v)
+            continue
+        m = re.match(r"norm\.(weight|bias)", rest)
+        if m:
+            put(f"norm/{'scale' if m.group(1) == 'weight' else 'bias'}", _np(t))
+            continue
+        m = re.match(r"score_head\.layers\.(\d+)\.(weight|bias)", rest)
+        if m:
+            if m.group(2) == "weight":
+                put(f"score_head_{m.group(1)}/kernel", _dense_kernel(t))
+            else:
+                put(f"score_head_{m.group(1)}/bias", _np(t))
+            continue
+        m = re.match(r"blocks\.(\d+)\.(.+)", rest)
+        if m:
+            i, sub = m.groups()
+            base = f"blocks_{i}"
+            for ln in ("norm1", "norm2"):
+                m2 = re.match(rf"{ln}\.(weight|bias)", sub)
+                if m2:
+                    put(f"{base}/{ln}/"
+                        f"{'scale' if m2.group(1) == 'weight' else 'bias'}",
+                        _np(t))
+            m2 = re.match(r"attn\.(qkv|proj)\.(weight|bias)", sub)
+            if m2:
+                if m2.group(2) == "weight":
+                    put(f"{base}/{m2.group(1)}/kernel", _dense_kernel(t))
+                else:
+                    put(f"{base}/{m2.group(1)}/bias", _np(t))
+            m2 = re.match(r"mlp\.(fc[12])\.(weight|bias)", sub)
+            if m2:
+                if m2.group(2) == "weight":
+                    put(f"{base}/{m2.group(1)}/kernel", _dense_kernel(t))
+                else:
+                    put(f"{base}/{m2.group(1)}/bias", _np(t))
+
+    return flax.traverse_util.unflatten_dict(out)
+
+
 def convert_mdnet_checkpoint(state_dict: dict) -> dict:
     """torch pyMDNet/pyVITAL state_dict -> flax params tree.
 

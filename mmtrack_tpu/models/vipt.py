@@ -281,37 +281,66 @@ class ViPTrack(nn.Module):
         }
 
 
+class CABlock(nn.Module):
+    """Class-attention block (RGBD/models/OSTrack/lib/models/ostrack/layers/
+    cross_attn.py CABlock_/ClassAttention): the class token queries the
+    [cls; tokens] sequence through a fused qkv, then an MLP refines it."""
+    dim: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, cls: jnp.ndarray):
+        B = tokens.shape[0]
+        hd = self.dim // self.heads
+        u = jnp.concatenate([cls, tokens], axis=1)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(u)
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")
+        kv = qkv(h).reshape(B, -1, 3, self.heads, hd)
+        k, v = kv[:, :, 1], kv[:, :, 2]
+        q = qkv(h[:, 0])[:, :self.dim].reshape(B, 1, self.heads, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * hd ** -0.5, k,
+                            preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", a, v).reshape(B, 1, self.dim)
+        cls = cls + nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        m = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(cls)
+        m = nn.Dense(self.dim, dtype=self.dtype, name="fc2")(
+            nn.gelu(nn.Dense(4 * self.dim, dtype=self.dtype, name="fc1")(m),
+                    approximate=False))
+        return cls + m
+
+
 class ScoreTransformer(nn.Module):
     """OSTrack-online confidence head (RGBD/models/OSTrack/lib/models/
-    ostrack/score_head.py:20-67): the predicted box becomes a query token
-    that cross-attends the search tokens; an MLP maps it to an update score.
-    Drives the online-template refresh gate (ostrack_online.py)."""
+    ostrack/score_head.py:20-83): the predicted box projects to a class
+    token that attends the search tokens through NUM_CLS_ATTN_LAYERS=2
+    class-attention blocks; a NUM_CLS_MLP_LAYERS=3 MLP maps the normalized
+    token to the update score. Drives the online-template refresh gate
+    (ostrack_online.py). Weight conversion: convert_score_head_checkpoint.
+    """
     d_model: int = 768
     n_layers: int = 2
     n_heads: int = 12
+    n_mlp_layers: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, search_tokens: jnp.ndarray, pred_box: jnp.ndarray) -> jnp.ndarray:
         """search_tokens (B, L, C), pred_box (B, 4) -> score (B,) in (0,1)."""
-        q = nn.Dense(self.d_model, name="cls_proj")(pred_box)[:, None]
-        hd = self.d_model // self.n_heads
-        B = q.shape[0]
+        cls = nn.Dense(self.d_model, dtype=self.dtype,
+                       name="cls_proj")(pred_box)[:, None]
         for i in range(self.n_layers):
-            qn = nn.LayerNorm(epsilon=1e-6, name=f"norm_q{i}")(q)
-            kn = nn.LayerNorm(epsilon=1e-6, name=f"norm_kv{i}")(search_tokens)
-            qh = nn.Dense(self.d_model, name=f"q{i}")(qn).reshape(B, 1, self.n_heads, hd)
-            kh = nn.Dense(self.d_model, name=f"k{i}")(kn).reshape(B, -1, self.n_heads, hd)
-            vh = nn.Dense(self.d_model, name=f"v{i}")(kn).reshape(B, -1, self.n_heads, hd)
-            attn = jax.nn.softmax(
-                jnp.einsum("bqhd,bkhd->bhqk", qh * hd ** -0.5, kh), axis=-1)
-            out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh).reshape(B, 1, self.d_model)
-            q = q + nn.Dense(self.d_model, name=f"proj{i}")(out)
-            mn = nn.LayerNorm(epsilon=1e-6, name=f"norm_mlp{i}")(q)
-            q = q + nn.Dense(self.d_model, name=f"mlp2_{i}")(
-                nn.gelu(nn.Dense(4 * self.d_model, name=f"mlp1_{i}")(mn)))
-        q = nn.LayerNorm(epsilon=1e-6, name="norm")(q)[:, 0]
-        return nn.sigmoid(nn.Dense(1, name="score_head")(q))[:, 0]
+            cls = CABlock(self.d_model, self.n_heads, dtype=self.dtype,
+                          name=f"blocks_{i}")(search_tokens, cls)
+        x = jnp.concatenate([cls, search_tokens], axis=1)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)[:, 0]
+        for j in range(self.n_mlp_layers - 1):
+            h = nn.relu(nn.Dense(self.d_model, dtype=self.dtype,
+                                 name=f"score_head_{j}")(h))
+        logit = nn.Dense(1, dtype=self.dtype,
+                         name=f"score_head_{self.n_mlp_layers - 1}")(h)
+        return nn.sigmoid(logit)[:, 0]
 
 
 def build_viptrack(cfg, dtype=jnp.float32) -> ViPTrack:

@@ -94,8 +94,10 @@ def stark_track_step(rt: STARKRuntime, model: STARK, params, state, frame):
     box = clip_box(box, float(H), float(W), margin=rt.margin)
     state = {**state, "box": box}
 
-    # ST dynamic template refresh, gated on interval + confidence
-    # (stark_st semantics: update only when the score head is confident)
+    # ST dynamic template refresh: exactly the reference's gate
+    # (SPT/lib/test/tracker/stark_st.py:91-99: `frame_id % update_i == 0
+    # and conf_score > 0.5` replaces z_dict_list[1]; the cls head runs
+    # every frame). Default update_intervals=[200] -> one extra template.
     if rt.dynamic_template:
         do_update = ((state["frame_num"] % rt.update_interval) == 0) \
             & (score > rt.update_threshold)

@@ -53,6 +53,14 @@ def test_stark_spt_reference_weight_parity():
     assert res["pass"], res
 
 
+def test_score_head_reference_weight_parity():
+    from tools.parity.check_score_head import run
+
+    res = run()
+    assert res["unexpected_torch_keys"] == []
+    assert res["pass"], res
+
+
 def test_mdnet_reference_weight_parity():
     from tools.parity.check_mdnet import run
 
