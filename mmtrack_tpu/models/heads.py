@@ -107,6 +107,33 @@ def cal_bbox(score_map: jnp.ndarray, size_map: jnp.ndarray, offset_map: jnp.ndar
     return bbox, max_score
 
 
+class MLPHead(nn.Module):
+    """N-layer perceptron box head (relu between layers, none on the output).
+
+    Rebuild of MLP (ViPT/lib/models/layers/head.py:204-221) as selected by
+    build_box_head's "MLP" branch (head.py:227-229: hidden=input dim,
+    out=4, 3 layers). The optional BN=True variant interleaves BatchNorm1d;
+    tracking heads run it frozen, so FrozenBatchNorm stands in here.
+    """
+    hidden_dim: int
+    out_dim: int = 4
+    num_layers: int = 3
+    use_bn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            last = i == self.num_layers - 1
+            x = nn.Dense(self.out_dim if last else self.hidden_dim,
+                         dtype=self.dtype, name=f"layers_{i}")(x)
+            if self.use_bn:
+                x = FrozenBatchNorm(name=f"bn_{i}")(x)
+            if not last:
+                x = nn.relu(x)
+        return x
+
+
 class CornerPredictor(nn.Module):
     """Top-left / bottom-right corner heatmaps with soft-argmax decode.
 

@@ -8,13 +8,45 @@ XLA), static-shape CE blocks, stochastic depth via explicit RNG.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mmtrack_tpu.ops.ce import candidate_elimination
+
+
+@lru_cache(maxsize=None)
+def rpe_index_concat(z_size: int, x_size: int) -> np.ndarray:
+    """Relative-position bucket indices for concatenated [template; search]
+    self-attention.
+
+    Static rebuild of generate_2d_concatenated_self_attention_relative_
+    positional_encoding_index (ViPT/lib/models/layers/rpe.py:27-58): each
+    (query, key) pair maps to a bucket keyed by (dh, dw, query-origin,
+    key-origin), where origin distinguishes template vs search tokens.
+    Computed once in numpy at trace time — a compile-time constant gather
+    table, never on device.
+    """
+    def grid(n):
+        h, w = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        return h.ravel(), w.ravel()
+
+    zh, zw = grid(z_size)
+    xh, xw = grid(x_size)
+    h = np.concatenate([zh, xh])
+    w = np.concatenate([zw, xw])
+    origin = np.concatenate([np.zeros(z_size * z_size, np.int64),
+                             np.ones(x_size * x_size, np.int64)])
+    n = h.shape[0]
+    key = np.stack([h[:, None] - h[None, :], w[:, None] - w[None, :],
+                    np.broadcast_to(origin[:, None], (n, n)),
+                    np.broadcast_to(origin[None, :], (n, n))], axis=-1)
+    _, inverse = np.unique(key.reshape(-1, 4), axis=0, return_inverse=True)
+    return inverse.reshape(n, n)
 
 
 class PatchEmbed(nn.Module):
@@ -59,6 +91,18 @@ class Attention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    rpe: bool = False          # 2D concatenated relative position bias
+    z_size: int = 8            # template tokens per side (rpe only)
+    x_size: int = 16           # search tokens per side (rpe only)
+
+    def _rpe_bias(self) -> jnp.ndarray:
+        """(1, H, N, N) learned relative-position bias (attn.py:23-31,44-45)."""
+        index = rpe_index_concat(self.z_size, self.x_size)
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            (self.num_heads, int(index.max()) + 1))
+        return table[:, jnp.asarray(index)][None].astype(jnp.float32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, return_attn: bool = False):
@@ -72,6 +116,8 @@ class Attention(nn.Module):
         scale = head_dim ** -0.5
         logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                             preferred_element_type=jnp.float32)
+        if self.rpe:
+            logits = logits + self._rpe_bias()
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
@@ -80,6 +126,60 @@ class Attention(nn.Module):
         if return_attn:
             return out, attn
         return out, None
+
+
+class AttentionTalkingHead(nn.Module):
+    """Talking-heads attention (ViPT/lib/models/layers/attn.py:62-130).
+
+    Head-mixing linear maps before (proj_l) and after (proj_w) the softmax
+    — https://arxiv.org/abs/2003.02436 — with the same optional 2D
+    concatenated relative-position bias as `Attention`. The head-mixing
+    einsums contract the (small) head axis, so XLA keeps them on the MXU
+    fused with the score matmuls.
+    """
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    rpe: bool = True
+    z_size: int = 8
+    x_size: int = 16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, L, C = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(B, L, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        scale = head_dim ** -0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                            preferred_element_type=jnp.float32)
+        if self.rpe:
+            index = rpe_index_concat(self.z_size, self.x_size)
+            table = self.param(
+                "relative_position_bias_table",
+                nn.initializers.truncated_normal(0.02),
+                (self.num_heads, int(index.max()) + 1))
+            logits = logits + table[:, jnp.asarray(index)][None].astype(jnp.float32)
+
+        wl = self.param("proj_l", nn.initializers.lecun_normal(),
+                        (self.num_heads, self.num_heads))
+        bl = self.param("proj_l_bias", nn.initializers.zeros, (self.num_heads,))
+        logits = jnp.einsum("bhqk,hg->bgqk", logits, wl) + bl[None, :, None, None]
+        attn = jax.nn.softmax(logits, axis=-1)
+        ww = self.param("proj_w", nn.initializers.lecun_normal(),
+                        (self.num_heads, self.num_heads))
+        bw = self.param("proj_w_bias", nn.initializers.zeros, (self.num_heads,))
+        attn = (jnp.einsum("bhqk,hg->bgqk", attn, ww)
+                + bw[None, :, None, None]).astype(self.dtype)
+
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(
+            out.reshape(B, L, C))
 
 
 def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndarray:

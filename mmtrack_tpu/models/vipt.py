@@ -23,7 +23,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mmtrack_tpu.models.heads import CenterPredictor, cal_bbox
+from mmtrack_tpu.models.heads import (
+    CenterPredictor,
+    CornerPredictor,
+    MLPHead,
+    cal_bbox,
+)
 from mmtrack_tpu.models.layers import CEBlock, PatchEmbed
 from mmtrack_tpu.ops.ce import gather_search_tokens, recover_search_tokens
 
@@ -245,6 +250,7 @@ class ViPTrack(nn.Module):
     ce_loc: tuple[int, ...] = (3, 6, 9)
     prompt_type: str = "vipt_deep"
     head_channel: int = 256
+    head_type: str = "CENTER"  # CENTER | CORNER | MLP (build_box_head, head.py:224-248)
     drop_path_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
@@ -268,9 +274,35 @@ class ViPTrack(nn.Module):
         S = self.feat_sz
         lens_x = S * S
         feat = tokens[:, -lens_x:].reshape(tokens.shape[0], S, S, -1)
-        head = CenterPredictor(self.head_channel, S, dtype=self.dtype, name="box_head")
-        score_map, size_map, offset_map = head(feat)
-        pred_boxes, max_score = cal_bbox(score_map, size_map, offset_map)
+        if self.head_type == "CORNER":
+            # xyxy soft-argmax decode; score map = uniform (no confidence head)
+            boxes_xyxy = CornerPredictor(self.head_channel, S, self.patch_size,
+                                         dtype=self.dtype, name="box_head")(feat)
+            cx = (boxes_xyxy[:, 0] + boxes_xyxy[:, 2]) / 2
+            cy = (boxes_xyxy[:, 1] + boxes_xyxy[:, 3]) / 2
+            pred_boxes = jnp.stack([cx, cy, boxes_xyxy[:, 2] - boxes_xyxy[:, 0],
+                                    boxes_xyxy[:, 3] - boxes_xyxy[:, 1]], axis=1)
+            B = feat.shape[0]
+            score_map = jnp.full((B, S, S), 1.0 / (S * S), self.dtype)
+            size_map = jnp.zeros((B, S, S, 2), self.dtype)
+            offset_map = jnp.zeros((B, S, S, 2), self.dtype)
+            max_score = jnp.ones((B,), jnp.float32)
+        elif self.head_type == "MLP":
+            # per-token box regression, averaged (head.py MLP branch: the
+            # STARK lineage applies it to a single decoder token; the
+            # one-stream case pools the search tokens first)
+            pred_boxes = nn.sigmoid(MLPHead(self.embed_dim, dtype=self.dtype,
+                                            name="box_head")(feat.mean(axis=(1, 2))))
+            B = feat.shape[0]
+            score_map = jnp.full((B, S, S), 1.0 / (S * S), self.dtype)
+            size_map = jnp.zeros((B, S, S, 2), self.dtype)
+            offset_map = jnp.zeros((B, S, S, 2), self.dtype)
+            max_score = jnp.ones((B,), jnp.float32)
+        else:
+            head = CenterPredictor(self.head_channel, S, dtype=self.dtype,
+                                   name="box_head")
+            score_map, size_map, offset_map = head(feat)
+            pred_boxes, max_score = cal_bbox(score_map, size_map, offset_map)
         return {
             "score_map": score_map,
             "size_map": size_map,
@@ -353,6 +385,7 @@ def build_viptrack(cfg, dtype=jnp.float32) -> ViPTrack:
         ce_loc=tuple(cfg.MODEL.BACKBONE.CE_LOC),
         prompt_type=cfg.TRAIN.PROMPT.TYPE,
         head_channel=cfg.MODEL.HEAD.NUM_CHANNELS,
+        head_type=cfg.MODEL.HEAD.TYPE,
         drop_path_rate=cfg.TRAIN.DROP_PATH_RATE,
         dtype=dtype,
     )

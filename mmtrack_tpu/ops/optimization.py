@@ -70,6 +70,52 @@ def gauss_newton_cg(residual_fn, x, num_gn_iter: int, num_cg_iter: int):
     return x
 
 
+def steepest_descent_gn(residual_fn, x, num_iter: int,
+                        steplength_reg: float = 0.0, batch_dims: int = 0):
+    """Generic Gauss-Newton steepest descent over pytree meta-parameters.
+
+    Rebuild of GNSteepestDescent (RGBD/models/DeT/ltr/models/meta/
+    steepestdescent.py:8-107), the meta-optimizer the KYS/LWL-style heads
+    train through. Per iteration, with r = residual_fn(x) and J = dr/dx:
+
+        g     = J^T r                       (gradient of 0.5||r||^2)
+        h     = J g                         (Gauss-Newton curvature probe)
+        alpha = ||g||^2 / (||h||^2 + steplength_reg * ||g||^2)
+        x    <- x - alpha * g
+
+    jax.vjp/jvp replace the reference's double torch.autograd.grad trick;
+    the unrolled loop stays end-to-end differentiable so the residual
+    module's own parameters can be meta-learned (compute_losses equivalent:
+    differentiate through the returned iterate).
+
+    batch_dims > 0 computes a per-sample alpha over the leading `batch_dims`
+    axes shared by every leaf (parameter_batch_dim/residual_batch_dim in the
+    reference); 0 reduces to one global step length.
+    """
+    def _sqr_norm(tree):
+        if batch_dims == 0:
+            return sum(jnp.sum(jnp.square(l)) for l in jax.tree.leaves(tree))
+        return sum(jnp.sum(jnp.square(l).reshape(l.shape[:batch_dims] + (-1,)),
+                           axis=-1) for l in jax.tree.leaves(tree))
+
+    def _scaled_sub(x, g, alpha):
+        def upd(p, gg):
+            a = alpha if batch_dims == 0 else alpha.reshape(
+                alpha.shape + (1,) * (gg.ndim - batch_dims))
+            return p - a * gg
+        return jax.tree.map(upd, x, g)
+
+    for _ in range(num_iter):
+        r, vjp_fn = jax.vjp(residual_fn, x)
+        g = vjp_fn(r)[0]
+        _, h = jax.jvp(residual_fn, (x,), (g,))
+        ip_gg = _sqr_norm(g)
+        ip_hh = _sqr_norm(h)
+        alpha = ip_gg / jnp.clip(ip_hh + steplength_reg * ip_gg, 1e-8)
+        x = _scaled_sub(x, g, alpha)
+    return x
+
+
 def mlu(x, a: float = 0.05):
     """The 'mlu' response activation (atom.py:455,471):
     elu(leaky_relu(x, 1/a), alpha=a)."""
