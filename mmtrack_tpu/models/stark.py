@@ -125,21 +125,33 @@ class STARK(nn.Module):
     fusion_layers: int = 2          # TRANSFORMER.FUS_LAYERS (config.py:28)
     six_channel: bool = False
     score_head: bool = False
+    # SPT's backbone menu (backbone.py:59-75,101-116 + repvgg.py,
+    # swin_transformer.py): 'resnet50' | 'repvgg_a0' | 'swin_tiny', all
+    # tapped at stride 16 before the bottleneck.
+    backbone_type: str = "resnet50"
     dtype: jnp.dtype = jnp.float32
 
     @property
     def feat_sz_s(self) -> int:
         return self.search_size // 16
 
-    def setup(self):
+    def _make_backbone(self, name: str):
+        if self.backbone_type == "repvgg_a0":
+            from mmtrack_tpu.models.repvgg import RepVGG
+            return RepVGG(dtype=self.dtype, name=name), "stage3"
+        if self.backbone_type == "swin_tiny":
+            from mmtrack_tpu.models.swin import SwinTransformer
+            return SwinTransformer(dtype=self.dtype, name=name), "stage2"
         # layer3-truncated ResNet-50 (backbone.py:101-106, last_layer='layer3')
         from mmtrack_tpu.models.resnet import ResNet
-        self.backbone = ResNet(stage_sizes=(3, 4, 6), block="bottleneck",
-                               dtype=self.dtype, name="backbone")
+        return ResNet(stage_sizes=(3, 4, 6), block="bottleneck",
+                      dtype=self.dtype, name=name), "layer3"
+
+    def setup(self):
+        self.backbone, self.feat_layer = self._make_backbone("backbone")
         self.bottleneck = nn.Conv(self.dim, (1, 1), name="bottleneck")
         if self.six_channel:
-            self.backbone_x = ResNet(stage_sizes=(3, 4, 6), block="bottleneck",
-                                     dtype=self.dtype, name="backbone_x")
+            self.backbone_x, _ = self._make_backbone("backbone_x")
             self.bottleneck_x = nn.Conv(self.dim, (1, 1), name="bottleneck_x")
             self.encoder_d = [EncoderLayer(self.dim, self.heads, dtype=self.dtype,
                                            name=f"enc_d_{i}")
@@ -166,14 +178,14 @@ class STARK(nn.Module):
     def embed(self, im: jnp.ndarray):
         """(B, S, S, 3|6) -> (color tokens (B,hw,d), depth tokens or None,
         pos (hw, d))."""
-        f = self.backbone(im[..., :3], ("layer3",))["layer3"]
+        f = self.backbone(im[..., :3], (self.feat_layer,))[self.feat_layer]
         tok = self.bottleneck(f)
         B, h, w, _ = tok.shape
         tokens_c = tok.reshape(B, h * w, self.dim)
         pos = sine_position_embedding(h, w, self.dim)
         tokens_d = None
         if self.six_channel:
-            fx = self.backbone_x(im[..., 3:6], ("layer3",))["layer3"]
+            fx = self.backbone_x(im[..., 3:6], (self.feat_layer,))[self.feat_layer]
             tokens_d = self.bottleneck_x(fx).reshape(B, h * w, self.dim)
         return tokens_c, tokens_d, pos
 
