@@ -3,18 +3,28 @@
 Two measurements, one honest headline:
 
 1. STREAMED (the headline `value`): frames come from DISK — 640x480 color
-   JPEG + 16-bit depth PNG pairs (DepthTrack's on-disk format), composed to
-   rgbcolormap on the host (data/composition.py, identical work to the
-   reference's get_rgbd_frame), uploaded as uint8 chunks with a
-   double-buffered reader thread so host IO/decode overlaps the on-device
-   scan. This is the full serving pipeline on this box (ONE CPU core feeds
-   the chip; the reference FPS protocol also times the full loop,
-   ViPT/RGBT_workspace/test_rgbt_mgpus.py:102-117).
+   JPEG + 16-bit depth PNG pairs (DepthTrack's on-disk format). The host
+   decodes and computes the 1-byte JET index plane
+   (data/composition.py::depth_index_u8); RGB (3 B/px) + index (1 B/px)
+   are uploaded and the device gathers the colormap and concatenates
+   (ops/compose.py::compose_rgb_index_device — bit-identical to the
+   reference's get_rgbd_frame 'rgbcolormap' at 2/3 the transfer bytes).
+   A decode thread and an upload thread pipeline chunk i+1 against the
+   on-device scan of chunk i. This is the full serving pipeline on this
+   box — ONE CPU core and a ~60 MB/s host->device tunnel feed the chip;
+   the reference FPS protocol also times the full loop
+   (ViPT/RGBT_workspace/test_rgbt_mgpus.py:102-117).
 2. DEVICE-RESIDENT (`device_resident_fps`): frames already in HBM — the
    compute ceiling of the same per-frame loop (crop + normalize + ViT-B
-   bf16 forward + Hann penalty + decode + map-back) as a chunked lax.scan.
+   bf16 forward + Hann penalty + decode + map-back) as a chunked lax.scan,
+   with NO transfers inside the timed region.
 
 B sequences advance in lockstep; steady-state timing excludes compilation.
+TIMING: on this backend block_until_ready can return at dispatch-ack, so
+every measured region ends with a host readback (np.asarray) of an output
+that data-depends on the whole chain; consumed upload buffers are deleted
+explicitly (letting them accumulate degrades tunnel transfers ~100x).
+
 vs_baseline = streamed value / 35.0 (the ViPT paper's ~35 FPS on its
 reference GPU; repo ships no machine-readable FPS — see BASELINE.md).
 """
@@ -71,9 +81,8 @@ def _ensure_fixtures(n_seq: int, n_frames: int) -> None:
 
 def _read_chunk(t0: int, T: int, n_seq: int, out: np.ndarray | None = None) -> np.ndarray:
     """Decode + compose one (T, B, H, W, 6) uint8 chunk from disk into a
-    (reusable) staging buffer. Buffer reuse matters doubly here: fresh
-    allocations fault on first touch AND device_put of cold pages runs
-    ~100x slower through the tunnel (see utils/hostmem.py)."""
+    (reusable) staging buffer (host-side full composition — used for the
+    init frame only; the steady-state path uploads rgb+index instead)."""
     from mmtrack_tpu.data.composition import get_x_frame
     from mmtrack_tpu.utils.hostmem import tune_host_allocator
 
@@ -92,66 +101,98 @@ def _read_chunk(t0: int, T: int, n_seq: int, out: np.ndarray | None = None) -> n
     return out
 
 
-def _read_chunk_raw(t0: int, T: int, n_seq: int):
-    """Decode only: (T,B,H,W,3) uint8 RGB + (T,B,H,W) uint16 depth. The
-    clip/normalize/JET composition runs ON DEVICE (ops/compose.py) — the
-    1-core host does nothing but imread."""
-    import cv2
+def _decode_chunk_rgb_index(t0: int, T: int, n_seq: int,
+                            rgb: np.ndarray, idx: np.ndarray) -> None:
+    """Decode one chunk into pre-touched staging buffers: (T,B,H,W,3) uint8
+    RGB + (T,B,H,W) uint8 JET index (clip + minmax happen here; the LUT
+    gather happens on device). Uses the native fused decoder
+    (native/imageio.cc — single pass, straight into the slices, GIL
+    released) with a transparent cv2 fallback."""
+    from mmtrack_tpu.data.native_io import decode_pair_rgb_index
 
-    from mmtrack_tpu.utils.hostmem import tune_host_allocator
-
-    tune_host_allocator()
-    rgb = np.empty((T, n_seq, ST_H, ST_W, 3), np.uint8)
-    dep = np.empty((T, n_seq, ST_H, ST_W), np.uint16)
     for dt in range(T):
         t = t0 + dt
         for b in range(n_seq):
             sd = os.path.join(FIXTURE_DIR, f"seq{b:02d}")
-            im = cv2.imread(os.path.join(sd, "color", f"{t:04d}.jpg"))
-            rgb[dt, b] = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
-            dep[dt, b] = cv2.imread(os.path.join(sd, "depth", f"{t:04d}.png"), -1)
-    return rgb, dep
+            decode_pair_rgb_index(
+                os.path.join(sd, "color", f"{t:04d}.jpg"),
+                os.path.join(sd, "depth", f"{t:04d}.png"),
+                rgb[dt, b], idx[dt, b], clip=True)
 
 
-class _Prefetcher(threading.Thread):
-    """Double-buffered disk reader: chunk i+1 is decoded into one of two
-    persistent pre-touched staging buffers and device_put while the device
-    scans chunk i. The staging buffers are blocked-on after upload so their
-    warm pages are reused (cold-page device_put is pathological here)."""
+class _StreamPipeline:
+    """Three-stage streaming pipeline over ping-pong staging buffers:
+
+      decode thread  ->  upload thread  ->  main (device scan)
+
+    Decode of chunk i+2 overlaps the tunnel upload of chunk i+1 overlaps
+    the device scan of chunk i. Buffers are persistent and pre-touched
+    (cold-page device_put through the tunnel is pathological); a buffer
+    pair is released back to the decoder only after its upload completed.
+    The ring is 2 deep BY MEASUREMENT: deeper rings queue more transfers
+    behind in-flight device work, and this tunnel degrades ~4x when
+    multiple large uploads are outstanding (22 fps at depth 2 vs 5.5 fps
+    at depth 4 on the same workload).
+    """
+
+    DEPTH = 2
 
     def __init__(self, n_chunks: int, T: int, n_seq: int):
-        super().__init__(daemon=True)
         self.n_chunks, self.T, self.n_seq = n_chunks, T, n_seq
-        self.bufs = [np.zeros((T, n_seq, ST_H, ST_W, 6), np.uint8)
-                     for _ in range(2)]
-        self.slots = [None] * n_chunks
+        self.rgb_bufs = [np.zeros((T, n_seq, ST_H, ST_W, 3), np.uint8)
+                         for _ in range(self.DEPTH)]
+        self.idx_bufs = [np.zeros((T, n_seq, ST_H, ST_W), np.uint8)
+                         for _ in range(self.DEPTH)]
+        self.buf_free = [threading.Event() for _ in range(self.DEPTH)]
+        for e in self.buf_free:
+            e.set()
+        self.decoded = [threading.Event() for _ in range(n_chunks)]
         self.ready = [threading.Event() for _ in range(n_chunks)]
+        self.slots: list = [None] * n_chunks
 
-    def run(self):
+    def start(self):
+        threading.Thread(target=self._decode_loop, daemon=True).start()
+        threading.Thread(target=self._upload_loop, daemon=True).start()
+
+    def _decode_loop(self):
         for i in range(self.n_chunks):
-            buf = self.bufs[i % 2]
-            _read_chunk(1 + i * self.T, self.T, self.n_seq, out=buf)
-            dev = jax.device_put(buf)
-            jax.block_until_ready(dev)  # buffer safe to rewrite next round
-            self.slots[i] = dev
+            s = i % self.DEPTH
+            self.buf_free[s].wait()
+            self.buf_free[s].clear()
+            _decode_chunk_rgb_index(1 + i * self.T, self.T, self.n_seq,
+                                    self.rgb_bufs[s], self.idx_bufs[s])
+            self.decoded[i].set()
+
+    def _upload_loop(self):
+        for i in range(self.n_chunks):
+            s = i % self.DEPTH
+            self.decoded[i].wait()
+            rgb = jax.device_put(self.rgb_bufs[s])
+            idx = jax.device_put(self.idx_bufs[s])
+            jax.block_until_ready((rgb, idx))  # staging buffer reusable now
+            self.buf_free[s].set()
+            self.slots[i] = (rgb, idx)
             self.ready[i].set()
 
     def get(self, i: int):
         self.ready[i].wait()
-        chunk, self.slots[i] = self.slots[i], None
-        return chunk
+        pair, self.slots[i] = self.slots[i], None
+        return pair
 
 
 def main() -> None:
     from mmtrack_tpu.config import vipt_experiment_config
     from mmtrack_tpu.data.synthetic import make_synthetic_sequence
     from mmtrack_tpu.models.vipt import build_viptrack
+    from mmtrack_tpu.ops.compose import compose_rgb_index_device, jet_lut
     from mmtrack_tpu.trackers.vipt_tracker import (
         ViPTRuntime,
         vipt_init_state,
         vipt_track_scan_batched,
     )
+    from mmtrack_tpu.utils.hostmem import tune_host_allocator
 
+    tune_host_allocator()
     cfg = vipt_experiment_config("deep_rgbd")
     rt = ViPTRuntime.from_config(cfg)
     model = build_viptrack(cfg, dtype=jnp.bfloat16)
@@ -164,42 +205,36 @@ def main() -> None:
     init = jax.jit(jax.vmap(partial(vipt_init_state, rt)))
     scan = jax.jit(partial(vipt_track_scan_batched, rt, model),
                    donate_argnums=(1,))
+    lut = jnp.asarray(jet_lut())
 
-    # ---------------- device-resident ceiling (320x240 in-HBM frames)
+    def _scan_ri(params, state, rgb, idx):
+        return vipt_track_scan_batched(rt, model, params, state,
+                                       compose_rgb_index_device(rgb, idx, lut))
+
+    scan_ri = jax.jit(_scan_ri, donate_argnums=(1,))
+
+    # ---------------- device-resident ceiling (320x240 frames in HBM)
     frames_np, gt = make_synthetic_sequence(n_frames=DR_CHUNK_T + 1,
                                             height=DR_H, width=DR_W)
     f0 = jnp.asarray(np.tile(frames_np[0], (DR_BATCH, 1, 1, 1)))
     b0 = jnp.asarray(np.tile(gt[0].astype(np.float32), (DR_BATCH, 1)))
     chunk_np = np.tile(frames_np[1:][:, None], (1, DR_BATCH, 1, 1, 1))
 
+    chunk_dev = jax.device_put(chunk_np)
     state = init(f0, b0)
-    state, boxes, _ = scan(params, state, jax.device_put(chunk_np))
-    jax.block_until_ready(boxes)
+    state, boxes, _ = scan(params, state, chunk_dev)
+    np.asarray(boxes)  # warm-up: compile + real completion
 
-    # round-1 protocol: double-buffered chunk upload; fresh input buffers
-    # each dispatch (reused buffers give bogus timings on this backend)
     state = init(f0, b0)
+    np.asarray(jax.tree.leaves(state)[0][:1, :1])  # init landed before t0
     t0 = time.perf_counter()
-    nxt = jax.device_put(chunk_np)
-    for i in range(DR_CHUNKS):
-        cur = nxt
-        if i + 1 < DR_CHUNKS:
-            nxt = jax.device_put(chunk_np)
-        state, boxes, _ = scan(params, state, cur)
-    jax.block_until_ready(boxes)
+    for _ in range(DR_CHUNKS):
+        state, boxes, _ = scan(params, state, chunk_dev)
+    np.asarray(boxes)  # real completion of the full chunk chain
     dr_elapsed = time.perf_counter() - t0
     dr_fps = DR_BATCH * DR_CHUNK_T * DR_CHUNKS / dr_elapsed
 
     # ---------------- streamed end-to-end (disk 640x480 jpeg+png)
-    # Host composes (decode+clip+JET) at ~16ms/frame once the allocator is
-    # tuned (utils/hostmem.py; untuned this box runs 10x slower on mmap
-    # churn), overlapping the ~6ms/frame device scan via the prefetch
-    # thread. The device-side composition (ops/compose.py, bit-exact) is
-    # available for hosts with decode workers to spare; on this 1-core box
-    # the LUT-gather-heavy compose costs more than it saves.
-    from mmtrack_tpu.utils.hostmem import tune_host_allocator
-
-    tune_host_allocator()
     n_frames = 1 + ST_CHUNK_T * ST_CHUNKS
     _ensure_fixtures(ST_BATCH, n_frames)
 
@@ -211,18 +246,26 @@ def main() -> None:
 
     # compile at the streamed shapes
     state = init(f0, b0)
-    warm = jax.device_put(np.zeros((ST_CHUNK_T, ST_BATCH, ST_H, ST_W, 6),
-                                   np.uint8))
-    state, boxes, _ = scan(params, state, warm)
-    jax.block_until_ready(boxes)
+    wr = jax.device_put(np.zeros((ST_CHUNK_T, ST_BATCH, ST_H, ST_W, 3),
+                                 np.uint8))
+    wi = jax.device_put(np.zeros((ST_CHUNK_T, ST_BATCH, ST_H, ST_W),
+                                 np.uint8))
+    state, boxes, _ = scan_ri(params, state, wr, wi)
+    np.asarray(boxes)
+    wr.delete()
+    wi.delete()
 
     state = init(f0, b0)
-    reader = _Prefetcher(ST_CHUNKS, ST_CHUNK_T, ST_BATCH)
+    np.asarray(jax.tree.leaves(state)[0][:1, :1])
+    pipe = _StreamPipeline(ST_CHUNKS, ST_CHUNK_T, ST_BATCH)
     t0 = time.perf_counter()
-    reader.start()
+    pipe.start()
     for i in range(ST_CHUNKS):
-        state, boxes, _ = scan(params, state, reader.get(i))
-    jax.block_until_ready(boxes)
+        rgb, idx = pipe.get(i)
+        state, boxes, _ = scan_ri(params, state, rgb, idx)
+        rgb.delete()
+        idx.delete()
+    np.asarray(boxes)  # real completion (see timing note in docstring)
     st_elapsed = time.perf_counter() - t0
     st_fps = ST_BATCH * ST_CHUNK_T * ST_CHUNKS / st_elapsed
 
@@ -230,14 +273,17 @@ def main() -> None:
         "metric": "vipt_streamed_track_fps_per_chip",
         "value": round(st_fps, 2),
         "unit": (f"frames/s end-to-end (disk 640x480 jpeg+16bit-png, 1-core "
-                 f"host decode+rgbcolormap compose, batch={ST_BATCH} seqs, "
-                 f"prefetch-overlapped upload, ViT-B bf16)"),
+                 f"host decode, rgb+jet-index upload w/ on-device colormap "
+                 f"compose, batch={ST_BATCH} seqs, decode/upload/scan "
+                 f"3-stage pipeline, ViT-B bf16)"),
         "vs_baseline": round(st_fps / REFERENCE_GPU_FPS, 3),
         "device_resident_fps": round(dr_fps, 2),
         "device_resident_unit": (f"frames/s with frames in HBM "
                                  f"({DR_W}x{DR_H}, batch={DR_BATCH}, "
-                                 f"lax.scan T={DR_CHUNK_T})"),
-        "host": "1 CPU core feeds the chip; gap to ceiling = decode+compose+tunnel",
+                                 f"lax.scan T={DR_CHUNK_T}, no transfers "
+                                 f"in the timed region)"),
+        "host": ("1 CPU core + ~60MB/s host->device tunnel feed the chip; "
+                 "gap to ceiling = decode + tunnel bandwidth"),
     }))
 
 

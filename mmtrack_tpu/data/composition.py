@@ -41,6 +41,23 @@ def _median(x: np.ndarray) -> float:
     return (lo + hi) / 2.0
 
 
+def depth_index_u8(xmap: np.ndarray, x_clip: bool = True) -> np.ndarray:
+    """The JET-LUT index plane of the 'rgbcolormap' composition: clip at
+    min(3*median, 10m) then NORM_MINMAX to uint8 — exactly the value
+    applyColorMap would look up. compose_x(rgb, d, 'rgbcolormap', clip)
+    == concat(rgb, JET_LUT[depth_index_u8(d, clip)]).
+
+    Serving hosts upload this 1-byte plane instead of the 3-byte colormap
+    (4 B/px total vs 6) and gather the LUT on device
+    (ops/compose.py::compose_rgb_index_device) — bit-identical output for
+    2/3 of the transfer bytes."""
+    if x_clip:
+        xmap = xmap.copy()
+        max_depth = min(_median(xmap) * 3, 10000)
+        xmap[xmap > max_depth] = max_depth
+    return _normalize_u8(xmap)
+
+
 def compose_x(rgb: np.ndarray | None, xmap: np.ndarray | None,
               dtype: str = "rgbrgb", x_clip: bool = False) -> np.ndarray:
     """Compose already-decoded arrays. rgb: (H,W,3) RGB; xmap: raw X image.

@@ -32,9 +32,23 @@ def pil_loader(path: str) -> np.ndarray | None:
         return None
 
 
+def native_jpeg_loader(path: str) -> np.ndarray | None:
+    """libjpeg straight-to-RGB decode (native/imageio.cc) — skips cv2's
+    BGR intermediate + cvtColor pass; the serving host has one core."""
+    if not path.lower().endswith((".jpg", ".jpeg")):
+        return None
+    try:
+        from mmtrack_tpu.data.native_io import decode_jpeg_rgb
+
+        return decode_jpeg_rgb(path)
+    except Exception:
+        return None
+
+
 def default_image_loader(path: str) -> np.ndarray:
-    """cv2 with PIL failsafe (jpeg4py_loader_w_failsafe analog)."""
-    for loader in (opencv_loader, pil_loader):
+    """native libjpeg, then cv2, then PIL failsafe
+    (jpeg4py_loader_w_failsafe analog)."""
+    for loader in (native_jpeg_loader, opencv_loader, pil_loader):
         im = loader(path)
         if im is not None:
             return im

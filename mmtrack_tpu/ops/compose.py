@@ -57,6 +57,69 @@ def _median_u16(depth: jnp.ndarray) -> jnp.ndarray:
     return (a + b).astype(jnp.float32) / 2.0
 
 
+def _two_sum(a, b):
+    """Knuth TwoSum: s = fl(a+b) plus the exact rounding error."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _split(a):
+    """Veltkamp split of an f32 into 12-bit high / low halves (exact)."""
+    c = jnp.float32(4097.0) * a  # 2^12 + 1
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _ds_mul(a_hi, a_lo, b):
+    """Double-single * f32 -> double-single (b's products made exact via
+    splitting)."""
+    b_hi, b_lo = _split(b)
+    ah_hi, ah_lo = _split(a_hi)
+    p = a_hi * b
+    # exact error of a_hi*b via 4 exact partial products
+    e = ((ah_hi * b_hi - p) + ah_hi * b_lo + ah_lo * b_hi) + ah_lo * b_lo
+    return p, e + a_lo * b
+
+
+def _cv2_minmax_index(d, lo, hi):
+    """cv2.normalize(NORM_MINMAX to [0,255]) on TPU, bit-exact vs cv2 5.0.
+
+    cv2 computes scale = 255*(1/(mx-mn)) and shift = -mn*scale in DOUBLE,
+    casts both to f32, and the per-element kernel is a single-rounded f32
+    FMA v*scale+shift followed by cvRound (half-even). TPUs have no f64
+    and no guaranteed f32 FMA, so the double constants are emulated in
+    double-single (hi, lo) arithmetic and the per-pixel FMA as four exact
+    partial products recombined with TwoSum. A degenerate (constant) map
+    gets scale = 0 like cv2's DBL_EPSILON guard."""
+    D = hi - lo  # exact: integer-valued f32s <= 65535
+    Ds = jnp.maximum(D, 1.0)
+    # double-single 1/D via one Newton step (error term computed exactly)
+    r = 1.0 / Ds
+    r_hi, r_lo = _split(r)
+    d_hi, d_lo = _split(Ds)
+    prod_err = ((r_hi * d_hi - 1.0) + r_hi * d_lo + r_lo * d_hi) + r_lo * d_lo
+    inv_hi, inv_lo = r, -r * prod_err
+    s_hi, s_lo = _ds_mul(inv_hi, inv_lo, jnp.float32(255.0))
+    a = jnp.where(D > 0, s_hi + s_lo, 0.0)  # f32(double scale)
+    sh_hi, sh_lo = _ds_mul(s_hi, s_lo, lo)
+    b = jnp.where(D > 0, -(sh_hi + sh_lo), 0.0)  # f32(double shift)
+    # per-pixel exact FMA: v (16-bit) split into 8-bit halves, scale into
+    # 12-bit halves -> all four products exact in f32
+    a_hi, a_lo = _split(a)
+    v1 = jnp.floor(d * (1.0 / 256.0)) * 256.0
+    v0 = d - v1
+    p1, p2 = v1 * a_hi, v1 * a_lo
+    p3, p4 = v0 * a_hi, v0 * a_lo
+    h, e1 = _two_sum(p1, b)
+    h, e2 = _two_sum(h, p3)
+    h, e3 = _two_sum(h, p2)
+    h, e4 = _two_sum(h, p4)
+    r = h + (((e1 + e2) + e3) + e4)
+    return jnp.clip(jnp.round(r), 0, 255).astype(jnp.int32)
+
+
 def compose_rgbcolormap_device(rgb_u8: jnp.ndarray, depth_u16: jnp.ndarray,
                                lut_rgb: jnp.ndarray,
                                depth_clip: bool = True) -> jnp.ndarray:
@@ -71,11 +134,13 @@ def compose_rgbcolormap_device(rgb_u8: jnp.ndarray, depth_u16: jnp.ndarray,
         if depth_clip:
             med = _median_u16(depth)
             mx = jnp.minimum(med * 3.0, 10000.0)
-            d = jnp.minimum(d, mx)
+            # numpy semantics (composition.py: xmap[xmap > mx] = mx on a
+            # uint16 array): clipped pixels take the TRUNCATED clip value —
+            # the median of an even-count map can be x.5.
+            d = jnp.where(d > mx, jnp.trunc(mx), d)
         lo = d.min()
         hi = d.max()
-        scale = 255.0 / jnp.maximum(hi - lo, 1e-12)
-        idx = jnp.clip(jnp.round((d - lo) * scale), 0, 255).astype(jnp.int32)
+        idx = _cv2_minmax_index(d, lo, hi)
         cm = lut_rgb[idx]  # (H, W, 3) uint8
         return jnp.concatenate([rgb, cm], axis=-1)
 
@@ -84,3 +149,16 @@ def compose_rgbcolormap_device(rgb_u8: jnp.ndarray, depth_u16: jnp.ndarray,
     for _ in range(batch_dims):
         f = jax.vmap(f)
     return f(rgb_u8, depth_u16)
+
+
+def compose_rgb_index_device(rgb_u8: jnp.ndarray, idx_u8: jnp.ndarray,
+                             lut_rgb: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, 3) uint8 RGB + (..., H, W) uint8 JET index -> (..., H, W, 6).
+
+    The streaming split of 'rgbcolormap': the host computes the 1-byte LUT
+    index plane (data/composition.py::depth_index_u8 — the only part that
+    needs the full uint16 depth), the device gathers the 3-byte colormap.
+    Bit-identical to compose_x(..., 'rgbcolormap') at 4/6 the upload bytes.
+    """
+    cm = lut_rgb[idx_u8.astype(jnp.int32)]
+    return jnp.concatenate([rgb_u8, cm], axis=-1)

@@ -199,3 +199,60 @@ def test_device_compose_matches_host_bitexact():
     dep = np.random.RandomState(9).randint(0, 9000, (2, 3, 16, 16)).astype(np.uint16)
     out = compose_rgbcolormap_device(jnp.asarray(rgb), jnp.asarray(dep), lut)
     assert out.shape == (2, 3, 16, 16, 6)
+
+
+def test_rgb_index_split_compose_matches_host_bitexact():
+    """data/composition.py::depth_index_u8 + ops/compose.py::
+    compose_rgb_index_device — the 4-byte/px streaming split — must also
+    reproduce compose_x('rgbcolormap') bit-for-bit."""
+    import jax.numpy as jnp
+
+    from mmtrack_tpu.data.composition import depth_index_u8
+    from mmtrack_tpu.ops.compose import compose_rgb_index_device, jet_lut
+
+    lut = jnp.asarray(jet_lut())
+    for seed in range(3):
+        r = np.random.RandomState(seed + 20)
+        rgb = r.randint(0, 255, (32, 48, 3)).astype(np.uint8)
+        dep = r.randint(100, 60000, (32, 48)).astype(np.uint16)
+        host = compose_x(rgb, dep, "rgbcolormap", x_clip=True)
+        idx = depth_index_u8(dep, x_clip=True)
+        dev = np.asarray(compose_rgb_index_device(
+            jnp.asarray(rgb), jnp.asarray(idx), lut))
+        np.testing.assert_array_equal(host, dev)
+    # batched (T, B) leading dims pass through unchanged
+    rgb = np.random.RandomState(5).randint(0, 255, (2, 3, 16, 16, 3)).astype(np.uint8)
+    idx = np.random.RandomState(5).randint(0, 255, (2, 3, 16, 16)).astype(np.uint8)
+    out = compose_rgb_index_device(jnp.asarray(rgb), jnp.asarray(idx), lut)
+    assert out.shape == (2, 3, 16, 16, 6)
+
+
+def test_device_compose_cv2_rounding_ties():
+    """cv2.normalize evaluates a per-pixel f32 FMA (single rounding) — maps
+    with exact-.5 normalize results and fractional (x.5) clip medians must
+    still match bit-for-bit (ops/compose.py emulates the FMA with exact
+    TwoSum arithmetic; caught live: (d-lo)*scale rounds differently)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmtrack_tpu.ops.compose import compose_rgbcolormap_device, jet_lut
+
+    lut = jnp.asarray(jet_lut())
+    f = jax.jit(lambda r, d: compose_rgbcolormap_device(r, d, lut))
+    rng = np.random.default_rng(21)
+    for trial in range(25):
+        n = 48
+        lo = int(rng.integers(0, 30000))
+        hi = lo + int(rng.integers(100, 12000))  # tight ranges hit ties
+        d = rng.integers(lo, hi + 1, size=(n, n)).astype(np.uint16)
+        rgb = rng.integers(0, 255, (n, n, 3)).astype(np.uint8)
+        host = compose_x(rgb, d, "rgbcolormap", x_clip=True)
+        np.testing.assert_array_equal(
+            host, np.asarray(f(jnp.asarray(rgb), jnp.asarray(d))),
+            err_msg=f"trial {trial} lo={lo} hi={hi}")
+    # constant map: cv2's DBL_EPSILON guard maps everything to index 0
+    d = np.full((16, 16), 4321, np.uint16)
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    np.testing.assert_array_equal(
+        compose_x(rgb, d, "rgbcolormap", x_clip=True),
+        np.asarray(f(jnp.asarray(rgb), jnp.asarray(d))))

@@ -41,3 +41,69 @@ def test_batch_iou_matches_numpy():
 def test_polygon_to_xywh():
     poly = np.array([[3, 4], [9, 4], [9, 10], [3, 10]], float)
     np.testing.assert_allclose(polygon_to_xywh(poly), [3, 4, 6, 6])
+
+
+class TestImageIO:
+    """native/imageio.cc: fused decode + depth->JET-index host pipeline."""
+
+    def test_builds_and_loads(self):
+        from mmtrack_tpu.data.native_io import load_imageio_lib
+        assert load_imageio_lib() is not None
+
+    def test_depth_index_parity_fuzz(self):
+        """Native index plane must equal the cv2/numpy host path bit-for-bit,
+        including NORM_MINMAX .5 rounding ties (cv2 5.0 evaluates an f32 FMA
+        per pixel) and fractional-median truncation on clip."""
+        from mmtrack_tpu.data.composition import depth_index_u8
+        from mmtrack_tpu.data.native_io import depth_index_u8_native
+
+        rng = np.random.default_rng(11)
+        for trial in range(60):
+            n = int(rng.integers(16, 64))
+            lo = int(rng.integers(0, 30000))
+            hi = lo + int(rng.integers(1, 30000))
+            d = rng.integers(lo, min(hi, 65535) + 1,
+                             size=(n, n)).astype(np.uint16)
+            for clip in (True, False):
+                np.testing.assert_array_equal(
+                    depth_index_u8(d, x_clip=clip),
+                    depth_index_u8_native(d, clip=clip))
+        # constant map -> all zeros (cv2's DBL_EPSILON guard)
+        d = np.full((20, 20), 777, np.uint16)
+        assert depth_index_u8_native(d, clip=True).max() == 0
+
+    def test_decode_pair_matches_cv2(self, tmp_path):
+        """JPEG+PNG pair decode into staging slices == imread path."""
+        import cv2
+
+        from mmtrack_tpu.data.composition import depth_index_u8
+        from mmtrack_tpu.data.native_io import decode_pair_rgb_index
+
+        rng = np.random.default_rng(5)
+        frame = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+        depth = rng.integers(500, 4000, (48, 64)).astype(np.uint16)
+        jp = str(tmp_path / "f.jpg")
+        pp = str(tmp_path / "d.png")
+        cv2.imwrite(jp, frame[..., ::-1])
+        cv2.imwrite(pp, depth)
+        # staging chunk slices (non-owning views, C-contiguous)
+        chunk_rgb = np.zeros((2, 48, 64, 3), np.uint8)
+        chunk_idx = np.zeros((2, 48, 64), np.uint8)
+        decode_pair_rgb_index(jp, pp, chunk_rgb[1], chunk_idx[1])
+        ref_rgb = cv2.cvtColor(cv2.imread(jp), cv2.COLOR_BGR2RGB)
+        ref_idx = depth_index_u8(cv2.imread(pp, -1), x_clip=True)
+        np.testing.assert_array_equal(chunk_rgb[1], ref_rgb)
+        np.testing.assert_array_equal(chunk_idx[1], ref_idx)
+        assert chunk_rgb[0].max() == 0  # slice writes stay in-slice
+
+    def test_decode_png_u16_roundtrip(self, tmp_path):
+        import cv2
+
+        from mmtrack_tpu.data.native_io import decode_png_u16
+
+        rng = np.random.default_rng(9)
+        depth = rng.integers(0, 65535, (33, 47)).astype(np.uint16)
+        pp = str(tmp_path / "d.png")
+        cv2.imwrite(pp, depth)
+        out = decode_png_u16(pp)
+        np.testing.assert_array_equal(out, depth)
