@@ -37,25 +37,75 @@ def bucket_sequences(sequences: list[EvalSequence], loaders=None) -> dict:
     return dict(buckets)
 
 
+def _can_split_stream(seqs: list[EvalSequence], loaders) -> bool:
+    """True when every sequence is a disk-backed 'rgbcolormap' pair — the
+    4 B/px rgb+JET-index streaming path (track_split) applies."""
+    if loaders:
+        return False
+    return all(s.dtype == "rgbcolormap"
+               and s.rgb_frames[0] and s.x_frames[0]
+               and isinstance(s.rgb_frames[0], str) for s in seqs)
+
+
+def _decode_split(seqs: list[EvalSequence], t: int,
+                  rgb: np.ndarray, idx: np.ndarray) -> None:
+    """Fill (B,H,W,3)+(B,H,W) staging buffers for frame t (native fused
+    decoder, cv2 fallback; data/native_io.py)."""
+    from mmtrack_tpu.data.native_io import decode_pair_rgb_index
+
+    for k, s in enumerate(seqs):
+        i = min(t, len(s) - 1)
+        decode_pair_rgb_index(s.rgb_frames[i], s.x_frames[i],
+                              rgb[k], idx[k], clip=s.depth_clip)
+
+
 def run_batch(tracker: BatchedViPTTracker, seqs: list[EvalSequence],
               loaders=None) -> list[dict]:
-    """Track a same-resolution batch in lockstep; returns per-seq results."""
+    """Track a same-resolution batch in lockstep; returns per-seq results.
+
+    Disk-backed rgbcolormap batches stream rgb + JET-index planes (4 B/px,
+    device-side colormap; parallel/batched_eval.py::track_split) with the
+    next frame decoded on a thread while the device steps the current one.
+    Everything else takes the host-composed full-frame path."""
+    import threading
     import time
     B = len(seqs)
     max_len = max(len(s) for s in seqs)
     frames0 = np.stack([_frame(s, 0, loaders) for s in seqs])
     boxes0 = np.stack([s.gt[0] for s in seqs]).astype(np.float32)
+    split = _can_split_stream(seqs, loaders)
 
     t0 = time.perf_counter()
     tracker.initialize(frames0, boxes0)
     all_boxes = np.zeros((max_len, B, 4))
     all_scores = np.zeros((max_len - 1, B))
     all_boxes[0] = boxes0
-    for t in range(1, max_len):
-        frames = np.stack([_frame(s, t, loaders) for s in seqs])
-        b, sc = tracker.track(frames)
-        all_boxes[t] = b
-        all_scores[t - 1] = sc
+    if split and max_len > 1:
+        H, W = frames0.shape[1:3]
+        rgb_bufs = [np.zeros((B, H, W, 3), np.uint8) for _ in range(2)]
+        idx_bufs = [np.zeros((B, H, W), np.uint8) for _ in range(2)]
+        _decode_split(seqs, 1, rgb_bufs[1], idx_bufs[1])
+        th = None
+        for t in range(1, max_len):
+            s = t % 2
+            if th is not None:
+                th.join()
+            if t + 1 < max_len:  # decode t+1 while the device steps t
+                th = threading.Thread(target=_decode_split,
+                                      args=(seqs, t + 1, rgb_bufs[(t + 1) % 2],
+                                            idx_bufs[(t + 1) % 2]))
+                th.start()
+            else:
+                th = None
+            b, sc = tracker.track_split(rgb_bufs[s], idx_bufs[s])
+            all_boxes[t] = b
+            all_scores[t - 1] = sc
+    else:
+        for t in range(1, max_len):
+            frames = np.stack([_frame(s, t, loaders) for s in seqs])
+            b, sc = tracker.track(frames)
+            all_boxes[t] = b
+            all_scores[t - 1] = sc
     elapsed = time.perf_counter() - t0
 
     results = []

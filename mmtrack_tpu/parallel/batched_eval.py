@@ -54,6 +54,7 @@ class BatchedViPTTracker:
                  mesh: Mesh | None = None):
         self.rt = runtime or ViPTRuntime()
         self.mesh = mesh
+        self._model = model
         self._init, self._step = make_batched_track_step(self.rt, model, mesh)
         if mesh is not None:
             params = jax.device_put(params, NamedSharding(mesh, P()))
@@ -76,4 +77,40 @@ class BatchedViPTTracker:
         if self.mesh is not None:
             frames = jax.device_put(frames, NamedSharding(self.mesh, P("data")))
         self.state, boxes, scores = self._step(self.params, self.state, frames)
+        return np.asarray(boxes), np.asarray(scores)
+
+    def track_split(self, rgb: np.ndarray, idx: np.ndarray):
+        """Streaming 'rgbcolormap' step at 4 B/px: the host ships RGB plus
+        the 1-byte JET index plane (data/composition.py::depth_index_u8)
+        and the colormap gather + concat runs on device — bit-identical to
+        track(get_x_frame(...)) for 2/3 of the transfer bytes."""
+        import jax.numpy as jnp
+        if not hasattr(self, "_step_split"):
+            from mmtrack_tpu.ops.compose import (compose_rgb_index_device,
+                                                 jet_lut)
+            lut = jnp.asarray(jet_lut())
+
+            def step_split(params, state, rgb, idx):
+                frames = compose_rgb_index_device(rgb, idx, lut)
+                return jax.vmap(partial(vipt_track_step, self.rt,
+                                        self._model),
+                                in_axes=(None, 0, 0))(params, state, frames)
+
+            donate = (1,)
+            if self.mesh is not None:
+                repl = NamedSharding(self.mesh, P())
+                data = NamedSharding(self.mesh, P("data"))
+                self._step_split = jax.jit(
+                    step_split, in_shardings=(repl, data, data, data),
+                    out_shardings=(data, data, data), donate_argnums=donate)
+            else:
+                self._step_split = jax.jit(step_split, donate_argnums=donate)
+        rgb = jnp.asarray(rgb)
+        idx = jnp.asarray(idx)
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P("data"))
+            rgb = jax.device_put(rgb, sh)
+            idx = jax.device_put(idx, sh)
+        self.state, boxes, scores = self._step_split(self.params, self.state,
+                                                     rgb, idx)
         return np.asarray(boxes), np.asarray(scores)

@@ -88,3 +88,44 @@ def test_visualizer_and_plots(tmp_path):
     p = plot_curves({"succ": np.linspace(1, 0, 21)}, "overlap", "success",
                     str(tmp_path / "curve.png"))
     assert os.path.exists(p)
+
+
+def test_batched_ope_split_stream_matches_host_compose(tmp_path):
+    """Disk-backed rgbcolormap batches take the rgb+JET-index streaming path
+    (4 B/px, device-side colormap, lookahead decode thread) — trajectories
+    must equal the host-composed full-frame path exactly."""
+    import cv2
+
+    model, params = _setup()
+    rng = np.random.RandomState(3)
+    seqs = []
+    lengths = [5, 3]
+    for i, n in enumerate(lengths):
+        frames, gt = make_synthetic_sequence(n_frames=n, height=96, width=128,
+                                             seed=10 + i,
+                                             box0=(30.0 + 5 * i, 20.0, 24.0, 20.0))
+        cdir = tmp_path / f"s{i}" / "color"
+        ddir = tmp_path / f"s{i}" / "depth"
+        cdir.mkdir(parents=True)
+        ddir.mkdir(parents=True)
+        rgb_paths, d_paths = [], []
+        base = rng.randint(500, 4000, (96, 128)).astype(np.uint16)
+        for t in range(n):
+            cp = str(cdir / f"{t:04d}.jpg")
+            dp = str(ddir / f"{t:04d}.png")
+            cv2.imwrite(cp, frames[t][..., :3][..., ::-1])
+            cv2.imwrite(dp, (base + 7 * t).astype(np.uint16))
+            rgb_paths.append(cp)
+            d_paths.append(dp)
+        seqs.append(EvalSequence(f"s{i}", rgb_paths, d_paths, gt,
+                                 dtype="rgbcolormap", depth_clip=True))
+
+    out = run_dataset_batched(
+        lambda: BatchedViPTTracker(model, params, RT), seqs,
+        str(tmp_path / "r1"), "DS", "cfg", batch_size=2, verbose=False)
+
+    # sequential reference over the host-composed frames
+    from mmtrack_tpu.eval.ope import run_sequence as _run_seq
+    for i, n in enumerate(lengths):
+        res = _run_seq(ViPTTracker(model, params, RT), seqs[i])
+        np.testing.assert_allclose(out[i]["boxes"], res["boxes"], atol=1e-3)
