@@ -25,3 +25,21 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 # config knob applies at CPU client creation instead.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+
+# One long pytest process accumulates live compiled executables and garbage
+# cycles across 190 tests (every test builds fresh jitted closures); on this
+# 1-core box that inflates a ~6-minute suite past 10 minutes. Dropping the
+# in-memory executable cache per module and forcing a collect keeps the
+# process flat — recompiles hit the persistent .jax_cache so the cost is
+# deserialization, not XLA.
+import gc
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _flush_compiled_state_per_module():
+    yield
+    jax.clear_caches()
+    gc.collect()

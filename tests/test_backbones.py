@@ -27,10 +27,10 @@ from mmtrack_tpu.ops.optimization import steepest_descent_gn
 def test_mobilenetv3_feature_pyramid_shapes():
     model = MobileNetV3()
     x = jnp.zeros((2, 64, 64, 3))
-    params = model.init(jax.random.PRNGKey(0), x,
-                        out_layers=("layer2", "layer3", "layer4", "out_conv1"))
-    out = model.apply(params, x,
-                      out_layers=("layer2", "layer3", "layer4", "out_conv1"))
+    layers = ("layer2", "layer3", "layer4", "out_conv1")
+    params = jax.jit(lambda r: model.init(r, x, out_layers=layers))(
+        jax.random.PRNGKey(0))
+    out = jax.jit(lambda p: model.apply(p, x, out_layers=layers))(params)
     # strides/channels per mobilenetv3.py LARGE table
     assert out["layer2"].shape == (2, 16, 16, 24)    # stride 4
     assert out["layer3"].shape == (2, 8, 8, 40)      # stride 8
@@ -43,8 +43,9 @@ def test_resnet18_vggm_outputs():
     model = ResNetVGGm1()
     x = jnp.zeros((1, 64, 64, 3))
     layers = ("vggconv1", "conv1", "layer2", "layer3")
-    params = model.init(jax.random.PRNGKey(0), x, out_layers=layers)
-    out = model.apply(params, x, out_layers=layers)
+    params = jax.jit(lambda r: model.init(r, x, out_layers=layers))(
+        jax.random.PRNGKey(0))
+    out = jax.jit(lambda p: model.apply(p, x, out_layers=layers))(params)
     assert out["vggconv1"].shape == (1, 32, 32, 96)  # 7x7/2 VGG-M tap
     assert out["conv1"].shape == (1, 32, 32, 64)
     assert out["layer2"].shape == (1, 8, 8, 128)     # stride 8

@@ -21,8 +21,9 @@ def test_repvgg_a0_stage_shapes():
     model = repvgg_a0()
     x = jnp.zeros((1, 64, 64, 3))
     layers = ("stage0", "stage2", "stage3", "stage4")
-    params = model.init(jax.random.PRNGKey(0), x, out_layers=layers)
-    out = model.apply(params, x, out_layers=layers)
+    params = jax.jit(lambda r: model.init(r, x, out_layers=layers))(
+        jax.random.PRNGKey(0))
+    out = jax.jit(lambda p: model.apply(p, x, out_layers=layers))(params)
     assert out["stage0"].shape == (1, 32, 32, 48)   # stride 2, 64*0.75
     assert out["stage2"].shape == (1, 8, 8, 96)     # stride 8, 128*0.75
     assert out["stage3"].shape == (1, 4, 4, 192)    # stride 16 (STARK tap)
@@ -41,9 +42,11 @@ def test_repvgg_deploy_fusion_equivalence():
     rng = np.random.RandomState(2)
     params = jax.tree.map(
         lambda a: jnp.asarray(rng.uniform(0.5, 1.5, a.shape), a.dtype), params)
-    y_train = train_model.apply(params, x, out_layers=("stage4",))["stage4"]
+    y_train = jax.jit(lambda p: train_model.apply(
+        p, x, out_layers=("stage4",)))(params)["stage4"]
     fused = fuse_repvgg_params(params)
-    y_deploy = deploy_model.apply(fused, x, out_layers=("stage4",))["stage4"]
+    y_deploy = jax.jit(lambda p: deploy_model.apply(
+        p, x, out_layers=("stage4",)))(fused)["stage4"]
     np.testing.assert_allclose(np.asarray(y_train), np.asarray(y_deploy),
                                rtol=2e-4, atol=2e-4)
 
@@ -70,8 +73,9 @@ def test_swin_tiny_stage_shapes():
     model = swin_tiny()
     x = jnp.zeros((1, 64, 64, 3))
     layers = ("stage0", "stage2", "stage3")
-    params = model.init(jax.random.PRNGKey(0), x, out_layers=layers)
-    out = model.apply(params, x, out_layers=layers)
+    params = jax.jit(lambda r: model.init(r, x, out_layers=layers))(
+        jax.random.PRNGKey(0))
+    out = jax.jit(lambda p: model.apply(p, x, out_layers=layers))(params)
     assert out["stage0"].shape == (1, 16, 16, 96)   # stride 4
     assert out["stage2"].shape == (1, 4, 4, 384)    # stride 16 (STARK tap)
     assert out["stage3"].shape == (1, 2, 2, 768)    # stride 32
@@ -86,8 +90,8 @@ def test_stark_with_alternate_backbone(backbone_type):
                   enc_layers=1, dec_layers=1, backbone_type=backbone_type)
     z = jnp.zeros((1, 64, 64, 3))
     x = jnp.zeros((1, 64, 64, 3))
-    params = model.init(jax.random.PRNGKey(0), z, x)
-    out = model.apply(params, z, x)
+    params = jax.jit(lambda r: model.init(r, z, x))(jax.random.PRNGKey(0))
+    out = jax.jit(lambda p: model.apply(p, z, x))(params)
     box = np.asarray(out["pred_boxes"])
     assert box.shape == (1, 4) and np.isfinite(box).all()
 
