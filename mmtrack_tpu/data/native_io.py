@@ -184,3 +184,34 @@ def depth_index_u8_native(depth: np.ndarray, clip: bool = True,
     lib.mmt_depth_index_u8(d.ctypes.data_as(_U16P), d.size, int(clip),
                            _as_u8p(out))
     return out
+
+
+def bind_yuv(lib) -> None:
+    if hasattr(lib, "_yuv_bound"):
+        return
+    lib.mmt_decode_pair_yuv_index.restype = ctypes.c_int
+    lib.mmt_decode_pair_yuv_index.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, _U8P, _U8P, _U8P, _U8P,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib._yuv_bound = True
+
+
+def decode_pair_yuv_index(jpeg_path: str, png_path: str,
+                          y_out: np.ndarray, cb_out: np.ndarray,
+                          cr_out: np.ndarray, idx_out: np.ndarray,
+                          clip: bool = True) -> bool:
+    """Minimum-byte streaming decode (2.5 B/px on the wire): raw 4:2:0
+    YCbCr planes + JET index plane, for ops/compose.py::
+    compose_yuv_index_device. Requires a plain 4:2:0 JPEG with H, W
+    multiples of 16. Returns False when this source does not qualify —
+    callers fall back to decode_pair_rgb_index (bit-exact path)."""
+    lib = load_imageio_lib()
+    if lib is None:
+        return False
+    bind_yuv(lib)
+    H, W = y_out.shape
+    assert cb_out.shape == (H // 2, W // 2) and idx_out.shape == (H, W)
+    rc = lib.mmt_decode_pair_yuv_index(
+        jpeg_path.encode(), png_path.encode(), _as_u8p(y_out),
+        _as_u8p(cb_out), _as_u8p(cr_out), _as_u8p(idx_out), H, W, int(clip))
+    return rc == 0

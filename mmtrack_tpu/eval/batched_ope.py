@@ -47,6 +47,32 @@ def _can_split_stream(seqs: list[EvalSequence], loaders) -> bool:
                and isinstance(s.rgb_frames[0], str) for s in seqs)
 
 
+def _can_yuv_stream(seqs: list[EvalSequence]) -> bool:
+    """Opt-in minimum-byte wire format (MMTRACK_STREAM=yuv420): raw 4:2:0
+    planes at 2.5 B/px, device-side chroma upsample + BT.601 + colormap.
+    Decode-grade (≤1 LSB of the cv2 decode) but NOT bit-exact — hence
+    opt-in; every source must be a plain 4:2:0 JPEG with dims % 16 == 0."""
+    if os.environ.get("MMTRACK_STREAM", "") != "yuv420":
+        return False
+    from mmtrack_tpu.data.native_io import decode_pair_yuv_index
+
+    for s in seqs:
+        try:
+            import cv2
+            probe = cv2.imread(s.rgb_frames[0])
+            H, W = probe.shape[:2]
+            y = np.zeros((H, W), np.uint8)
+            cb = np.zeros((H // 2, W // 2), np.uint8)
+            if not decode_pair_yuv_index(s.rgb_frames[0], s.x_frames[0], y,
+                                         cb, cb.copy(),
+                                         np.zeros((H, W), np.uint8),
+                                         clip=s.depth_clip):
+                return False
+        except Exception:
+            return False
+    return True
+
+
 def _decode_split(seqs: list[EvalSequence], t: int,
                   rgb: np.ndarray, idx: np.ndarray) -> None:
     """Fill (B,H,W,3)+(B,H,W) staging buffers for frame t (native fused
@@ -57,6 +83,18 @@ def _decode_split(seqs: list[EvalSequence], t: int,
         i = min(t, len(s) - 1)
         decode_pair_rgb_index(s.rgb_frames[i], s.x_frames[i],
                               rgb[k], idx[k], clip=s.depth_clip)
+
+
+def _decode_yuv(seqs: list[EvalSequence], t: int, y: np.ndarray,
+                cb: np.ndarray, cr: np.ndarray, idx: np.ndarray) -> None:
+    """Fill raw 4:2:0 + index staging buffers for frame t (sources already
+    qualified by _can_yuv_stream)."""
+    from mmtrack_tpu.data.native_io import decode_pair_yuv_index
+
+    for k, s in enumerate(seqs):
+        i = min(t, len(s) - 1)
+        decode_pair_yuv_index(s.rgb_frames[i], s.x_frames[i], y[k], cb[k],
+                              cr[k], idx[k], clip=s.depth_clip)
 
 
 def run_batch(tracker: BatchedViPTTracker, seqs: list[EvalSequence],
@@ -82,22 +120,29 @@ def run_batch(tracker: BatchedViPTTracker, seqs: list[EvalSequence],
     all_boxes[0] = boxes0
     if split and max_len > 1:
         H, W = frames0.shape[1:3]
-        rgb_bufs = [np.zeros((B, H, W, 3), np.uint8) for _ in range(2)]
-        idx_bufs = [np.zeros((B, H, W), np.uint8) for _ in range(2)]
-        _decode_split(seqs, 1, rgb_bufs[1], idx_bufs[1])
+        if _can_yuv_stream(seqs):
+            bufs = [(np.zeros((B, H, W), np.uint8),
+                     np.zeros((B, H // 2, W // 2), np.uint8),
+                     np.zeros((B, H // 2, W // 2), np.uint8),
+                     np.zeros((B, H, W), np.uint8)) for _ in range(2)]
+            decode, step = _decode_yuv, tracker.track_yuv
+        else:
+            bufs = [(np.zeros((B, H, W, 3), np.uint8),
+                     np.zeros((B, H, W), np.uint8)) for _ in range(2)]
+            decode, step = _decode_split, tracker.track_split
+        decode(seqs, 1, *bufs[1])
         th = None
         for t in range(1, max_len):
             s = t % 2
             if th is not None:
                 th.join()
             if t + 1 < max_len:  # decode t+1 while the device steps t
-                th = threading.Thread(target=_decode_split,
-                                      args=(seqs, t + 1, rgb_bufs[(t + 1) % 2],
-                                            idx_bufs[(t + 1) % 2]))
+                th = threading.Thread(target=decode,
+                                      args=(seqs, t + 1, *bufs[(t + 1) % 2]))
                 th.start()
             else:
                 th = None
-            b, sc = tracker.track_split(rgb_bufs[s], idx_bufs[s])
+            b, sc = step(*bufs[s])
             all_boxes[t] = b
             all_scores[t - 1] = sc
     else:

@@ -162,3 +162,54 @@ def compose_rgb_index_device(rgb_u8: jnp.ndarray, idx_u8: jnp.ndarray,
     """
     cm = lut_rgb[idx_u8.astype(jnp.int32)]
     return jnp.concatenate([rgb_u8, cm], axis=-1)
+
+
+def _upsample2x_triangular(c: jnp.ndarray) -> jnp.ndarray:
+    """2x2 chroma upsample with libjpeg's 'fancy' triangular filter
+    (separable 3:1 blend toward the nearer neighbour), float arithmetic."""
+    c = c.astype(jnp.float32)
+    left = jnp.concatenate([c[:, :1], c[:, :-1]], axis=1)
+    right = jnp.concatenate([c[:, 1:], c[:, -1:]], axis=1)
+    h0 = (3.0 * c + left) * 0.25
+    h1 = (3.0 * c + right) * 0.25
+    h = jnp.stack([h0, h1], axis=-1).reshape(c.shape[0], -1)
+    up = jnp.concatenate([h[:1], h[:-1]], axis=0)
+    dn = jnp.concatenate([h[1:], h[-1:]], axis=0)
+    v0 = (3.0 * h + up) * 0.25
+    v1 = (3.0 * h + dn) * 0.25
+    return jnp.stack([v0, v1], axis=1).reshape(-1, h.shape[1])
+
+
+def yuv420_to_rgb_device(y: jnp.ndarray, cb: jnp.ndarray,
+                         cr: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W) Y + (..., H/2, W/2) Cb/Cr raw JPEG planes -> RGB uint8.
+
+    The 2.5-byte/px serving path: the host ships the decoder's raw 4:2:0
+    planes (native/imageio.cc::mmt_decode_jpeg_yuv420) and the chroma
+    upsample + BT.601 conversion run on device. Decode-grade accurate
+    (within a couple of LSB of libjpeg's own RGB output — JPEG is lossy;
+    NOT the bit-exact path, which ships RGB at 3 B/px)."""
+    def one(y, cb, cr):
+        cbu = _upsample2x_triangular(cb) - 128.0
+        cru = _upsample2x_triangular(cr) - 128.0
+        yf = y.astype(jnp.float32)
+        r = yf + 1.402 * cru
+        g = yf - 0.344136286 * cbu - 0.714136286 * cru
+        b = yf + 1.772 * cbu
+        rgb = jnp.stack([r, g, b], axis=-1)
+        return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+    f = one
+    for _ in range(y.ndim - 2):
+        f = jax.vmap(f)
+    return f(y, cb, cr)
+
+
+def compose_yuv_index_device(y: jnp.ndarray, cb: jnp.ndarray,
+                             cr: jnp.ndarray, idx_u8: jnp.ndarray,
+                             lut_rgb: jnp.ndarray) -> jnp.ndarray:
+    """Raw 4:2:0 planes + JET index -> (..., H, W, 6) rgbcolormap frame.
+    The minimum-byte streaming compose (2.5 B/px on the wire)."""
+    rgb = yuv420_to_rgb_device(y, cb, cr)
+    cm = lut_rgb[idx_u8.astype(jnp.int32)]
+    return jnp.concatenate([rgb, cm], axis=-1)

@@ -79,6 +79,41 @@ class BatchedViPTTracker:
         self.state, boxes, scores = self._step(self.params, self.state, frames)
         return np.asarray(boxes), np.asarray(scores)
 
+    def track_yuv(self, y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                  idx: np.ndarray):
+        """Minimum-byte streaming step (2.5 B/px wire): raw 4:2:0 planes +
+        JET index; chroma upsample + BT.601 + colormap run on device.
+        Decode-grade (≤1 LSB of cv2's decode), NOT bit-exact — opt-in via
+        MMTRACK_STREAM=yuv420 (eval/batched_ope.py)."""
+        import jax.numpy as jnp
+        if not hasattr(self, "_step_yuv"):
+            from mmtrack_tpu.ops.compose import (compose_yuv_index_device,
+                                                 jet_lut)
+            lut = jnp.asarray(jet_lut())
+
+            def step_yuv(params, state, y, cb, cr, idx):
+                frames = compose_yuv_index_device(y, cb, cr, idx, lut)
+                return jax.vmap(partial(vipt_track_step, self.rt,
+                                        self._model),
+                                in_axes=(None, 0, 0))(params, state, frames)
+
+            if self.mesh is not None:
+                repl = NamedSharding(self.mesh, P())
+                data = NamedSharding(self.mesh, P("data"))
+                self._step_yuv = jax.jit(
+                    step_yuv,
+                    in_shardings=(repl, data, data, data, data),
+                    out_shardings=(data, data, data), donate_argnums=(1,))
+            else:
+                self._step_yuv = jax.jit(step_yuv, donate_argnums=(1,))
+        arrs = [jnp.asarray(a) for a in (y, cb, cr, idx)]
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P("data"))
+            arrs = [jax.device_put(a, sh) for a in arrs]
+        self.state, boxes, scores = self._step_yuv(self.params, self.state,
+                                                   *arrs)
+        return np.asarray(boxes), np.asarray(scores)
+
     def track_split(self, rgb: np.ndarray, idx: np.ndarray):
         """Streaming 'rgbcolormap' step at 4 B/px: the host ships RGB plus
         the 1-byte JET index plane (data/composition.py::depth_index_u8)

@@ -279,3 +279,97 @@ int mmt_decode_pair_rgb_index(const char* jpeg_path, const char* png_path,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Decode a 4:2:0 JPEG to raw YCbCr planes WITHOUT upsampling or color
+// conversion: Y (H x W), Cb and Cr (H/2 x W/2). This is the 2.5-byte/px
+// serving upload (vs 4 for rgb+index): chroma upsample + BT.601 conversion
+// run on the TPU (ops/compose.py::yuv420_to_rgb_device). Requires H and W
+// to be multiples of 16 (exact iMCU rows; typical camera/benchmark sizes
+// qualify) and 2x2-subsampled 3-component input — returns -5 otherwise so
+// callers fall back to the RGB path.
+int mmt_decode_jpeg_yuv420(const unsigned char* buf, long len,
+                           unsigned char* y_out, unsigned char* cb_out,
+                           unsigned char* cr_out, int H, int W) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  if (cinfo.num_components != 3 ||
+      cinfo.comp_info[0].h_samp_factor != 2 ||
+      cinfo.comp_info[0].v_samp_factor != 2 ||
+      cinfo.comp_info[1].h_samp_factor != 1 ||
+      cinfo.comp_info[1].v_samp_factor != 1 ||
+      cinfo.comp_info[2].h_samp_factor != 1 ||
+      cinfo.comp_info[2].v_samp_factor != 1 ||
+      static_cast<int>(cinfo.image_height) != H ||
+      static_cast<int>(cinfo.image_width) != W ||
+      H % 16 != 0 || W % 16 != 0) {
+    jpeg_destroy_decompress(&cinfo);
+    return -5;
+  }
+  cinfo.raw_data_out = TRUE;
+  jpeg_start_decompress(&cinfo);
+  JSAMPROW y_rows[16], cb_rows[8], cr_rows[8];
+  JSAMPARRAY planes[3] = {y_rows, cb_rows, cr_rows};
+  while (cinfo.output_scanline < cinfo.output_height) {
+    int base = cinfo.output_scanline;
+    for (int r = 0; r < 16; ++r)
+      y_rows[r] = y_out + static_cast<size_t>(base + r) * W;
+    for (int r = 0; r < 8; ++r) {
+      cb_rows[r] = cb_out + static_cast<size_t>(base / 2 + r) * (W / 2);
+      cr_rows[r] = cr_out + static_cast<size_t>(base / 2 + r) * (W / 2);
+    }
+    jpeg_read_raw_data(&cinfo, planes, 16);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Streaming variant of mmt_decode_pair_rgb_index at 2.5 B/px: YCbCr raw
+// planes + depth JET index. Falls back with -5 when the JPEG is not plain
+// 4:2:0 at the expected dims (caller then uses the RGB path).
+int mmt_decode_pair_yuv_index(const char* jpeg_path, const char* png_path,
+                              unsigned char* y_out, unsigned char* cb_out,
+                              unsigned char* cr_out, unsigned char* idx_out,
+                              int H, int W, int clip) {
+  long jlen = 0, plen = 0;
+  unsigned char* jbuf = read_file(jpeg_path, &jlen);
+  if (!jbuf) return -1;
+  int rc = mmt_decode_jpeg_yuv420(jbuf, jlen, y_out, cb_out, cr_out, H, W);
+  std::free(jbuf);
+  if (rc != 0) return rc;
+
+  unsigned char* pbuf = read_file(png_path, &plen);
+  if (!pbuf) return -3;
+  static thread_local unsigned short* dscratch2 = nullptr;
+  static thread_local size_t dscratch2_n = 0;
+  size_t need = static_cast<size_t>(H) * W;
+  if (dscratch2_n < need) {
+    std::free(dscratch2);
+    dscratch2 = static_cast<unsigned short*>(std::malloc(need * 2));
+    dscratch2_n = dscratch2 ? need : 0;
+    if (!dscratch2) {
+      std::free(pbuf);
+      return -3;
+    }
+  }
+  int h = 0, w = 0;
+  rc = mmt_decode_png_u16(pbuf, plen, dscratch2, H, W, &h, &w);
+  std::free(pbuf);
+  if (rc != 0 || h != H || w != W) return -4;
+  mmt_depth_index_u8(dscratch2, static_cast<long>(H) * W, clip, idx_out);
+  return 0;
+}
+
+}  // extern "C"

@@ -129,3 +129,44 @@ def test_batched_ope_split_stream_matches_host_compose(tmp_path):
     for i, n in enumerate(lengths):
         res = _run_seq(ViPTTracker(model, params, RT), seqs[i])
         np.testing.assert_allclose(out[i]["boxes"], res["boxes"], atol=1e-3)
+
+
+def test_batched_ope_yuv_stream_mode(tmp_path, monkeypatch):
+    """MMTRACK_STREAM=yuv420 opt-in: raw 4:2:0 wire format. Not bit-exact
+    (decode-grade ±1 LSB), so assert the run completes and the boxes stay
+    within a loose IoU band of the exact-path run."""
+    import cv2
+
+    from mmtrack_tpu.eval.metrics import iou_xywh
+
+    model, params = _setup()
+    rng = np.random.RandomState(7)
+    n = 4
+    frames, gt = make_synthetic_sequence(n_frames=n, height=96, width=128,
+                                         seed=30, box0=(30.0, 20.0, 24.0, 20.0))
+    cdir = tmp_path / "s0" / "color"
+    ddir = tmp_path / "s0" / "depth"
+    cdir.mkdir(parents=True)
+    ddir.mkdir(parents=True)
+    base = rng.randint(500, 4000, (96, 128)).astype(np.uint16)
+    rgb_paths, d_paths = [], []
+    for t in range(n):
+        cp, dp = str(cdir / f"{t:04d}.jpg"), str(ddir / f"{t:04d}.png")
+        cv2.imwrite(cp, frames[t][..., :3][..., ::-1])
+        cv2.imwrite(dp, (base + 7 * t).astype(np.uint16))
+        rgb_paths.append(cp)
+        d_paths.append(dp)
+    seq = EvalSequence("s0", rgb_paths, d_paths, gt, dtype="rgbcolormap",
+                       depth_clip=True)
+
+    exact = run_dataset_batched(
+        lambda: BatchedViPTTracker(model, params, RT), [seq],
+        str(tmp_path / "r1"), "DS", "cfg", batch_size=1, verbose=False)
+    monkeypatch.setenv("MMTRACK_STREAM", "yuv420")
+    yuv = run_dataset_batched(
+        lambda: BatchedViPTTracker(model, params, RT), [seq],
+        str(tmp_path / "r2"), "DS", "cfg", batch_size=1, verbose=False)
+    assert yuv[0]["boxes"].shape == (n, 4)
+    ious = [iou_xywh(a, b) for a, b in zip(exact[0]["boxes"][1:],
+                                           yuv[0]["boxes"][1:])]
+    assert min(ious) > 0.6, ious

@@ -107,3 +107,50 @@ class TestImageIO:
         cv2.imwrite(pp, depth)
         out = decode_png_u16(pp)
         np.testing.assert_array_equal(out, depth)
+
+    def test_yuv420_raw_decode_and_device_conversion(self, tmp_path):
+        """The 2.5-byte/px serving path: raw 4:2:0 planes + device
+        upsample/CSC must land within 1 LSB of cv2's own JPEG decode
+        (JPEG is lossy; this path trades bit-exactness for 1.6x less
+        wire traffic — the bit-exact rgb+index path remains default for
+        eval). Non-qualifying sources must be refused."""
+        import cv2
+        import jax
+        import jax.numpy as jnp
+
+        from mmtrack_tpu.data.native_io import decode_pair_yuv_index
+        from mmtrack_tpu.ops.compose import yuv420_to_rgb_device
+
+        rng = np.random.default_rng(5)
+        H, W = 48, 64  # multiples of 16
+        # smooth-ish content so chroma subsampling is representative
+        base = rng.integers(0, 255, (H // 8, W // 8, 3)).astype(np.uint8)
+        frame = cv2.resize(base, (W, H), interpolation=cv2.INTER_LINEAR)
+        depth = rng.integers(500, 4000, (H, W)).astype(np.uint16)
+        jp, pp = str(tmp_path / "f.jpg"), str(tmp_path / "d.png")
+        cv2.imwrite(jp, frame[..., ::-1])
+        cv2.imwrite(pp, depth)
+
+        y = np.zeros((H, W), np.uint8)
+        cb = np.zeros((H // 2, W // 2), np.uint8)
+        cr = np.zeros((H // 2, W // 2), np.uint8)
+        idx = np.zeros((H, W), np.uint8)
+        assert decode_pair_yuv_index(jp, pp, y, cb, cr, idx)
+
+        rgb = np.asarray(jax.jit(yuv420_to_rgb_device)(
+            jnp.asarray(y), jnp.asarray(cb), jnp.asarray(cr)))
+        ref = cv2.cvtColor(cv2.imread(jp), cv2.COLOR_BGR2RGB)
+        assert np.abs(rgb.astype(int) - ref.astype(int)).max() <= 1
+
+        from mmtrack_tpu.data.composition import depth_index_u8
+        np.testing.assert_array_equal(
+            idx, depth_index_u8(cv2.imread(pp, -1), x_clip=True))
+
+        # non-multiple-of-16 dims -> refused, caller falls back
+        f2 = frame[:40, :56]
+        jp2 = str(tmp_path / "f2.jpg")
+        cv2.imwrite(jp2, f2[..., ::-1])
+        y2 = np.zeros((40, 56), np.uint8)
+        cb2 = np.zeros((20, 28), np.uint8)
+        assert not decode_pair_yuv_index(jp2, pp, y2, cb2, cb2.copy(),
+                                         np.zeros((40, 56), np.uint8))

@@ -38,6 +38,12 @@ def main():
     p.add_argument("--results_root", default="./workspace/results")
     p.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--batched", type=int, default=0, metavar="B",
+                   help="lockstep-batch B sequences per device pass "
+                        "(eval/batched_ope.py; ViPT configs only). "
+                        "Disk rgbcolormap batches stream rgb+JET-index at "
+                        "4 B/px; MMTRACK_STREAM=yuv420 opts into raw 4:2:0 "
+                        "planes at 2.5 B/px")
     p.add_argument("--analyze", action="store_true",
                    help="also compute SR/PR/NPR and F-score from the results")
     args = p.parse_args()
@@ -99,8 +105,18 @@ def main():
         seq_dirs = list_sequences(root, args.dataset)
         seq_dirs = seq_dirs[process_local_slice(len(seq_dirs))]
         seqs = [load_sequence(d, args.dataset) for d in seq_dirs]
-        run_dataset(tracker_factory, seqs,
-                    args.results_root, args.dataset, run_name)
+        if args.batched > 1:
+            if args.tracker:
+                p.error("--batched applies to ViPT configs (no --tracker)")
+            from mmtrack_tpu.eval.batched_ope import run_dataset_batched
+            from mmtrack_tpu.parallel.batched_eval import BatchedViPTTracker
+            run_dataset_batched(
+                lambda: BatchedViPTTracker(model, params, rt), seqs,
+                args.results_root, args.dataset, run_name,
+                batch_size=args.batched)
+        else:
+            run_dataset(tracker_factory, seqs,
+                        args.results_root, args.dataset, run_name)
 
     if args.analyze:
         report = analyze_ope(seqs, args.results_root, args.dataset, run_name)
