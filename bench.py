@@ -276,9 +276,11 @@ def main() -> None:
         vipt_init_state,
         vipt_track_scan_batched,
     )
+    from mmtrack_tpu.utils.env import enable_compile_cache
     from mmtrack_tpu.utils.hostmem import tune_host_allocator
 
     tune_host_allocator()
+    enable_compile_cache()  # TPU executables persist across bench runs
     cfg = vipt_experiment_config("deep_rgbd")
     rt = ViPTRuntime.from_config(cfg)
     model = build_viptrack(cfg, dtype=jnp.bfloat16)

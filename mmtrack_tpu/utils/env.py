@@ -58,3 +58,24 @@ def load_env_settings(path: str = DEFAULT_PATH) -> EnvironmentSettings:
         if hasattr(env, k):
             setattr(env, k, v)
     return env
+
+
+def enable_compile_cache(path: str | None = None) -> None:
+    """Persistent XLA executable cache for every CLI entry point.
+
+    First compile of the full ViT-B train step takes many minutes on a
+    1-core host; with the cache it is paid once per (program, topology)
+    and later runs deserialize in seconds. Safe to call repeatedly."""
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass

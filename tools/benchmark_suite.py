@@ -34,6 +34,10 @@ def main():
     p.add_argument("--frames", type=int, default=12)
     args = p.parse_args()
 
+    from mmtrack_tpu.utils.env import enable_compile_cache
+
+    enable_compile_cache()
+
     from mmtrack_tpu.data.synthetic import make_synthetic_sequence
     from mmtrack_tpu.eval.analysis import analyze_fscore, analyze_ope
     from mmtrack_tpu.eval.datasets import EvalSequence, list_sequences, load_sequence

@@ -31,6 +31,10 @@ def main():
     p.add_argument("--dtype", default="rgbrgb")
     args = p.parse_args()
 
+    from mmtrack_tpu.utils.env import enable_compile_cache
+
+    enable_compile_cache()
+
     from mmtrack_tpu.data.composition import get_x_frame
     from mmtrack_tpu.data.synthetic import make_synthetic_sequence
     from mmtrack_tpu.registry import build_tracker

@@ -51,6 +51,9 @@ def main():
     from mmtrack_tpu.utils.hostmem import tune_host_allocator
 
     tune_host_allocator()  # frame decode is host-bound on this 1-core box
+    from mmtrack_tpu.utils.env import enable_compile_cache
+
+    enable_compile_cache()  # first full compile is minutes on 1 core
 
     from mmtrack_tpu.config import vipt_experiment_config
     from mmtrack_tpu.data.synthetic import make_synthetic_sequence

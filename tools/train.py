@@ -49,6 +49,10 @@ def main():
     if args.distributed:
         jax.distributed.initialize()
 
+    from mmtrack_tpu.utils.env import enable_compile_cache
+
+    enable_compile_cache()  # first full train-step compile is minutes on 1 core
+
     from mmtrack_tpu.config import vipt_default_config, vipt_experiment_config
     from mmtrack_tpu.data.datasets import SyntheticVideoDataset, names2datasets
     from mmtrack_tpu.data.loader import BatchLoader
