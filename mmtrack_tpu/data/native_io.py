@@ -100,8 +100,12 @@ def decode_pair_rgb_index(jpeg_path: str, png_path: str,
     from mmtrack_tpu.data.composition import depth_index_u8
 
     im = cv2.imread(jpeg_path)
+    if im is None:
+        raise IOError(f"could not read color frame {jpeg_path}")
     rgb_out[...] = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
     d = cv2.imread(png_path, -1)
+    if d is None:
+        raise IOError(f"could not read depth frame {png_path}")
     idx_out[...] = depth_index_u8(np.asarray(d, np.uint16), x_clip=clip)
 
 

@@ -278,11 +278,19 @@ class LaSOTDepth(VideoDataset):
         return self._cache[seq_id]
 
     def get_frames(self, seq_id, frame_ids):
-        p = self._seq_path(seq_id)
-        rgb = sorted(os.path.join(p, "color", f)
-                     for f in os.listdir(os.path.join(p, "color")))
-        dep = sorted(os.path.join(p, "depth", f)
-                     for f in os.listdir(os.path.join(p, "depth")))
+        # frame lists are cached: get_frames is the sampler hot path, and
+        # re-listing a 10k-frame LaSOT directory per 1-3 frame fetch is
+        # pure metadata I/O on the 1-core host
+        if not hasattr(self, "_frame_cache"):
+            self._frame_cache: dict[int, tuple] = {}
+        if seq_id not in self._frame_cache:
+            p = self._seq_path(seq_id)
+            rgb = sorted(os.path.join(p, "color", f)
+                         for f in os.listdir(os.path.join(p, "color")))
+            dep = sorted(os.path.join(p, "depth", f)
+                         for f in os.listdir(os.path.join(p, "depth")))
+            self._frame_cache[seq_id] = (rgb, dep)
+        rgb, dep = self._frame_cache[seq_id]
         frames = [self._get_x_frame(rgb[i], dep[i], self.dtype,
                                     depth_clip=True) for i in frame_ids]
         boxes = self.seq_info(seq_id)["bbox"][frame_ids].astype(np.float32)
@@ -344,10 +352,15 @@ class ImageNetVID(VideoDataset):
         self._cache: dict[int, dict] = {}
 
     def _track_ids(self, anno_dir):
-        first = sorted(os.listdir(anno_dir))[0]
-        tree = self._ET.parse(os.path.join(anno_dir, first))
-        return sorted({obj.findtext("trackid")
-                       for obj in tree.getroot().iter("object")})
+        # scan EVERY frame's XML: VID objects routinely enter mid-sequence,
+        # so the first frame alone under-enumerates the tracks
+        # (DeT ltr/dataset/imagenetvid.py builds tracks across all frames)
+        ids: set = set()
+        for f in sorted(os.listdir(anno_dir)):
+            tree = self._ET.parse(os.path.join(anno_dir, f))
+            ids.update(obj.findtext("trackid")
+                       for obj in tree.getroot().iter("object"))
+        return sorted(ids)
 
     def num_sequences(self):
         return len(self._seqs)

@@ -131,13 +131,23 @@ def run_batch(tracker: BatchedViPTTracker, seqs: list[EvalSequence],
                      np.zeros((B, H, W), np.uint8)) for _ in range(2)]
             decode, step = _decode_split, tracker.track_split
         decode(seqs, 1, *bufs[1])
+        errs: list = []
+
+        def _decode_guard(*a):
+            try:
+                decode(*a)
+            except Exception as e:  # surface on join, not as stale frames
+                errs.append(e)
+
         th = None
         for t in range(1, max_len):
             s = t % 2
             if th is not None:
                 th.join()
+                if errs:
+                    raise errs[0]
             if t + 1 < max_len:  # decode t+1 while the device steps t
-                th = threading.Thread(target=decode,
+                th = threading.Thread(target=_decode_guard,
                                       args=(seqs, t + 1, *bufs[(t + 1) % 2]))
                 th.start()
             else:

@@ -23,17 +23,19 @@ Mask = namedtuple("Mask", ["x", "y", "mask"])  # offset + binary (h, w) array
 
 def _rle_encode(flat) -> list[int]:
     """Run lengths of a flat binary array, starting with the zero run
-    (TraX mask payload convention, VOT2020+)."""
-    runs = []
-    cur, count = 0, 0
-    for v in flat:
-        v = int(v)
-        if v == cur:
-            count += 1
-        else:
-            runs.append(count)
-            cur, count = v, 1
-    runs.append(count)
+    (TraX mask payload convention, VOT2020+). Vectorized — this runs once
+    per reported frame, and a per-pixel Python loop over a 640x480 mask
+    costs tens of milliseconds on the serving host."""
+    import numpy as np
+
+    a = (np.asarray(flat).reshape(-1) != 0).astype(np.int8)
+    if a.size == 0:
+        return [0]
+    edges = np.flatnonzero(np.diff(a)) + 1
+    bounds = np.concatenate(([0], edges, [a.size]))
+    runs = np.diff(bounds).tolist()
+    if a[0] != 0:  # convention: the zero run comes first
+        runs = [0] + runs
     return runs
 
 

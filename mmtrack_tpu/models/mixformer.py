@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from mmtrack_tpu.models.heads import CornerPredictor, FrozenBatchNorm
+from mmtrack_tpu.models.layers import drop_path as _drop_path
 from mmtrack_tpu.ops.prroi import prroi_pool
 
 
@@ -163,13 +164,6 @@ class Mlp(nn.Module):
         x = quick_gelu(x)
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
-
-def _drop_path(x, rate, deterministic, rng):
-    if deterministic or rate == 0.0:
-        return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
-    return x * mask.astype(x.dtype) / keep
 
 
 class CvtBlock(nn.Module):

@@ -65,6 +65,13 @@ def test_stark_score_stage_trains():
         params, lambda tx: zoo_actors.make_stark_train_step(model, tx, "score"),
         b, steps=15)
     assert losses[-1] < losses[0], losses
+    # the CLI's stage-2 trainable mask must actually select the score head
+    # (caught live: it matched "cls_head" but the Dense layers are named
+    # cls_0/cls_1/cls_2, freezing everything)
+    import flax
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    mask = {k: k[0].startswith("cls_") for k in flat}
+    assert any(mask.values()) and not all(mask.values())
 
 
 @pytest.mark.slow

@@ -243,11 +243,15 @@ def _train_zoo(args, cfg, dtype):
         params = jax.jit(lambda r: model.init(r, z, x))(jax.random.PRNGKey(args.seed))
         step_builder = lambda tx: zoo_actors.make_stark_train_step(model, tx, stage)
         if stage == "score":
-            # stage 2 trains only the score head (stark_st2 recipe)
+            # stage 2 trains only the score head (stark_st2 recipe); the
+            # head's Dense layers are registered as cls_0/cls_1/cls_2
+            # (models/stark.py:174)
             import flax
             flat = flax.traverse_util.flatten_dict(params["params"])
             trainable_mask = {"params": flax.traverse_util.unflatten_dict(
-                {k: ("cls_head" in k[0]) for k in flat})}
+                {k: k[0].startswith("cls_") for k in flat})}
+            assert any(k[0].startswith("cls_") for k in flat), \
+                "score-head params not found; mask would freeze everything"
     elif args.script == "mixformer":
         from mmtrack_tpu.models.mixformer import build_mixformer_rgbd
         model = build_mixformer_rgbd(dtype=dtype)
