@@ -28,9 +28,6 @@ in tools/parity/check_mixformer.py).
 
 from __future__ import annotations
 
-import math
-from typing import Optional, Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -122,7 +122,7 @@ def _fuse_convbn(p: dict, kernel: int) -> tuple[np.ndarray, np.ndarray]:
     return fused_k, fused_b
 
 
-def _fuse_block(bp: dict, groups: int = 1) -> dict:
+def _fuse_block(bp: dict) -> dict:
     k3, b3 = _fuse_convbn(bp["dense"], 3)
     k1, b1 = _fuse_convbn(bp["one_by_one"], 1)
     k, b = k3 + k1, b3 + b1

@@ -346,7 +346,8 @@ class CABlock(nn.Module):
 class ScoreTransformer(nn.Module):
     """OSTrack-online confidence head (RGBD/models/OSTrack/lib/models/
     ostrack/score_head.py:20-83): the predicted box projects to a class
-    token that attends the search tokens through NUM_CLS_ATTN_LAYERS=2
+    token that attends the full template+search token sequence (the caller
+    passes cat_template_search, ostrack_online.py:150) through NUM_CLS_ATTN_LAYERS=2
     class-attention blocks; a NUM_CLS_MLP_LAYERS=3 MLP maps the normalized
     token to the update score. Drives the online-template refresh gate
     (ostrack_online.py). Weight conversion: convert_score_head_checkpoint.

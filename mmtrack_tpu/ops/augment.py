@@ -85,10 +85,12 @@ def _rotated_window(expanded: jnp.ndarray, out_sz: int, angle_deg: float,
     i = jnp.arange(out_sz, dtype=jnp.float32)
     py = (base - shift_yx[0]) + i[:, None] - c  # window pixel, centered coords
     px = (base - shift_yx[1]) + i[None, :] - c
-    # cv2.warpAffine applies M as the dst->src map; the reference's M is
-    # [[cos, sin], [-sin, cos]] in (x, y) about the center.
-    sy = -sin * px + cos * py + c
-    sx = cos * px + sin * py + c
+    # The reference builds the FORWARD map R = [[cos, sin], [-sin, cos]]
+    # (augmentation.py:122-125) and cv2.warpAffine — without
+    # WARP_INVERSE_MAP — inverts it internally, so the dst->src map we
+    # must apply here is R^T: src = [[cos, -sin], [sin, cos]] @ dst.
+    sy = sin * px + cos * py + c
+    sx = cos * px - sin * py + c
     coords = jnp.stack([jnp.broadcast_to(sy, (out_sz, out_sz)),
                         jnp.broadcast_to(sx, (out_sz, out_sz))])
     interp = partial(jax.scipy.ndimage.map_coordinates, order=1, mode="nearest")

@@ -265,15 +265,23 @@ def atom_track_step(rt: ATOMRuntime, model: ATOMNet, params, state: dict,
     updated = _update_memory_atom(rt, state, comp[0], label, lr)
     state = jax.tree.map(lambda a, b: jnp.where(update_ok, a, b), updated, state)
 
-    num_cg = jnp.where(
-        ~update_ok, 0,
-        jnp.where(hard_neg, rt.hard_negative_cg_iter,
-                  jnp.where((state["frame_num"] - 1) % rt.train_skipping == 0,
-                            rt.update_cg_iter, 0)))
-    new_f = gauss_newton_cg(
-        partial(_residuals_filter, rt, comp=state["memory_comp"],
-                y=state["memory_y"], sw=state["sample_weights"]),
-        state["filter"], 1, num_cg)
+    # reference atom.py:287-290: the periodic re-optimization is OUTSIDE
+    # the `if update_flag:` block — it runs on the train_skipping cadence
+    # even when the frame is not_found/uncertain (only the memory update
+    # above is gated); hard negatives trigger the longer CG run.
+    num_cg = jnp.where(hard_neg, rt.hard_negative_cg_iter,
+                       jnp.where((state["frame_num"] - 1) % rt.train_skipping == 0,
+                                 rt.update_cg_iter, 0))
+    # lax.cond keeps the GN linearize/VJP over the 250-sample memory off
+    # the hot path on the ~9/10 frames where num_cg == 0
+    new_f = jax.lax.cond(
+        num_cg > 0,
+        lambda f: gauss_newton_cg(
+            partial(_residuals_filter, rt, comp=state["memory_comp"],
+                    y=state["memory_y"], sw=state["sample_weights"]),
+            f, 1, num_cg),
+        lambda f: f,
+        state["filter"])
     state = {**state, "filter": new_f}
 
     box = jnp.concatenate([

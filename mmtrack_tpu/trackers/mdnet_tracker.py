@@ -135,7 +135,10 @@ def _extract_patches(rt: MDNetRuntime, model, params, frame, boxes):
         c = jnp.stack([b[1] + b[3] / 2, b[0] + b[2] / 2])  # (y, x)
         side = jnp.sqrt(b[2] * b[3]) * (rt.img_size + 2 * rt.padding) / rt.img_size
         patch = crop_at(frame, c, side, rt.img_size, border="replicate")
-        return patch / 255.0 - 0.5
+        # reference input convention: raw uint8 float - 128
+        # (pyMDNet tracking/data_prov.py:50 and pretrain/data_prov.py:91);
+        # the scale matters — LRN sits right after conv1
+        return patch - 128.0
 
     patches = jax.vmap(one)(boxes)
     # type(model) keeps the protocol polymorphic over chassis variants
@@ -233,8 +236,6 @@ def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
     if use_vital:
         # adversarial G step against the updated classifier
         # (run_tracker.py:181-191): minimize positive score under G's mask
-        from mmtrack_tpu.models.vital import apply_mask
-
         def g_objective(g_params, pos_idx):
             pf = pos_feats[pos_idx]
             flat = pf.sum(axis=1)

@@ -7,8 +7,9 @@ a functional state + ONE jitted step:
   - backbone token streams are merged by averaging over the template batch
     and the CENTER head decodes from the merged map under a Hann window
     (lines 138-169);
-  - the ScoreTransformer cls head scores the predicted box on the merged
-    search tokens -> confidence (forward_cls_head, lines 149-151);
+  - the ScoreTransformer cls head scores the predicted box against the
+    init template's full z+x token sequence -> confidence
+    (forward_cls_head(cat_template_search[0:1], ...), lines 149-151);
   - main-lobe analysis of the merged score map (psr_dynamic,
     lib/test/utils/psr.py:40-76) — 8-connected flood fill from the peak,
     done as a lax.while_loop of 3x3 max-pool dilations;
@@ -85,10 +86,6 @@ def main_lobe(score_map: jnp.ndarray, ratio: float):
     return mask.sum().astype(jnp.int32), mask.astype(bool)
 
 
-def _normalize(frame_crop):
-    return frame_crop  # crop_resize_normalized already normalizes
-
-
 def ostrack_online_init_state(rt: OSTrackOnlineRuntime, frame: jnp.ndarray,
                               init_box: jnp.ndarray) -> dict:
     C = frame.shape[-1]
@@ -141,7 +138,11 @@ def ostrack_online_track_step(rt: OSTrackOnlineRuntime, model: ViPTrack,
         f1_pred, _ = cal_bbox(f1_score * window[None], f1_size, f1_offset)
         pred = jnp.where(tracked <= rt.redetect_threshold, f1_pred, pred)
 
-    conf = cls_model.apply(cls_params, merged[:, -lens_x:], pred)[0]
+    # the cls head scores the predicted box against the INIT template's
+    # full z+x token sequence — reference ostrack_online.py:150 calls
+    # forward_cls_head(cat_template_search[0:1], pred_box), i.e. template
+    # index 0 and all tokens, not the merged search slice
+    conf = cls_model.apply(cls_params, tokens[0:1], pred)[0]
     area, _ = main_lobe(score_m[0], rt.main_lobe_score_ratio)
     update_ok = (area <= rt.main_lobe_area_threshold) & (conf >= rt.cls_threshold)
 

@@ -100,9 +100,15 @@ def vipt_track_step(rt: ViPTRuntime, model: ViPTrack, params, state: dict,
     out = model.apply(params, state["template"][None], search[None],
                       box_mask_z, rt.ce_keep_lens)
 
-    window = hann2d(rt.feat_sz, rt.feat_sz)
-    response = window[None] * out["score_map"]
-    bbox, score = cal_bbox(response, out["size_map"], out["offset_map"])
+    if getattr(model, "head_type", "CENTER") == "CENTER":
+        window = hann2d(rt.feat_sz, rt.feat_sz)
+        response = window[None] * out["score_map"]
+        bbox, score = cal_bbox(response, out["size_map"], out["offset_map"])
+    else:
+        # CORNER/MLP heads regress the box directly (no center heatmap to
+        # window — the reference's corner lineage uses pred_boxes as-is,
+        # ostrack.py forward_head CORNER branch)
+        bbox, score = out["pred_boxes"], out["max_score"]
 
     # crop coords [0,1] -> image scale
     pred = bbox[0] * rt.search_size / resize_factor  # (cx, cy, w, h)

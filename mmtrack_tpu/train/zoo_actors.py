@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from mmtrack_tpu.data.processing import MEAN_6, STD_6
 from mmtrack_tpu.ops.box import box_cxcywh_to_xyxy, box_xywh_to_xyxy
 from mmtrack_tpu.ops.crop import crop_resize
 from mmtrack_tpu.ops.losses import giou_loss, l1_loss
@@ -145,8 +146,14 @@ def siamfc_response_labels(anno_xywh, search_size: int, response_sz: int,
 def make_siamfc_train_step(model, tx, search_size: int = 255,
                            total_stride: int = 8):
     def train_step(state, batch, rng):
+        # the SiamFC runtime feeds patches/255 (siamfc_tracker.py:73,86);
+        # undo the loader's ImageNet normalization so train == serve
+        c = batch["search"].shape[-1]
+        z01 = batch["template"] * STD_6[:c] + MEAN_6[:c]
+        x01 = batch["search"] * STD_6[:c] + MEAN_6[:c]
+
         def loss_fn(params):
-            resp = model.apply(params, batch["template"], batch["search"])
+            resp = model.apply(params, z01, x01)
             y = siamfc_response_labels(batch["search_anno"], search_size,
                                        resp.shape[-1], total_stride)
             # balanced logistic loss: log(1 + exp(-y * v))
@@ -188,9 +195,10 @@ def mdnet_training_patches(search_img, anno_xywh, rng, n_pos: int = 32,
     boxes = jnp.concatenate([pos_boxes, neg_boxes])
 
     def extract(b):
-        # crop_resize takes xywh + area factor; factor 1 -> exact box,
-        # padded square via the sample-target geometry
-        crop, _ = crop_resize(search_img, b, 1.0, patch_sz)
+        # 16px context at the 107 crop size, like the runtime's
+        # RegionExtractor geometry (side = sqrt(wh) * (107+2*16)/107)
+        crop, _ = crop_resize(search_img, b, (patch_sz + 32) / patch_sz,
+                              patch_sz)
         return crop
 
     patches = jax.vmap(extract)(boxes)
@@ -206,12 +214,17 @@ def make_mdnet_train_step(model, tx, n_pos: int = 32, n_neg: int = 96,
         B = batch["search"].shape[0]
         rngs = jax.random.split(rng, B)
 
+        # undo the loader's ImageNet normalization and feed the tracker's
+        # (= reference's) convention: raw 0-255 float minus 128 — train
+        # and serve must see the same input distribution
+        c = batch["search"].shape[-1]
+        raw = (batch["search"] * STD_6[:c] + MEAN_6[:c]) * 255.0
+
         def build(img, anno, r):
             return mdnet_training_patches(img, anno, r, n_pos, n_neg)
 
-        patches, labels = jax.vmap(build)(batch["search"],
-                                          batch["search_anno"], rngs)
-        patches = patches.reshape((-1,) + patches.shape[2:])
+        patches, labels = jax.vmap(build)(raw, batch["search_anno"], rngs)
+        patches = patches.reshape((-1,) + patches.shape[2:]) - 128.0
         labels = labels.reshape(-1)
 
         def loss_fn(params):

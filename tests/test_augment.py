@@ -170,3 +170,32 @@ def test_augmented_init_improves_transformed_view():
     single = center_score(DiMPRuntime(image_sample_size=96, sample_memory_size=20,
                                       train_skipping=3, use_augmentation=False))
     assert aug > single, (aug, single)
+
+
+def test_rotate_matches_cv2_warpaffine():
+    """_rotated_window must reproduce the reference's Rotate transform:
+    forward R = [[cos,sin],[-sin,cos]] handed to cv2.warpAffine (which
+    inverts it internally). Caught live: applying R directly as the
+    dst->src map rotates by -angle."""
+    import cv2
+    import math as m
+
+    rng = np.random.RandomState(3)
+    S = 32
+    e = rng.rand(2 * S, 2 * S).astype(np.float32)
+    for angle in (17.0, -40.0):
+        a = m.pi * angle / 180
+        c = (np.expand_dims(np.array(e.shape[:2]), 1) - 1) / 2
+        R = np.array([[m.cos(a), m.sin(a)], [-m.sin(a), m.cos(a)]])
+        H = np.concatenate([R, c - R @ c], 1)
+        ref = cv2.warpAffine(e, H, e.shape[1::-1],
+                             borderMode=cv2.BORDER_REPLICATE)
+        base = S // 2
+        ref_win = ref[base:base + S, base:base + S]
+        got = np.asarray(_rotated_window(
+            jnp.asarray(e)[..., None], S, angle,
+            jnp.zeros(2, jnp.int32)))[..., 0]
+        # interiors must agree (bilinear kernels differ slightly at border
+        # replication); compare away from the window edge
+        np.testing.assert_allclose(got[2:-2, 2:-2], ref_win[2:-2, 2:-2],
+                                   atol=2e-2)

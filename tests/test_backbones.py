@@ -144,6 +144,25 @@ def test_vipt_head_type_variants():
         # CORNER at random init (soft-argmax br may land above tl)
         assert (box[:, :2] >= 0).all() and (box[:, :2] <= 1).all()
 
+        # the tracker must decode pred_boxes for these heads (caught live:
+        # it windowed the placeholder score_map, yielding a degenerate
+        # center box every frame)
+        from mmtrack_tpu.trackers.vipt_tracker import (ViPTRuntime,
+                                                       vipt_init_state,
+                                                       vipt_track_step)
+        rt = ViPTRuntime(template_size=32, search_size=64, stride=16,
+                         ce_loc=(), ce_keep_ratio=())
+        frame = (np.random.RandomState(1).rand(96, 128, 3) * 255).astype(np.uint8)
+        st = vipt_init_state(rt, jnp.asarray(frame),
+                             jnp.asarray([40.0, 30.0, 24.0, 20.0]))
+        st, box1, _ = jax.jit(lambda s, f: vipt_track_step(rt, model, params,
+                                                           s, f))(
+            st, jnp.asarray(frame))
+        box1 = np.asarray(box1)
+        assert np.isfinite(box1).all()
+        # a degenerate decode gives w=h=0 at the crop center
+        assert not np.allclose(box1[2:], 0.0, atol=1e-3)
+
 
 def test_steepest_descent_gn_solves_least_squares():
     # residual(x) = A x - b: GN-SD must drive the quadratic loss down and
