@@ -54,15 +54,16 @@ class TrackingSampler:
         return list(self.rng.choice(valid, size=num_ids, replace=True))
 
     def _sample_seq(self, dataset: VideoDataset):
-        """Random sequence with enough visible frames (sampler.py:172-199
-        semantics: at least 2*(search+template) visible and >= 20 unless the
-        dataset has a single frame)."""
+        """Random sequence with enough visible frames — the reference's
+        exact rule (sampler.py:273): visible.sum() > 2*(search+template)
+        AND len(visible) >= 20, waived for non-video datasets."""
         need = 2 * (self.num_search_frames + self.num_template_frames)
         for _ in range(1000):
             seq_id = int(self.rng.integers(0, dataset.num_sequences()))
             info = dataset.seq_info(seq_id)
             visible = info["visible"]
-            if visible.sum() > max(need, min(20, len(visible) // 2)) or not dataset.is_video:
+            ok = visible.sum() > need and len(visible) >= 20
+            if ok or not dataset.is_video:
                 return seq_id, visible, info
         raise RuntimeError(f"no usable sequence found in {dataset.name}")
 
@@ -149,18 +150,22 @@ class TrackingSampler:
             try:
                 t_frames, t_boxes = dataset.get_frames(seq_id, template_ids)
                 s_frames, s_boxes = dataset.get_frames(seq_id, search_ids)
+
+                data = {
+                    "template_images": t_frames,
+                    "template_anno": t_boxes,
+                    "search_images": s_frames,
+                    "search_anno": s_boxes,
+                    "dataset": dataset.name,
+                }
+                if self.processing is not None:
+                    # processing stays INSIDE the retry guard: a jittered
+                    # crop can land fully outside the image and raise in
+                    # cv2 — the reference's bare try wraps dataset access
+                    # AND self.processing (sampler.py:151-169)
+                    data = self.processing(data, self.rng)
+                    if not data.get("valid", False):
+                        continue
             except Exception:
                 continue  # data-level fault tolerance (sampler.py:151-169)
-
-            data = {
-                "template_images": t_frames,
-                "template_anno": t_boxes,
-                "search_images": s_frames,
-                "search_anno": s_boxes,
-                "dataset": dataset.name,
-            }
-            if self.processing is not None:
-                data = self.processing(data, self.rng)
-                if not data.get("valid", False):
-                    continue
             return data

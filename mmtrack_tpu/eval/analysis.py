@@ -37,8 +37,11 @@ def analyze_ope(sequences: list[EvalSequence], results_root: str, dataset: str,
     per_seq = {}
     for seq in sequences:
         res = load_result(results_root, dataset, config_name, seq.name)
-        pred, gt = res["boxes"][1:], seq.gt[1:]
+        # calc_seq_err_robust: frame 0's prediction is replaced by the GT
+        # init box and INCLUDED (one guaranteed success per sequence)
+        pred, gt = np.array(res["boxes"], np.float64), seq.gt
         n = min(len(pred), len(gt))
+        pred[0, :] = gt[0]
         all_pred.append(pred[:n])
         all_gt.append(gt[:n])
         per_seq[seq.name] = evaluate_ope(pred[:n], gt[:n])
@@ -131,26 +134,45 @@ def analyze_depth_quality(sequences, results_root, dataset, config_name,
 
 
 def analyze_longterm(sequences, results_root, dataset, config_name) -> dict:
-    """Pre/post first-occlusion F-scores (longterm_evaluation.py)."""
+    """Pre/post first-occlusion F-scores (longterm_evaluation.py +
+    PrRe.value_LT). Reference quirks preserved exactly:
+    - never-occluded sequences are SKIPPED entirely
+      (value_LT: `if invisible == 0: continue`) — they contribute to
+      neither bucket;
+    - the pre window is [0, first): frame 0 counts with overlap 1 and
+      confidence 1 (the init-frame convention, compute_LT_curves:18-20);
+    - the post window is [first, n-1): add_LT records
+      end_frame = start + length - 1, so the final frame is excluded."""
     out = {}
     for phase in ("pre_occlusion", "post_occlusion"):
         m = PrReFScore()
         for seq in sequences:
             if seq.visible is None or seq.visible.all():
-                first = len(seq.gt)  # never occluded
-            else:
-                first = int(np.argmin(seq.visible))
+                continue  # never occluded -> skipped by the reference
+            first = int(np.argmin(seq.visible))
             res = load_result(results_root, dataset, config_name, seq.name)
             n = min(len(res["boxes"]), len(seq.gt))
-            sl = slice(1, min(first, n)) if phase == "pre_occlusion" \
-                else slice(max(first, 1), n)
-            if sl.start >= sl.stop:
-                continue
-            ious = iou_xywh(res["boxes"][sl], seq.gt[sl])
+            # saved *_confidence.value files already carry the init frame's
+            # 1.0 at index 0 (ope.py::save_result)
+            conf = np.asarray(res.get("confidences", np.ones(n)),
+                              np.float64)[:n]
+            if phase == "pre_occlusion":
+                sl = slice(1, min(first, n))
+                if first <= 0:
+                    continue
+                ious = np.concatenate(
+                    ([1.0], iou_xywh(res["boxes"][sl], seq.gt[sl])))
+                cf = conf[0:sl.stop]
+                vis = np.concatenate(([True], seq.visible[sl]))
+            else:
+                sl = slice(max(first, 1), n - 1)
+                if sl.start >= sl.stop:
+                    continue
+                ious = iou_xywh(res["boxes"][sl], seq.gt[sl])
+                cf = conf[sl]
+                vis = seq.visible[sl]
             m.overlaps.append(ious)
-            m.confidences.append(res.get("confidences", np.ones(n))[sl])
-            vis = (seq.visible[sl] if seq.visible is not None
-                   else np.ones(sl.stop - sl.start, bool))
+            m.confidences.append(cf)
             m.visible.append(vis)
         if m.overlaps:
             pr, re, f = m.fscore()

@@ -80,7 +80,9 @@ def evaluate_ope(pred_boxes: np.ndarray, gt_boxes: np.ndarray,
     """One-pass-evaluation summary for one or more concatenated sequences.
 
     Returns success AUC (SR), precision@20px (PR) and normalized precision
-    AUC (NPR) over frames where `valid` (gt present) holds.
+    at threshold 0.20 (NPR — the OSTrack/pytracking analysis stack reports
+    norm_prec_curve[20] on linspace(0, 0.5, 51), NOT the curve mean) over
+    frames where `valid` (gt present) holds.
     """
     pred = np.asarray(pred_boxes, np.float64)
     gt = np.asarray(gt_boxes, np.float64)
@@ -93,7 +95,7 @@ def evaluate_ope(pred_boxes: np.ndarray, gt_boxes: np.ndarray,
     return {
         "success_auc": success_auc(ious),
         "precision_20px": precision_at(errs),
-        "norm_precision_auc": float(norm_precision_curve(nerrs).mean()),
+        "norm_precision_auc": float(norm_precision_curve(nerrs)[20]),
         "success_curve": success_curve(ious),
         "precision_curve": precision_curve(errs),
         "n_frames": int(valid.sum()),

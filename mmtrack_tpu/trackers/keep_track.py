@@ -170,18 +170,25 @@ def update_peak_state(state: dict, cfg: PeakMatchConfig, scores, coords,
     sel = jnp.where(top_is_other, object_ids[0], sel)
     sel_peak = jnp.where(top_is_other, 0, sel_peak)
 
-    # lost: flag + redetect on a strong enough fresh peak
+    # lost: the occlusion marker advances to the PRE-FRAME id counter
+    # BEFORE the redetect scan (reference PeakCollection.update sets
+    # object_id_cntr_state_at_occlusion first), so only peaks that were
+    # assigned fresh ids on this very frame can steal the identity —
+    # pre-occlusion distractor tracks are excluded on the frame the
+    # target disappears.
+    lost_now = ~detected
+    newly_lost = lost_now & ~state["flag_not_found"]
+    occl_state = jnp.where(newly_lost & certain, state["object_id_cntr"],
+                           state["occlusion_id_state"])
     redet_mask = valid & (scores > cfg.redetect_score) & \
-        (object_ids >= state["occlusion_id_state"])
-    can_redetect = (~detected) & redet_mask.any()
+        (object_ids >= occl_state)
+    can_redetect = lost_now & redet_mask.any()
     redet_peak = jnp.argmax(redet_mask)
     sel = jnp.where(can_redetect, object_ids[redet_peak], sel)
     sel_peak_out = jnp.where(detected, sel_peak,
                              jnp.where(can_redetect, redet_peak, NEG_ID))
-    just_lost = ~detected & ~can_redetect & ~state["flag_not_found"]
-    occl_state = jnp.where(just_lost & certain, state["object_id_cntr"],
-                           state["occlusion_id_state"])
-    certain = jnp.where(just_lost, False, certain)
+    # a redetected identity is brand new — its certainty starts over
+    certain = jnp.where(newly_lost, False, certain)
 
     new_state = {
         "peak_scores": scores, "peak_coords": coords, "peak_valid": valid,

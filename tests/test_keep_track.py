@@ -122,3 +122,37 @@ def test_jump_to_stronger_track():
     v2 = jnp.asarray([True, True, False, False])
     state, sel_peak, lost = update_peak_state(state, CFG, s2, c2, v2, d2)
     assert int(sel_peak) == 0 and not bool(lost)  # jumped to the 0.95 track
+
+
+def test_occlusion_excludes_preexisting_distractor_on_lost_frame():
+    """On the frame the target vanishes, the occlusion marker advances to
+    the pre-frame id counter BEFORE the redetect scan (reference
+    PeakCollection.update) — an old distractor track alive since before
+    the occlusion must NOT steal the identity, even with a strong score.
+    Caught live: the stale marker let it redetect immediately."""
+    target, distractor = _identity_sequence()
+    zero = np.zeros(8, np.float32)
+
+    def frame(peaks):
+        scores = jnp.asarray([p[0] for p in peaks] + [0.0] * (4 - len(peaks)))
+        coords = jnp.asarray([p[1] for p in peaks] + [[0.0, 0.0]] * (4 - len(peaks)))
+        desc = jnp.asarray(np.stack([p[2] for p in peaks]
+                                    + [zero] * (4 - len(peaks))))
+        valid = jnp.asarray([True] * len(peaks) + [False] * (4 - len(peaks)))
+        return scores, coords, desc, valid
+
+    # frame 0: strong target (certainty builds) + frame 1 keeps it certain
+    s, c, d, v = frame([(0.95, [5.0, 5.0], target)])
+    state = init_peak_state(CFG, s, c, v, d)
+    s, c, d, v = frame([(0.9, [5.5, 5.0], target),
+                        (0.7, [15.0, 15.0], distractor)])
+    state, sel_peak, lost = update_peak_state(state, CFG, s, c, v, d)
+    assert not bool(lost)
+    distractor_id = int(np.asarray(state["object_ids"])[1])
+
+    # target vanishes; the PRE-EXISTING distractor stays strong — it must
+    # not be redetected as the target on the lost frame
+    s, c, d, v = frame([(0.8, [15.5, 15.0], distractor)])
+    state, sel_peak, lost = update_peak_state(state, CFG, s, c, v, d)
+    assert bool(lost), "old distractor stole the identity on the lost frame"
+    assert int(state["selected_object_id"]) != distractor_id
