@@ -26,7 +26,7 @@ def load_result(results_root: str, dataset: str, config_name: str,
     if os.path.exists(base + "_confidence.value"):
         out["confidences"] = np.loadtxt(base + "_confidence.value")
     if os.path.exists(base + "_time.value"):
-        out["time_per_frame"] = float(np.loadtxt(base + "_time.value"))
+        out["time_per_frame"] = float(np.mean(np.loadtxt(base + "_time.value")))
     return out
 
 

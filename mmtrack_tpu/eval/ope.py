@@ -65,7 +65,12 @@ def save_result(path: str, result: dict, fmt: str = "%.14f", delimiter: str = ",
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savetxt(path, result["boxes"], fmt=fmt, delimiter=delimiter)
     base = path[:-4]
-    np.savetxt(base + "_time.value", [result["elapsed"] / max(len(result["boxes"]), 1)], fmt="%.8f")
+    # reference format: ONE execution time PER FRAME (pytracking
+    # running.py save_time writes the full exec_times vector); per-frame
+    # times are reconstructed as the mean when only the total was timed
+    n = max(len(result["boxes"]), 1)
+    times = result.get("times", np.full(n, result["elapsed"] / n))
+    np.savetxt(base + "_time.value", times, fmt="%.8f")
     np.savetxt(base + "_confidence.value",
                np.concatenate(([1.0], result["confidences"])), fmt="%.8f")
 

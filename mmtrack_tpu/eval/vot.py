@@ -11,6 +11,7 @@ entries port unchanged; workspaces keep the reference layout
 
 from __future__ import annotations
 
+import re
 import shlex
 import sys
 from collections import namedtuple
@@ -138,20 +139,28 @@ class TraxServer:
             mtype = tokens[0][len("@@TRAX:"):]
             args, props = [], {}
             for tok in tokens[1:]:
-                if "=" in tok and not tok.startswith("file://") and '",' not in tok:
-                    k, _, v = tok.partition("=")
+                # a property token is key=value with a plain identifier
+                # key — a URL/query-string image path ("http://h/f.jpg?id=3")
+                # also contains '=' but its pre-'=' part has '/' or ':'
+                k, sep, v = tok.partition("=")
+                if sep and re.fullmatch(r"[A-Za-z0-9_.\-]+", k):
                     props[k] = v
                 else:
                     args.append(tok)
             return mtype, args, props
 
     def wait_initialize(self):
-        """-> (region, {channel: path}) or (None, None) on quit."""
+        """-> (region, {channel: path}) or (None, None) on quit. The
+        toolkit BLOCKS on a state reply to the initialize request before
+        sending frame 1 (reference vot.py:55 self._trax.status(region)) —
+        echo the init region back."""
         mtype, args, props = self._recv()
         if mtype != "initialize":
             return None, None
         paths = {c: _strip_uri(a) for c, a in zip(self.channels, args[:-1])}
-        return _decode_region(args[-1]), paths
+        region = _decode_region(args[-1])
+        self._send("state", [_encode_region(region)], {})
+        return region, paths
 
     def wait_frame(self):
         """-> {channel: path} or None on quit."""
@@ -184,12 +193,19 @@ class VOT:
         return self._region
 
     def frame(self):
-        """First call returns the init frame paths; then next frames."""
+        """First call returns the init frame paths; then next frames.
+        Single-channel setups get a bare path string (the reference API
+        unwraps 1-element lists, vot.py:100-102 — ported entries do
+        cv2.imread(handle.frame()) directly)."""
         if self._paths is not None:
             paths, self._paths = self._paths, None
-            return list(paths.values())
-        nxt = self._server.wait_frame()
-        return None if nxt is None else list(nxt.values())
+            vals = list(paths.values())
+        else:
+            nxt = self._server.wait_frame()
+            if nxt is None:
+                return None
+            vals = list(nxt.values())
+        return vals[0] if len(vals) == 1 else vals
 
     def report(self, region, confidence: float | None = None) -> None:
         self._server.report_state(region, confidence)
@@ -215,6 +231,8 @@ def run_vot_exp(tracker_factory, channels: str, dtype: str = "rgbcolormap",
     paths = handle.frame()
     if paths is None:
         return
+    if isinstance(paths, str):  # single channel -> bare path (VOT API)
+        paths = [paths]
     depth_clip = channels == "rgbd"
     image = get_x_frame(paths[0], paths[1] if len(paths) > 1 else None,
                         dtype, depth_clip=depth_clip)
@@ -233,6 +251,8 @@ def run_vot_exp(tracker_factory, channels: str, dtype: str = "rgbcolormap",
         paths = handle.frame()
         if paths is None:
             break
+        if isinstance(paths, str):
+            paths = [paths]
         image = get_x_frame(paths[0], paths[1] if len(paths) > 1 else None,
                             dtype, depth_clip=depth_clip)
         out = tracker.track(image)

@@ -141,8 +141,10 @@ class SteepestDescentGN(nn.Module):
     """
     num_iter: int = 5
     feat_stride: int = 16
-    init_step_length: float = 1.0
-    init_filter_reg: float = 1e-2
+    # DeT_DiMP50_Max.py:103-104: optim_init_step=0.9, optim_init_reg=0.1
+    # (the other defaults below come from the same recipe block)
+    init_step_length: float = 0.9
+    init_filter_reg: float = 0.1
     init_gauss_sigma: float = 0.9
     num_dist_bins: int = 100
     bin_displacement: float = 0.1

@@ -52,8 +52,11 @@ def prroi_pool_single(feat: jnp.ndarray, roi_xyxy: jnp.ndarray,
     ph, pw = pooled
     x1, y1, x2, y2 = [roi_xyxy[i] * spatial_scale for i in range(4)]
 
-    bin_w = (x2 - x1) / pw
-    bin_h = (y2 - y1) / ph
+    # the CUDA reference clamps roi_width/height to max(., 0) BEFORE
+    # binning (prroi_pooling_gpu_impl.cu:176-177): a doubly-inverted RoI
+    # would otherwise have positive area and pool garbage instead of 0
+    bin_w = jnp.maximum(x2 - x1, 0.0) / pw
+    bin_h = jnp.maximum(y2 - y1, 0.0) / ph
     jx = jnp.arange(pw, dtype=jnp.float32)
     iy = jnp.arange(ph, dtype=jnp.float32)
     u1 = x1 + jx * bin_w

@@ -247,7 +247,8 @@ TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
     # mfDiMP: end-to-end RGB-T fusion DiMP (readme.md:33-39; empty submodule
     # in the reference) == the dual-backbone DeT recipe fed rgbrgb thermal
     # composition
-    "mfdimp": TrackerRecipe(_dimp("mean"), "rgbt", "dimp"),
+    "mfdimp": TrackerRecipe(_dimp("mean"), "rgbt", "dimp",
+                            composition="rgbrgb"),
     # ATOM family (pytracking parameter/atom + DeT_ATOM_{Max,Mean,MC})
     "atom": TrackerRecipe(_atom(None), "rgb", "dimp"),
     "det_atom_max": TrackerRecipe(_atom("max"), "rgbd", "dimp"),

@@ -94,7 +94,8 @@ def test_run_vot_exp_with_stub_tracker(tmp_path, monkeypatch):
     ])
     run_vot_exp(_EchoTracker, channels="rgbt", dtype="rgbrgb", fin=fin, fout=fout)
     out = fout.getvalue()
-    assert out.count("@@TRAX:state") == 1
+    # init echo (the toolkit blocks on it, reference vot.py:55) + 1 frame
+    assert out.count("@@TRAX:state") == 2
     assert "5.0000,6.0000,10.0000,12.0000" in out
 
 
@@ -150,8 +151,9 @@ def test_run_vot_exp_mask_protocol(tmp_path):
     run_vot_exp(_EchoTracker, channels="rgbd", dtype="rgbcolormap",
                 fin=fin, fout=fout, mask=True, refine_factory=_StubRefiner)
     out = fout.getvalue()
-    assert out.count("@@TRAX:state") == 1
-    state_line = [l for l in out.splitlines() if "@@TRAX:state" in l][0]
+    # init echo + 1 tracked frame
+    assert out.count("@@TRAX:state") == 2
+    state_line = [l for l in out.splitlines() if "@@TRAX:state" in l][-1]
     assert '"m' in state_line  # mask region reported
     # decode the reported mask: it must cover the init rect (6,8,8,8)
     from mmtrack_tpu.eval.vot import _decode_region

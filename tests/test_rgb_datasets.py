@@ -93,7 +93,9 @@ def test_depthtrack_train_layout(tmp_path):
 
 def test_lasher_train_layout_and_sampler(tmp_path):
     seq = tmp_path / "seq01"
-    n = 8
+    # the sampler applies the reference eligibility rule verbatim
+    # (len(visible) >= 20 and visible.sum() > 2*(search+template))
+    n = 22
     for i in range(n):
         _img(str(seq / "visible" / f"{i:05d}.jpg"), i)
         _img(str(seq / "infrared" / f"{i:05d}.jpg"), 100 + i)
