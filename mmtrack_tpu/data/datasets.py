@@ -39,8 +39,12 @@ class VideoDataset:
 
 
 def _visibility_from_boxes(bbox: np.ndarray, min_px: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
-    valid = np.isfinite(bbox).all(axis=1) & (bbox[:, 2] > 0) & (bbox[:, 3] > 0)
-    visible = valid & (bbox[:, 2] > min_px) & (bbox[:, 3] > min_px)
+    """The reference applies the min-size threshold to VALID itself
+    (depthtrack.py:102 valid = (w>10)&(h>10); visevent.py:90 w>5) — valid
+    gates stark-mode extra-template sampling, so it must not be looser."""
+    valid = (np.isfinite(bbox).all(axis=1) & (bbox[:, 2] > min_px)
+             & (bbox[:, 3] > min_px))
+    visible = valid.copy()
     return valid, visible
 
 
@@ -109,6 +113,7 @@ class DepthTrackTrain(_DirListDataset):
     rgb_ext, x_ext = ".jpg", ".png"
     gt_file, gt_delim = "groundtruth.txt", ","
     dtype = "rgbcolormap"
+    depth_clip = True  # depthtrack.py:123 get_x_frame(..., depth_clip=True)
     min_visible_px = 10.0
 
 
@@ -124,12 +129,37 @@ class LasHeRTrain(_DirListDataset):
 
 class VisEventTrain(_DirListDataset):
     """VisEvent train split: vis_imgs/ + event_imgs/, rgbrgb composition
-    (ViPT/lib/train/dataset/visevent.py:19-118)."""
+    (ViPT/lib/train/dataset/visevent.py:19-118). Visibility honours
+    absent_label.txt (visevent.py:68-92: visible = absent & (w>5)&(h>5));
+    event paths derive from the vis filename (visevent.py:107 — frames
+    start irregularly, so independent directory sorts can misalign)."""
     name = "VisEvent_train"
     rgb_dir, x_dir = "vis_imgs", "event_imgs"
     rgb_ext, x_ext = ".bmp", ".bmp"
     gt_file, gt_delim = "groundtruth.txt", ","
     dtype = "rgbrgb"
+    min_visible_px = 5.0
+
+    def seq_info(self, seq_id: int) -> dict:
+        info = super().seq_info(seq_id)
+        if "absent_applied" not in info:
+            f = os.path.join(self._seq_path(seq_id), "absent_label.txt")
+            if os.path.exists(f):
+                absent = np.atleast_1d(
+                    np.loadtxt(f, dtype=np.int64)).astype(bool)
+                n = min(len(absent), len(info["visible"]))
+                info["visible"] = info["visible"].copy()
+                info["visible"][:n] &= absent[:n]
+            info["absent_applied"] = True
+        return info
+
+    def _frame_paths(self, seq_id: int):
+        p = self._seq_path(seq_id)
+        rgb = sorted(os.path.join(p, self.rgb_dir, f)
+                     for f in os.listdir(os.path.join(p, self.rgb_dir))
+                     if f.endswith(self.rgb_ext))
+        x = [q.replace(self.rgb_dir, self.x_dir) for q in rgb]
+        return rgb, x
 
 
 class SyntheticVideoDataset(VideoDataset):

@@ -42,12 +42,15 @@ class BatchLoader:
         self.prefetch = prefetch
 
     def _produce(self, q: queue.Queue, n: int):
+        # sampling errors must surface in the consumer, not truncate the
+        # epoch silently (torch DataLoader re-raises worker exceptions)
         try:
             for _ in range(n):
                 q.put(collate([self.sampler.sample()
                                for _ in range(self.batch_size)]))
-        finally:
             q.put(None)
+        except BaseException as e:  # noqa: BLE001 - relayed to consumer
+            q.put(e)
 
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -58,6 +61,8 @@ class BatchLoader:
             batch = q.get()
             if batch is None:
                 return
+            if isinstance(batch, BaseException):
+                raise batch
             yield batch
 
     def __len__(self):

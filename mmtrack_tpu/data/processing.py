@@ -85,8 +85,10 @@ class ViPTProcessing:
                 for f, b in zip(data[s + "_images"], data[s + "_anno"]):
                     W = f.shape[1]
                     flipped.append(np.ascontiguousarray(f[:, ::-1]))
-                    boxes.append(np.array([W - (b[0] + b[2]), b[1], b[2], b[3]],
-                                          np.float32))
+                    # reference flips coordinates as (W-1)-x
+                    # (transforms.py:313), so x1 -> (W-1)-(x+w)
+                    boxes.append(np.array([(W - 1) - (b[0] + b[2]), b[1],
+                                           b[2], b[3]], np.float32))
                 data[s + "_images"], data[s + "_anno"] = flipped, np.stack(boxes)
 
         for s in ("template", "search"):

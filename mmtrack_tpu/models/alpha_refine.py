@@ -118,10 +118,17 @@ class ARcmSeg:
         self._refine_fn = jax.jit(self._refine_impl)
         self.kernel = None
 
+    def _normalize(self, crop):
+        # reference ARcm_seg.img_preprocess: ((img/255) - mean) / std
+        # (ARcm_seg.py:24-25,81) — the ResNet trunk expects ImageNet stats
+        mean = jnp.asarray([0.485, 0.456, 0.406])
+        std = jnp.asarray([0.229, 0.224, 0.225])
+        return ((crop / 255.0 - mean) / std)[None]
+
     def _init_impl(self, params, frame, box):
         crop, rf = crop_resize(frame, box, self.rt.search_factor,
                                self.rt.input_size)
-        t_feat = self.model.apply(params, (crop / 255.0)[None],
+        t_feat = self.model.apply(params, self._normalize(crop),
                                   method=AlphaRefineNet.embed)
         # target box in crop coords
         S = self.rt.input_size
@@ -134,7 +141,7 @@ class ARcmSeg:
     def _refine_impl(self, params, kernel, frame, box):
         crop, rf = crop_resize(frame, box, self.rt.search_factor,
                                self.rt.input_size)
-        s_feat = self.model.apply(params, (crop / 255.0)[None],
+        s_feat = self.model.apply(params, self._normalize(crop),
                                   method=AlphaRefineNet.embed)
         boxes, mask = self.model.apply(params, kernel, s_feat,
                                        method=AlphaRefineNet.refine)

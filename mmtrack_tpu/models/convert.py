@@ -144,6 +144,42 @@ def convert_vipt_checkpoint(state_dict: dict) -> dict:
                 put(f"{base}/bn/var", _np(t))
             continue
 
+        # CORNER head (HEAD.TYPE='CORNER': box_head.conv{k}_{tl,br}.*,
+        # head.py Corner_Predictor) — same tower layout as the center head
+        m = re.match(r"box_head\.conv(\d)_(tl|br)\.(.+)", name)
+        if m:
+            k, branch, sub = m.groups()
+            base = f"box_head/{branch}/conv{k}"
+            if k == "5":
+                if sub == "weight":
+                    put(f"{base}/kernel", _conv_kernel(t))
+                elif sub == "bias":
+                    put(f"{base}/bias", _np(t))
+                continue
+            if sub == "0.weight":
+                put(f"{base}/conv/kernel", _conv_kernel(t))
+            elif sub == "0.bias":
+                put(f"{base}/conv/bias", _np(t))
+            elif sub == "1.weight":
+                put(f"{base}/bn/scale", _np(t))
+            elif sub == "1.bias":
+                put(f"{base}/bn/bias", _np(t))
+            elif sub == "1.running_mean":
+                put(f"{base}/bn/mean", _np(t))
+            elif sub == "1.running_var":
+                put(f"{base}/bn/var", _np(t))
+            continue
+
+        # MLP head (HEAD.TYPE='MLP': box_head.layers.N.{weight,bias})
+        m = re.match(r"box_head\.layers\.(\d+)\.(weight|bias)", name)
+        if m:
+            i, leaf = m.groups()
+            if leaf == "weight":
+                put(f"box_head/layers_{i}/kernel", _np(t).T)
+            else:
+                put(f"box_head/layers_{i}/bias", _np(t))
+            continue
+
     return flax.traverse_util.unflatten_dict(out)
 
 

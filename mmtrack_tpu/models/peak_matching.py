@@ -238,10 +238,11 @@ def matcher_nll_loss(log_assignment, gt_matches0, valid0, valid1):
     """Negative log-likelihood of the GT assignment (the reference's
     SuperGlue nll loss): matched peaks use their coupling entry, unmatched
     valid peaks use their dustbin entry; averaged over valid slots."""
-    B, M1, _ = log_assignment.shape
+    B, M1, N1 = log_assignment.shape
     m = M1 - 1
+    dustbin_col = N1 - 1  # the dustbin COLUMN index is the column count-1
     matched = gt_matches0 >= 0
-    col = jnp.where(matched, gt_matches0, m)  # dustbin column for unmatched
+    col = jnp.where(matched, gt_matches0, dustbin_col)
     rows = jnp.take_along_axis(
         log_assignment[:, :m, :], col[:, :, None], axis=2)[..., 0]
     weights = valid0.astype(jnp.float32)

@@ -49,7 +49,11 @@ def hardest_fixed_mask(score_fn, feat_flat: jnp.ndarray,
     def pos_score(mask):
         masked = apply_mask(feat_flat, jnp.tile(mask[None], (feat_flat.shape[0], 1, 1)),
                             feat_hw, feat_dim)
-        return score_fn(masked)[:, 1].mean()
+        # reference ranks by the SOFTMAX positive probability
+        # (g_pretrain.py:44 out_layer='fc6_softmax'), which depends on
+        # logit1 - logit0, not the raw positive logit
+        logits = score_fn(masked)
+        return jax.nn.softmax(logits, axis=-1)[:, 1].mean()
 
     scores = jax.vmap(pos_score)(masks)
     return masks[jnp.argmin(scores)]

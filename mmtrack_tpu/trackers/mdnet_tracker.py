@@ -335,7 +335,10 @@ def mdnet_init_state(rt: MDNetRuntime, model: MDNet, params, frame,
             def one(mask):
                 masked = _apply_cell_mask(
                     rt, pf, jnp.tile(mask[None], (pf.shape[0], 1, 1)))
-                return _score_fn(model, params, fc_params, masked)[:, 1].mean()
+                logits = _score_fn(model, params, fc_params, masked)
+                # reference ranks by softmax positive probability
+                # (g_pretrain.py:44 out_layer='fc6_softmax')
+                return jax.nn.softmax(logits, axis=-1)[:, 1].mean()
             return jax.vmap(one)(one_cell)  # (D,) lower = more damaging
 
         def pre_body(i, carry):

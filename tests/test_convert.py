@@ -62,6 +62,11 @@ def _torch_names_from_flax(flat: dict) -> dict:
         elif p.startswith("backbone/norm/"):
             leaf = p.split("/")[-1]
             sd["backbone.norm." + ("weight" if leaf == "scale" else "bias")] = v
+        elif p.startswith("box_head/layers_"):
+            _, lname, leaf = p.split("/")
+            i = lname.split("_")[1]
+            sd[f"box_head.layers.{i}." + ("weight" if leaf == "kernel" else "bias")] = \
+                v.T if leaf == "kernel" else v
         elif p.startswith("box_head/"):
             _, branch, conv, *rest = p.split("/")
             tname = f"box_head.{conv}_{branch}"
@@ -99,6 +104,27 @@ def test_converter_roundtrip_full_coverage():
     for k in flat:
         np.testing.assert_allclose(np.asarray(flat_l[k]), np.asarray(flat[k]),
                                    err_msg=str(k))
+
+
+def test_converter_roundtrip_corner_and_mlp_heads():
+    """CORNER (conv{k}_{tl,br}) and MLP (layers.N) checkpoint heads must
+    convert too (caught live: only the CENTER head regex existed, so
+    those heads silently stayed at random init)."""
+    for head_type in ("CORNER", "MLP"):
+        model = ViPTrack(head_type=head_type, **TINY)
+        z = jnp.zeros((1, 32, 32, 6))
+        x = jnp.zeros((1, 64, 64, 6))
+        variables = jax.jit(lambda r: model.init(r, z, x))(jax.random.PRNGKey(1))
+        params = flax.core.unfreeze(variables["params"])
+        flat = flax.traverse_util.flatten_dict(params)
+        sd = _torch_names_from_flax(flat)
+        loaded, missing, unexpected = load_into(
+            params, convert_vipt_checkpoint(sd))
+        assert missing == [], f"{head_type} missing: {missing[:8]}"
+        flat_l = flax.traverse_util.flatten_dict(loaded)
+        for k in flat:
+            np.testing.assert_allclose(np.asarray(flat_l[k]),
+                                       np.asarray(flat[k]), err_msg=str(k))
 
 
 @pytest.mark.slow
