@@ -38,10 +38,12 @@ class MixFormerRuntime:
     search_factor: float = 5.0     # TEST.SEARCH_FACTOR (config.py:107)
     search_size: int = 320
     margin: float = 10.0
-    update_interval: int = 200     # TEST.UPDATE_INTERVALS.VOT2022RGBD
-    online_size: int = 1           # TEST.ONLINE_SIZES (VOT2022RGBD uses 3)
+    # baseline_large.yaml VOT2022RGBD deployment: UPDATE_INTERVALS [10],
+    # ONLINE_SIZES [5], MAX_SCORE_DECAY 0.98
+    update_interval: int = 10
+    online_size: int = 5
     online_threshold: float = 0.5
-    max_score_decay: float = 1.0
+    max_score_decay: float = 0.98  # TEST.MAX_SCORE_DECAY
     # 'simple' | 'none' (TEST.RE_CONSTRAIN_TYPE, baseline_large.yaml:100)
     re_constrain: str = "simple"
     # SAMF (Scale-Adaptive MixFormer): extra search-window scales evaluated

@@ -46,7 +46,7 @@ def stark_init_state(rt: STARKRuntime, model: STARK, params, frame, init_box):
     z_c, z_d, z_pos = model.apply(params, patch[None], method=STARK.embed)
     state = {"box": init_box.astype(jnp.float32),
              "z_tokens": z_c[0], "z_pos": z_pos,
-             "frame_num": jnp.asarray(1, jnp.int32)}
+             "frame_num": jnp.asarray(0, jnp.int32)}  # stark_st.py: 0 at init
     if model.six_channel:
         state["z_tokens_d"] = z_d[0]
     if rt.dynamic_template:

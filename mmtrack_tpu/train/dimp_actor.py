@@ -90,7 +90,11 @@ def dimp_forward_and_loss(model, params, batch: dict, rng, *,
                       batch["train_bb"], proposals)
 
     iou_w, clf_w = loss_weights
-    loss_iou = jnp.mean((out["iou_pred"] - gt_iou) ** 2)
+    # the reference regresses IoUs mapped to [-1, 1] (ltr processing.py:
+    # gt_iou = gt_iou * 2 - 1); the 1:100 iou:clf weight balance is
+    # calibrated for that scale and the tracker's ascent refinement
+    # consumes the same convention
+    loss_iou = jnp.mean((out["iou_pred"] - (gt_iou * 2.0 - 1.0)) ** 2)
 
     score_sz = out["target_scores"].shape[-1]
     label = gaussian_label_map(batch["test_bb"], score_sz, image_sz)

@@ -29,9 +29,10 @@ def prompt_only_mask(params) -> object:
 
 
 def step_lr_schedule(base_lr: float, drop_step: int, decay: float = 0.1):
-    """StepLR: multiply by `decay` once after `drop_step` optimizer steps
-    (reference drops at epoch LR_DROP_EPOCH; caller converts to steps)."""
-    return optax.piecewise_constant_schedule(base_lr, {drop_step: decay})
+    """StepLR: multiply by `decay` every `drop_step` optimizer steps —
+    torch StepLR decays REPEATEDLY at each multiple of step_size
+    (DeT uses StepLR(15, 0.2): drops at 15/30/45), not once."""
+    return lambda step: base_lr * decay ** (step // drop_step)
 
 
 def build_optimizer(params, *, lr: float, weight_decay: float = 1e-4,

@@ -58,11 +58,15 @@ def make_train_step(model, tx: optax.GradientTransformation, *,
 
 
 def shard_train_step(train_step: Callable, mesh: Mesh,
-                     data_axis: str = "data") -> Callable:
+                     data_axis: str = "data", donate: bool = True) -> Callable:
     """jit the step over a mesh: state replicated, batch sharded on `data`.
 
     XLA inserts the gradient all-reduce over ICI — the TPU-native equivalent
     of DDP's NCCL allreduce (train_script.py:61).
+
+    Pass donate=False when the CALLER keeps using the input state after the
+    call (e.g. a validation step driven by Trainer.validate, which discards
+    the returned state) — donation would delete the live training state.
     """
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(data_axis))
@@ -70,5 +74,5 @@ def shard_train_step(train_step: Callable, mesh: Mesh,
         train_step,
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
-        donate_argnums=(0,),
+        donate_argnums=(0,) if donate else (),
     )

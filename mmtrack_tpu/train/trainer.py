@@ -134,7 +134,12 @@ class Trainer:
 
     def validate(self) -> dict:
         """Validation pass (LTRTrainer val-loader cycle, epoch_interval
-        semantics, base_functions.py:165-168)."""
+        semantics, base_functions.py:165-168).
+
+        `val_step` must NOT donate its state argument (build it with
+        shard_train_step(step, mesh, donate=False)): the returned state is
+        discarded here, so a donating step would delete the live training
+        state and the next epoch would raise 'Array has been deleted'."""
         meters: dict[str, AverageMeter] = {}
         for batch in self.val_loader:
             self.rng, sub = jax.random.split(self.rng)

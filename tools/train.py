@@ -40,6 +40,10 @@ def main():
     p.add_argument("--batch", type=int, default=None, help="override cfg")
     p.add_argument("--samples", type=int, default=None,
                    help="override cfg samples per epoch (smoke runs)")
+    p.add_argument("--init", default=None, metavar="ORBAX_DIR",
+                   help="initialize params from a prior-stage orbax "
+                        "checkpoint before training (stage-2 recipes: the "
+                        "reference ST2/TRAIN_SCORE loads stage 1 first)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic data (no dataset roots needed)")
     p.add_argument("--distributed", action="store_true",
@@ -83,6 +87,16 @@ def main():
 
     env = load_env_settings()
     save_dir = os.path.join(args.save_dir, f"{args.script}-{cfg_name}")
+
+    # non-ViPT families build their own data pipelines — dispatch BEFORE
+    # constructing the ViPT datasets/sampler (indexing large corpora twice
+    # doubles startup I/O)
+    dtype = jnp.bfloat16 if cfg.TRAIN.AMP else jnp.float32
+    if args.script in ("dimp", "det_dimp"):
+        return _train_dimp(args, cfg, dtype)
+    if args.script in ("stark", "mixformer", "siamfc", "mdnet", "apfnet"):
+        return _train_zoo(args, cfg, dtype)
+
     logger = MetricLogger(os.path.join(save_dir, "logs"))
 
     # data
@@ -102,15 +116,10 @@ def main():
     loader = BatchLoader(sampler, cfg.TRAIN.BATCH_SIZE)
 
     # model
-    dtype = jnp.bfloat16 if cfg.TRAIN.AMP else jnp.float32
     if args.script == "vipt":
         model = build_viptrack(cfg, dtype=dtype)
-    elif args.script == "ostrack":
+    else:  # ostrack
         model = build_ostrack(cfg, dtype=dtype)
-    elif args.script in ("dimp", "det_dimp"):
-        return _train_dimp(args, cfg, dtype)
-    elif args.script in ("stark", "mixformer", "siamfc", "mdnet", "apfnet"):
-        return _train_zoo(args, cfg, dtype)
     keep = ce_keep_schedule((cfg.DATA.SEARCH.SIZE // cfg.MODEL.BACKBONE.STRIDE) ** 2,
                             cfg.MODEL.BACKBONE.CE_LOC,
                             cfg.MODEL.BACKBONE.CE_KEEP_RATIO)
@@ -188,6 +197,27 @@ def main():
     print(f"done: {trainer.epoch} epochs, checkpoints in {save_dir}")
 
 
+def _maybe_init_params(args, params):
+    """--init: overlay a prior-stage/converted orbax checkpoint onto the
+    fresh init (stage-2 recipes must not fit heads to random frozen
+    features — the reference loads the stage-1 net first)."""
+    if not getattr(args, "init", None):
+        return params
+    import orbax.checkpoint as ocp
+
+    from mmtrack_tpu.models.convert import load_into
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(args.init))
+    src = restored.get("params", restored)
+    if "params" in src and "params" in params:
+        src = src["params"]
+    loaded, missing, unexpected = load_into(params.get("params", params), src)
+    print(f"--init {args.init}: loaded; missing={len(missing)} "
+          f"unexpected={len(unexpected)}")
+    return {**params, "params": loaded} if "params" in params else loaded
+
+
 def _train_zoo(args, cfg, dtype):
     """Offline training for the non-ViPT zoo (SPT/lib/train,
     MixFormer_RGBD/lib/train TRAIN_SCORE stage, SiamFC pair training,
@@ -210,14 +240,18 @@ def _train_zoo(args, cfg, dtype):
     sizes = {
         "stark": dict(template=128, search=320, tf=2.0, sf=5.0),
         "mixformer": dict(template=128, search=320, tf=2.0, sf=5.0),
-        "siamfc": dict(template=127, search=255, tf=1.0, sf=4.0),
+        # serve-time exemplar is context-padded: z_sz = sqrt((w+c)(h+c)),
+        # c = 0.5(w+h) -> ~2x sqrt(wh); search spans 255/127 * z_sz ~ 4x.
+        # center jitter must stay inside the 17x17 response label span.
+        "siamfc": dict(template=127, search=255, tf=2.0, sf=4.0),
         "mdnet": dict(template=107, search=320, tf=1.2, sf=3.0),
         "apfnet": dict(template=107, search=320, tf=1.2, sf=3.0),
     }[args.script]
+    search_jitter = 0.5 if args.script == "siamfc" else 3.0
     proc = ViPTProcessing(
         search_area_factor={"template": sizes["tf"], "search": sizes["sf"]},
         output_sz={"template": sizes["template"], "search": sizes["search"]},
-        center_jitter_factor={"template": 0.0, "search": 3.0},
+        center_jitter_factor={"template": 0.0, "search": search_jitter},
         scale_jitter_factor={"template": 0.0, "search": 0.25})
     if args.synthetic:
         datasets, ratios = [SyntheticVideoDataset(8, 60)], None
@@ -286,6 +320,7 @@ def _train_zoo(args, cfg, dtype):
                 params["params"], int(stage),
                 attribute=args.attribute if int(stage) == 1 else None)}
 
+    params = _maybe_init_params(args, params)
     tx = build_optimizer(params, lr=cfg.TRAIN.LR,
                          weight_decay=cfg.TRAIN.WEIGHT_DECAY,
                          lr_drop_step=cfg.TRAIN.LR_DROP_EPOCH * len(loader),
