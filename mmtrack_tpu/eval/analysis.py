@@ -22,7 +22,12 @@ from mmtrack_tpu.eval.metrics import PrReFScore, evaluate_ope, iou_xywh
 def load_result(results_root: str, dataset: str, config_name: str,
                 seq_name: str) -> dict:
     base = os.path.join(results_root, dataset, config_name, seq_name)
-    out = {"boxes": np.loadtxt(base + ".txt", delimiter=",")}
+    # result files are CSV for RGBD/RGBE and whitespace-separated for the
+    # RGBT format (EvalSequence.save_delimiter) — sniff the delimiter
+    with open(base + ".txt") as f:
+        first = f.readline()
+    delim = "," if "," in first else None
+    out = {"boxes": np.loadtxt(base + ".txt", delimiter=delim)}
     if os.path.exists(base + "_confidence.value"):
         out["confidences"] = np.loadtxt(base + "_confidence.value")
     if os.path.exists(base + "_time.value"):

@@ -24,6 +24,9 @@ class EvalSequence:
     dtype: str = "rgbrgb"           # composition mode for get_x_frame
     depth_clip: bool = False
     visible: np.ndarray | None = None  # (N,) bool; None = all visible
+    # per-dataset result formats: the RGBT workspace driver writes
+    # np.savetxt defaults (space-separated %.18e, test_rgbt_mgpus.py:116),
+    # the RGBE/RGBD drivers write '%.14f' CSV (test_rgbe_mgpus.py:83)
     save_fmt: str = "%.14f"
     save_delimiter: str = ","
 
@@ -53,25 +56,29 @@ def load_sequence(seq_path: str, dataset: str) -> EvalSequence:
         rgb = _listdir_ext(os.path.join(seq_path, "visible"), ".jpg")
         x = _listdir_ext(os.path.join(seq_path, "infrared"), ".jpg")
         gt = np.loadtxt(os.path.join(seq_path, "visible.txt"), delimiter=",")
-        return EvalSequence(name, rgb, x, gt, dtype="rgbrgb")
+        return EvalSequence(name, rgb, x, gt, dtype="rgbrgb",
+                            save_fmt="%.18e", save_delimiter=" ")
 
     if d == "gtot":
         rgb = _listdir_ext(os.path.join(seq_path, "v"), ".png")
         x = _listdir_ext(os.path.join(seq_path, "i"), ".png")
         gt = _corners_to_xywh(np.loadtxt(os.path.join(seq_path, "groundTruth_v.txt"), delimiter=" "))
-        return EvalSequence(name, rgb, x, gt, dtype="rgbrgb")
+        return EvalSequence(name, rgb, x, gt, dtype="rgbrgb",
+                            save_fmt="%.18e", save_delimiter=" ")
 
     if d == "lasher":
         rgb = _listdir_ext(os.path.join(seq_path, "visible"), ".jpg")
         x = _listdir_ext(os.path.join(seq_path, "infrared"), ".jpg")
         gt = np.loadtxt(os.path.join(seq_path, "visible.txt"), delimiter=",")
-        return EvalSequence(name, rgb, x, gt, dtype="rgbrgb")
+        return EvalSequence(name, rgb, x, gt, dtype="rgbrgb",
+                            save_fmt="%.18e", save_delimiter=" ")
 
     if "vtuav" in d:
         rgb = _listdir_ext(os.path.join(seq_path, "rgb"), ".jpg")
         x = _listdir_ext(os.path.join(seq_path, "ir"), ".jpg")
         gt = np.loadtxt(os.path.join(seq_path, "rgb.txt"), delimiter=" ")
-        return EvalSequence(name, rgb, x, gt, dtype="rgbrgb")
+        return EvalSequence(name, rgb, x, gt, dtype="rgbrgb",
+                            save_fmt="%.18e", save_delimiter=" ")
 
     if d == "visevent":
         rgb = _listdir_ext(os.path.join(seq_path, "vis_imgs"), ".bmp")

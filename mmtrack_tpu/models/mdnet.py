@@ -50,8 +50,13 @@ def lrn(x: jnp.ndarray, size: int = 2, style: str = "torch") -> jnp.ndarray:
 
 
 class _SharedConvs(nn.Module):
-    """The shared VGG-M conv trunk, stage by stage so adapters can interleave."""
+    """The shared VGG-M conv trunk, stage by stage so adapters can interleave.
+
+    lrn_style: 'torch' for the pyMDNet chassis; 'manet' for the adapter
+    mode — MANet's layers use the centered custom LRN (MANet3x1x1_IC.py:
+    43-55 LRN(), k=2, alpha=1e-4), not nn.LocalResponseNorm."""
     dtype: jnp.dtype = jnp.float32
+    lrn_style: str = "torch"
 
     def setup(self):
         self.conv1 = nn.Conv(96, (7, 7), strides=(2, 2), padding="VALID",
@@ -62,10 +67,12 @@ class _SharedConvs(nn.Module):
                              name="conv3")
 
     def stage1(self, x):
-        return nn.max_pool(lrn(nn.relu(self.conv1(x))), (3, 3), strides=(2, 2))
+        return nn.max_pool(lrn(nn.relu(self.conv1(x)), style=self.lrn_style),
+                           (3, 3), strides=(2, 2))
 
     def stage2(self, x):
-        return nn.max_pool(lrn(nn.relu(self.conv2(x))), (3, 3), strides=(2, 2))
+        return nn.max_pool(lrn(nn.relu(self.conv2(x)), style=self.lrn_style),
+                           (3, 3), strides=(2, 2))
 
     def stage3(self, x):
         return nn.relu(self.conv3(x))
@@ -111,7 +118,10 @@ class MDNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.features = _SharedConvs(dtype=self.dtype, name="features")
+        self.features = _SharedConvs(
+            dtype=self.dtype,
+            lrn_style="manet" if self.mode == "adapter" else "torch",
+            name="features")
         if self.mode == "adapter":
             for m in ("rgb", "x"):
                 setattr(self, f"adapt1_{m}", _Adapter(96, 3, True, name=f"adapt1_{m}"))
@@ -159,6 +169,12 @@ class MDNet(nn.Module):
             h = jnp.where(keep, h / 0.5, 0.0)
         h = nn.relu(self.fc5(h))
         h = h.reshape(h.shape[0], -1)  # concat streams (dual: 512*2)
+        # the reference branch head is Sequential(Dropout(0.5), Linear)
+        # (pyMDNet model.py:65-66) — fc6 input is dropped during training
+        if train and dropout_rng is not None:
+            r6 = jax.random.fold_in(dropout_rng, 6)
+            keep = jax.random.bernoulli(r6, 0.5, h.shape)
+            h = jnp.where(keep, h / 0.5, 0.0)
         return self.branches[branch](h)
 
     def __call__(self, patches: jnp.ndarray, branch: int = 0) -> jnp.ndarray:

@@ -18,6 +18,7 @@ Both track with the MDNet candidate protocol
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from mmtrack_tpu.models.mdnet import _SharedConvs
@@ -71,9 +72,20 @@ class DAFNet(nn.Module):
 
     def score(self, feats, branch: int = 0, train: bool = False,
               dropout_rng=None):
+        # both papers are MDNet-based with dropout-0.5 fc regularization;
+        # the online protocol (mdnet_tracker._score_fn) passes train+rng
         h = nn.relu(self.fc4(feats))
+        if train and dropout_rng is not None:
+            r5 = jax.random.fold_in(dropout_rng, 5)
+            keep = jax.random.bernoulli(r5, 0.5, h.shape)
+            h = jnp.where(keep, h / 0.5, 0.0)
         h = nn.relu(self.fc5(h))
-        return self.fc6(h.reshape(h.shape[0], -1))
+        h = h.reshape(h.shape[0], -1)
+        if train and dropout_rng is not None:
+            r6 = jax.random.fold_in(dropout_rng, 6)
+            keep = jax.random.bernoulli(r6, 0.5, h.shape)
+            h = jnp.where(keep, h / 0.5, 0.0)
+        return self.fc6(h)
 
     def __call__(self, patches: jnp.ndarray) -> jnp.ndarray:
         return self.score(self.extract_features(patches))
@@ -119,9 +131,20 @@ class MaCNet(nn.Module):
 
     def score(self, feats, branch: int = 0, train: bool = False,
               dropout_rng=None):
+        # both papers are MDNet-based with dropout-0.5 fc regularization;
+        # the online protocol (mdnet_tracker._score_fn) passes train+rng
         h = nn.relu(self.fc4(feats))
+        if train and dropout_rng is not None:
+            r5 = jax.random.fold_in(dropout_rng, 5)
+            keep = jax.random.bernoulli(r5, 0.5, h.shape)
+            h = jnp.where(keep, h / 0.5, 0.0)
         h = nn.relu(self.fc5(h))
-        return self.fc6(h.reshape(h.shape[0], -1))
+        h = h.reshape(h.shape[0], -1)
+        if train and dropout_rng is not None:
+            r6 = jax.random.fold_in(dropout_rng, 6)
+            keep = jax.random.bernoulli(r6, 0.5, h.shape)
+            h = jnp.where(keep, h / 0.5, 0.0)
+        return self.fc6(h)
 
     def __call__(self, patches: jnp.ndarray) -> jnp.ndarray:
         return self.score(self.extract_features(patches))

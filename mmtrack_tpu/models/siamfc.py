@@ -38,7 +38,12 @@ class AlexNetEmbed(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
         x = conv_bn(x, 384, 3, 1, name="conv3")
         x = conv_bn(x, 384, 3, 1, groups=2, name="conv4")
-        x = conv_bn(x, self.out_channels, 3, 1, groups=2, relu=False, name="conv5")
+        # canonical SiamFC ends with a bare conv5 — no norm on the final
+        # embedding (a per-channel affine before correlation would also be
+        # unportable from reference weights)
+        x = nn.Conv(self.out_channels, (3, 3), padding="VALID",
+                    feature_group_count=2, dtype=self.dtype,
+                    name="conv5_conv")(x)
         return x
 
 
@@ -49,7 +54,6 @@ class SiamFC(nn.Module):
     score maps; `embed` and `correlate` are exposed separately for the
     tracker (template embedded once at init).
     """
-    in_channels: int = 3
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):

@@ -15,13 +15,21 @@ import jax.numpy as jnp
 
 
 def ce_keep_lengths(lens_s: int, ce_loc: list[int], keep_ratio: float, depth: int) -> list[int]:
-    """Static search-token length entering each block (length `depth` list)."""
-    lengths = []
-    cur = lens_s
+    """Static search-token length ENTERING each block (length `depth`).
+
+    The post-CE kept counts come from the single canonical schedule
+    (models/vipt.py::ce_keep_schedule, ceil semantics of
+    attn_blocks.py:40) so the two views cannot drift apart."""
+    from mmtrack_tpu.models.vipt import ce_keep_schedule
+
+    kept = ce_keep_schedule(lens_s, tuple(ce_loc),
+                            [keep_ratio] * len(ce_loc))
+    lengths, cur, k = [], lens_s, 0
     for i in range(depth):
         lengths.append(cur)
         if i in ce_loc:
-            cur = math.ceil(keep_ratio * cur)
+            cur = kept[k]
+            k += 1
     return lengths
 
 

@@ -109,7 +109,7 @@ def _siamfc():
     def build(seed=0, params=None):
         from mmtrack_tpu.models.siamfc import SiamFC
         from mmtrack_tpu.trackers.siamfc_tracker import SiamFCRuntime, SiamFCTracker
-        model = SiamFC(in_channels=6)
+        model = SiamFC()
         if params is None:
             z = jnp.zeros((1, 127, 127, 6))
             x = jnp.zeros((1, 255, 255, 6))

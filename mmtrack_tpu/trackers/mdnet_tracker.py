@@ -195,12 +195,16 @@ def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
         r1, r2 = jax.random.split(drop_rng)
         pos_logits = _score_fn(model, params, fc, pf, rng=r1, train=True)
         neg_logits = _score_fn(model, params, fc, nf, rng=r2, train=True)
-        # binary cross-entropy over (bg, target) logits
-        pos_l = -jax.nn.log_softmax(pos_logits)[:, 1].mean()
-        neg_l = -jax.nn.log_softmax(neg_logits)[:, 0].mean()
+        # binary cross-entropy over (bg, target) logits; the reference
+        # BCELoss normalizes by the COMBINED count (model.py:162-170:
+        # (pos.sum()+neg.sum())/(Npos+Nneg)) — per-set means would weight
+        # each positive 3x a negative at the canonical 32/96 batch
+        pos_l = -jax.nn.log_softmax(pos_logits)[:, 1].sum()
+        neg_l = -jax.nn.log_softmax(neg_logits)[:, 0].sum()
+        n = pos_logits.shape[0] + neg_logits.shape[0]
         wd = 0.5 * rt.weight_decay * sum(
             (p ** 2).sum() for p in jax.tree.leaves(fc))
-        return pos_l + neg_l + wd
+        return (pos_l + neg_l) / n + wd
 
     def lr_tree(fc):
         return jax.tree.map_with_path(

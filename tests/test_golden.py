@@ -53,7 +53,7 @@ def test_golden_siamfc_trajectory():
                                   "golden_siamfc.npz"))
     from mmtrack_tpu.models.siamfc import SiamFC
     from mmtrack_tpu.trackers.siamfc_tracker import SiamFCRuntime, SiamFCTracker
-    model = SiamFC(in_channels=6)
+    model = SiamFC()
     z = jnp.zeros((1, 127, 127, 6))
     x = jnp.zeros((1, 255, 255, 6))
     params = jax.jit(lambda r: model.init(r, z, x))(jax.random.PRNGKey(3))

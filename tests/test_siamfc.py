@@ -65,7 +65,7 @@ def test_siamfc_model_shapes():
 
 
 def test_siamfc_tracker_end_to_end():
-    model = SiamFC(in_channels=6)
+    model = SiamFC()
     z = jnp.zeros((1, 127, 127, 6))
     x = jnp.zeros((1, 255, 255, 6))
     params = jax.jit(lambda r: model.init(r, z, x))(jax.random.PRNGKey(0))

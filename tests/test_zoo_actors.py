@@ -112,7 +112,7 @@ def test_siamfc_labels_and_overfit():
     assert (np.asarray(y) == 1).any() and (np.asarray(y) == -1).any()
 
     from mmtrack_tpu.models.siamfc import SiamFC
-    model = SiamFC(in_channels=6)
+    model = SiamFC()
     r = np.random.RandomState(5)
     b = {
         "template": jnp.asarray(r.uniform(-1, 1, (2, 127, 127, 6)).astype(np.float32)),

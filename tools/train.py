@@ -299,7 +299,7 @@ def _train_zoo(args, cfg, dtype):
                 {k: (k[0] == "score_branch") for k in flat})}
     elif args.script == "siamfc":
         from mmtrack_tpu.models.siamfc import SiamFC
-        model = SiamFC(in_channels=6, dtype=dtype)
+        model = SiamFC(dtype=dtype)
         z = jnp.zeros((1, 127, 127, 6)); x = jnp.zeros((1, 255, 255, 6))
         params = jax.jit(lambda r: model.init(r, z, x))(jax.random.PRNGKey(args.seed))
         step_builder = lambda tx: zoo_actors.make_siamfc_train_step(model, tx)
