@@ -143,10 +143,12 @@ def test_mdnet_patches_and_overfit():
     b = _batch(6, B=1, s=96)
     xp = jnp.zeros((1, 107, 107, 6))
     params = jax.jit(lambda r: model.init(r, xp))(jax.random.PRNGKey(0))
+    # reference-scale inputs (raw-128, ~70x the unit-scale the other
+    # actors see) need a few extra steps at the shared test lr
     losses, stats = _overfit(
         params,
         lambda tx: zoo_actors.make_mdnet_train_step(model, tx, n_pos=8, n_neg=16),
-        b, steps=10)
+        b, steps=30)
     assert losses[-1] < losses[0], losses
 
 
