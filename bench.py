@@ -175,8 +175,12 @@ def _decode_chunk_yuv_index(t0: int, T: int, n_seq: int,
 
 
 def _probe_yuv_mode() -> bool:
-    """True when the fixtures qualify for the raw-plane path (plain 4:2:0,
-    dims % 16 == 0) and the native library is present."""
+    """True when the raw-plane wire is opted in (MMTRACK_STREAM=yuv420,
+    same gate as eval/batched_ope.py — yuv420 is <=1-LSB approximate, the
+    default serving wire is bit-exact rgb+index) AND the fixtures qualify
+    (plain 4:2:0, dims % 16 == 0) AND the native library is present."""
+    if os.environ.get("MMTRACK_STREAM", "") != "yuv420":
+        return False
     from mmtrack_tpu.data.native_io import decode_pair_yuv_index
 
     sd = os.path.join(FIXTURE_DIR, "seq00")
@@ -244,9 +248,11 @@ class _StreamPipeline:
         self._stop = True
         for e in self.buf_free:
             e.set()  # unblock the decoder so it can observe _stop
-        for i, dev in enumerate(self.slots):
+        for i in range(len(self.slots)):
+            # atomic swap (same idiom as the upload thread's publish) so a
+            # concurrent publish/clean of the slot can't double-delete
+            dev, self.slots[i] = self.slots[i], None
             if dev is not None:
-                self.slots[i] = None
                 for a in dev:
                     a.delete()
 
@@ -376,8 +382,9 @@ def main() -> None:
     f0 = jnp.asarray(init_frames)
     b0 = jnp.asarray(np.tile(gt2[0].astype(np.float32), (ST_BATCH, 1)))
 
-    # choose the wire format: raw 4:2:0 planes (2.5 B/px) when the sources
-    # qualify, else rgb + index (4 B/px, bit-exact)
+    # wire format: bit-exact rgb + index (4 B/px) by default; raw 4:2:0
+    # planes (2.5 B/px, <=1-LSB approximate) only when opted in via
+    # MMTRACK_STREAM=yuv420 and the sources qualify
     yuv = _probe_yuv_mode()
     scan_fn = scan_yi if yuv else scan_ri
     if yuv:

@@ -111,6 +111,8 @@ def decode_pair_rgb_index(jpeg_path: str, png_path: str,
 
 _jpeg_scratch: np.ndarray | None = None
 _jpeg_scratch_lock = __import__("threading").Lock()
+_png_scratch: np.ndarray | None = None
+_png_scratch_lock = __import__("threading").Lock()
 
 
 def decode_jpeg_rgb(path: str, out: np.ndarray | None = None,
@@ -162,15 +164,24 @@ def decode_png_u16(path: str,
             buf = np.frombuffer(f.read(), np.uint8)
     except OSError:
         return None
-    out = np.empty(max_hw, np.uint16)
+    # persistent scratch (same pattern as _jpeg_scratch): a fresh 32 MB
+    # staging buffer per call is exactly the frame-sized-allocation mmap
+    # churn utils/hostmem.py flags as pathological on this 1-core host
+    global _png_scratch
     h = ctypes.c_int()
     w = ctypes.c_int()
-    rc = lib.mmt_decode_png_u16(
-        _as_u8p(buf), len(buf), out.ctypes.data_as(_U16P),
-        out.shape[0], out.shape[1], ctypes.byref(h), ctypes.byref(w))
-    if rc != 0:
-        return None
-    return out.reshape(-1)[:h.value * w.value].reshape(h.value, w.value).copy()
+    with _png_scratch_lock:
+        if _png_scratch is None or _png_scratch.shape[0] < max_hw[0] \
+                or _png_scratch.shape[1] < max_hw[1]:
+            _png_scratch = np.empty(max_hw, np.uint16)
+        out = _png_scratch
+        rc = lib.mmt_decode_png_u16(
+            _as_u8p(buf), len(buf), out.ctypes.data_as(_U16P),
+            out.shape[0], out.shape[1], ctypes.byref(h), ctypes.byref(w))
+        if rc != 0:
+            return None
+        flat = out.reshape(-1)[:h.value * w.value]
+        return flat.reshape(h.value, w.value).copy()
 
 
 def depth_index_u8_native(depth: np.ndarray, clip: bool = True,

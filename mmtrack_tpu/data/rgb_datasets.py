@@ -11,6 +11,7 @@ layout; LMDB-backed twins are provided via the optional lmdb backend
 from __future__ import annotations
 
 import csv
+import json
 import os
 
 import numpy as np
@@ -336,6 +337,20 @@ class ImageNetVID(VideoDataset):
         self.loader = image_loader
         self._ET = ET
         data_dir = os.path.join(root, "Data", "VID", "train")
+        # track enumeration parses EVERY frame's XML per sequence; for real
+        # VID (~4k seqs x ~300 frames) that is >1M parses of pure startup
+        # cost on a 1-core host — persist it in a json sidecar (analog of
+        # the reference's precomputed sequence lists) and fall back to
+        # in-memory-only when the root is read-only
+        cache_path = os.path.join(root, ".mmtrack_vid_tracks.json")
+        track_cache: dict[str, list] = {}
+        if os.path.exists(cache_path):
+            try:
+                with open(cache_path) as f:
+                    track_cache = json.load(f)
+            except (OSError, ValueError):
+                track_cache = {}
+        cache_dirty = False
         self._seqs = []  # (frames_dir, anno_dir, track_id)
         for set_name in sorted(os.listdir(data_dir)):
             sdir = os.path.join(data_dir, set_name)
@@ -346,9 +361,22 @@ class ImageNetVID(VideoDataset):
                                         set_name, seq)
                 if not os.path.isdir(anno_dir):
                     continue
-                tracks = self._track_ids(anno_dir)
+                key = f"{set_name}/{seq}"
+                tracks = track_cache.get(key)
+                if tracks is None:
+                    tracks = self._track_ids(anno_dir)
+                    track_cache[key] = tracks
+                    cache_dirty = True
                 for t in tracks:
                     self._seqs.append((os.path.join(sdir, seq), anno_dir, t))
+        if cache_dirty:
+            try:
+                tmp = cache_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(track_cache, f)
+                os.replace(tmp, cache_path)
+            except OSError:
+                pass  # read-only dataset root: enumeration stays per-run
         self._cache: dict[int, dict] = {}
 
     def _track_ids(self, anno_dir):

@@ -27,7 +27,9 @@ def load_result(results_root: str, dataset: str, config_name: str,
     with open(base + ".txt") as f:
         first = f.readline()
     delim = "," if "," in first else None
-    out = {"boxes": np.loadtxt(base + ".txt", delimiter=delim)}
+    # atleast_2d: np.loadtxt returns a 1-D (4,) array for a single-row
+    # file, which would break row indexing (pred[0, :]) downstream
+    out = {"boxes": np.atleast_2d(np.loadtxt(base + ".txt", delimiter=delim))}
     if os.path.exists(base + "_confidence.value"):
         out["confidences"] = np.loadtxt(base + "_confidence.value")
     if os.path.exists(base + "_time.value"):

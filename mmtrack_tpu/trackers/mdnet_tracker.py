@@ -38,7 +38,8 @@ class MDNetRuntime:
     trans_f_expand: float = 1.5
     scale_f: float = 1.05
     n_init_pos: int = 500
-    n_init_neg: int = 2000           # reference 5000; memory-bound default
+    n_init_neg: int = 5000           # pyMDNet tracking/options.yaml (500/5000)
+    extract_chunk: int = 512         # patch batches >chunk embed via lax.map
     overlap_pos: tuple = (0.7, 1.0)
     overlap_neg: tuple = (0.0, 0.5)
     init_iters: int = 50
@@ -130,7 +131,12 @@ def _sample_filtered(rng, gen, gt_box, n, iou_range, oversample=4):
 # ---------------------------------------------------------------- features
 
 def _extract_patches(rt: MDNetRuntime, model, params, frame, boxes):
-    """Crop each box with 16px context and embed (RegionExtractor analog)."""
+    """Crop each box with 16px context and embed (RegionExtractor analog).
+
+    Batches larger than rt.extract_chunk are embedded chunk-by-chunk via
+    lax.map so the 5000-negative init draw (options.yaml) never
+    materializes all 107x107 patches + conv activations at once — device
+    memory stays bounded without shrinking the hard-negative pool."""
     def one(b):
         c = jnp.stack([b[1] + b[3] / 2, b[0] + b[2] / 2])  # (y, x)
         side = jnp.sqrt(b[2] * b[3]) * (rt.img_size + 2 * rt.padding) / rt.img_size
@@ -140,10 +146,21 @@ def _extract_patches(rt: MDNetRuntime, model, params, frame, boxes):
         # the scale matters — LRN sits right after conv1
         return patch - 128.0
 
-    patches = jax.vmap(one)(boxes)
-    # type(model) keeps the protocol polymorphic over chassis variants
-    # (MDNet modes, APFNet, DAFNet, MaCNet share extract_features/score)
-    return model.apply(params, patches, method=type(model).extract_features)
+    def embed(bs):
+        patches = jax.vmap(one)(bs)
+        # type(model) keeps the protocol polymorphic over chassis variants
+        # (MDNet modes, APFNet, DAFNet, MaCNet share extract_features/score)
+        return model.apply(params, patches,
+                           method=type(model).extract_features)
+
+    n, chunk = boxes.shape[0], rt.extract_chunk
+    if n <= chunk:
+        return embed(boxes)
+    pad = (-n) % chunk
+    padded = boxes if pad == 0 else jnp.concatenate(
+        [boxes, jnp.broadcast_to(boxes[:1], (pad, boxes.shape[1]))])
+    out = jax.lax.map(embed, padded.reshape(-1, chunk, boxes.shape[1]))
+    return out.reshape(n + pad, *out.shape[2:])[:n]
 
 
 # ---------------------------------------------------------------- fc training

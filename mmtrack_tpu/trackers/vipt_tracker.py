@@ -82,22 +82,16 @@ def vipt_init_state(rt: ViPTRuntime, frame: jnp.ndarray, init_box: jnp.ndarray) 
     return {"box": init_box.astype(jnp.float32), "template": template}
 
 
-def vipt_track_step(rt: ViPTRuntime, model: ViPTrack, params, state: dict,
-                    frame: jnp.ndarray):
-    """One tracked frame. Returns (new_state, box_xywh (4,), score ()).
-
-    Equivalent of ViPTTrack.track (vipt.py:64-110): search crop around the
-    previous box, forward, Hanning-window the center heatmap, decode, map the
-    crop-relative box back to image coordinates, clip with 10px margin.
-    """
-    H, W = frame.shape[0], frame.shape[1]
-    c = frame.shape[-1]
-    mean, std = jnp.asarray(MEAN_6CH[:c]), jnp.asarray(STD_6CH[:c])
-    search, resize_factor = crop_resize_normalized(
-        frame, state["box"], rt.search_factor, rt.search_size, mean, std)
-
-    box_mask_z = generate_ctr_mask(rt.template_size // rt.stride, rt.ce_template_range)
-    out = model.apply(params, state["template"][None], search[None],
+def vipt_step_from_crop(rt: ViPTRuntime, model: ViPTrack, params,
+                        template: jnp.ndarray, prev_box: jnp.ndarray,
+                        search: jnp.ndarray, resize_factor: jnp.ndarray,
+                        img_h, img_w):
+    """Forward + decode + map-back + clip from an already-normalized search
+    crop (the tail of ViPTTrack.track, vipt.py:71-110). Shared by the fused
+    device path and the bit-exact host-preprocessing path."""
+    box_mask_z = generate_ctr_mask(rt.template_size // rt.stride,
+                                   rt.ce_template_range)
+    out = model.apply(params, template[None], search[None],
                       box_mask_z, rt.ce_keep_lens)
 
     if getattr(model, "head_type", "CENTER") == "CENTER":
@@ -112,17 +106,35 @@ def vipt_track_step(rt: ViPTRuntime, model: ViPTrack, params, state: dict,
 
     # crop coords [0,1] -> image scale
     pred = bbox[0] * rt.search_size / resize_factor  # (cx, cy, w, h)
-    prev = state["box"]
-    cx_prev = prev[0] + 0.5 * prev[2]
-    cy_prev = prev[1] + 0.5 * prev[3]
+    cx_prev = prev_box[0] + 0.5 * prev_box[2]
+    cy_prev = prev_box[1] + 0.5 * prev_box[3]
     half_side = 0.5 * rt.search_size / resize_factor
     cx = pred[0] + (cx_prev - half_side)
     cy = pred[1] + (cy_prev - half_side)
-    new_box = jnp.stack([cx - 0.5 * pred[2], cy - 0.5 * pred[3], pred[2], pred[3]])
-    new_box = clip_box(new_box, float(H), float(W), margin=rt.margin)
+    new_box = jnp.stack([cx - 0.5 * pred[2], cy - 0.5 * pred[3],
+                         pred[2], pred[3]])
+    new_box = clip_box(new_box, img_h, img_w, margin=rt.margin)
+    return new_box, score[0]
 
+
+def vipt_track_step(rt: ViPTRuntime, model: ViPTrack, params, state: dict,
+                    frame: jnp.ndarray):
+    """One tracked frame. Returns (new_state, box_xywh (4,), score ()).
+
+    Equivalent of ViPTTrack.track (vipt.py:64-110): search crop around the
+    previous box, forward, Hanning-window the center heatmap, decode, map the
+    crop-relative box back to image coordinates, clip with 10px margin.
+    """
+    H, W = frame.shape[0], frame.shape[1]
+    c = frame.shape[-1]
+    mean, std = jnp.asarray(MEAN_6CH[:c]), jnp.asarray(STD_6CH[:c])
+    search, resize_factor = crop_resize_normalized(
+        frame, state["box"], rt.search_factor, rt.search_size, mean, std)
+    new_box, score = vipt_step_from_crop(
+        rt, model, params, state["template"], state["box"], search,
+        resize_factor, float(H), float(W))
     new_state = {"box": new_box, "template": state["template"]}
-    return new_state, new_box, score[0]
+    return new_state, new_box, score
 
 
 def vipt_track_scan(rt: ViPTRuntime, model: ViPTrack, params, state: dict,
@@ -164,21 +176,61 @@ class ViPTTracker:
 
     Holds the jitted functional core; jit re-specializes automatically per
     frame resolution (a handful per dataset).
+
+    host_preproc=True swaps the fused device crop for the bit-exact host
+    cv2 twin (ops/crop.py::sample_target_np — byte-identical to the
+    reference's sample_target incl. cv2's fixed-point uint8 resize) and
+    uploads the normalized crop instead of the frame. Use for
+    parity-critical evaluation; the device path is ~1 intensity level off
+    cv2's fixed-point rounding, which matters only to bit-level A/B runs.
     """
 
-    def __init__(self, model: ViPTrack, params, runtime: Optional[ViPTRuntime] = None):
+    def __init__(self, model: ViPTrack, params,
+                 runtime: Optional[ViPTRuntime] = None,
+                 host_preproc: bool = False):
         self.model = model
         self.params = params
         self.rt = runtime or ViPTRuntime()
+        self.host_preproc = host_preproc
         self._init_fn = jax.jit(partial(vipt_init_state, self.rt))
         self._step_fn = jax.jit(partial(vipt_track_step, self.rt, self.model))
+        self._crop_step_fn = jax.jit(
+            partial(vipt_step_from_crop, self.rt, self.model))
         self.state = None
+
+    def _host_crop(self, image: np.ndarray, box, factor: float, size: int):
+        from mmtrack_tpu.ops.crop import sample_target_np
+
+        crop, rf, _ = sample_target_np(np.asarray(image),
+                                       np.asarray(box, np.float64),
+                                       factor, size)
+        c = crop.shape[-1]
+        normalized = ((crop.astype(np.float32) / 255.0 - MEAN_6CH[:c])
+                      / STD_6CH[:c])
+        return jnp.asarray(normalized), rf
 
     def initialize(self, image: np.ndarray, info: dict) -> None:
         box = jnp.asarray(np.asarray(info["init_bbox"], np.float32))
-        self.state = self._init_fn(jnp.asarray(image), box)
+        if self.host_preproc:
+            template, _ = self._host_crop(image, info["init_bbox"],
+                                          self.rt.template_factor,
+                                          self.rt.template_size)
+            self.state = {"box": box, "template": template}
+        else:
+            self.state = self._init_fn(jnp.asarray(image), box)
 
     def track(self, image: np.ndarray, info: dict | None = None) -> dict:
-        self.state, box, score = self._step_fn(self.params, self.state, jnp.asarray(image))
+        if self.host_preproc:
+            H, W = image.shape[0], image.shape[1]
+            prev = np.asarray(self.state["box"], np.float64)
+            search, rf = self._host_crop(image, prev, self.rt.search_factor,
+                                         self.rt.search_size)
+            box, score = self._crop_step_fn(
+                self.params, self.state["template"], self.state["box"],
+                search, jnp.float32(rf), float(H), float(W))
+            self.state = {"box": box, "template": self.state["template"]}
+        else:
+            self.state, box, score = self._step_fn(self.params, self.state,
+                                                   jnp.asarray(image))
         return {"target_bbox": np.asarray(box).tolist(),
                 "best_score": float(score)}

@@ -140,3 +140,26 @@ def test_pyvital_adversarial_protocol():
     diff = max(float(np.abs(a - np.asarray(b)).max())
                for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)))
     assert diff > 0, "GNet must be updated adversarially during tracking"
+
+
+def test_extract_patches_chunked_matches_unchunked():
+    """lax.map chunking (5000-negative init, options.yaml) is a pure
+    memory optimization — features must be identical to one big vmap."""
+    from mmtrack_tpu.trackers.mdnet_tracker import _extract_patches
+
+    model = MDNet(mode="single")
+    x = jnp.zeros((1, 107, 107, 6))
+    params = jax.jit(lambda r: model.init(r, x))(jax.random.PRNGKey(0))
+    frames, gt = make_synthetic_sequence(n_frames=1, height=120, width=160)
+    frame = jnp.asarray(frames[0])
+    rng = jax.random.PRNGKey(1)
+    boxes = _gaussian_boxes(rng, jnp.asarray(gt[0]), 37, 0.6, 1.2, (120, 160))
+
+    big = MDNetRuntime(extract_chunk=512)    # 37 <= 512: single vmap
+    small = MDNetRuntime(extract_chunk=8)    # 37 -> 5 chunks of 8 (padded)
+    want = _extract_patches(big, model, params, frame, boxes)
+    got = _extract_patches(small, model, params, frame, boxes)
+    # different conv batch shapes reassociate float sums; tolerance covers
+    # that scheduling noise only (values are O(50))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-3)
