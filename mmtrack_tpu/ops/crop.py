@@ -142,18 +142,28 @@ def crop_resize_normalized(image: jnp.ndarray, box_xywh: jnp.ndarray,
 
 
 def crop_at(image: jnp.ndarray, center_yx: jnp.ndarray, crop_sz,
-            out_size: int, border: str = "replicate") -> jnp.ndarray:
+            out_size: int, border: str = "replicate",
+            origin_yx=None) -> jnp.ndarray:
     """Square crop of (traced) side `crop_sz` centered at `center_yx`,
     resized to out_size — the DiMP-family sample extraction
     (sample_patch, RGBD/models/DeT/pytracking/features/preprocessing.py with
     mode='replicate'). Same one-gather formulation as crop_resize.
 
+    When `origin_yx` is given it is used as the exact integer top-left of
+    the crop (the reference's tl = pos.long() - (szl-1)//2 split) and
+    `crop_sz` must already be the rounded integer side; `center_yx` is
+    ignored. Without it, the origin falls back to round(center - side/2).
+
     Returns (out_size, out_size, C) float32.
     """
     H, W = image.shape[0], image.shape[1]
-    crop_sz = jnp.maximum(jnp.round(crop_sz), 2.0)
-    y1 = jnp.round(center_yx[0] - 0.5 * crop_sz)
-    x1 = jnp.round(center_yx[1] - 0.5 * crop_sz)
+    if origin_yx is None:
+        crop_sz = jnp.maximum(jnp.round(crop_sz), 2.0)
+        y1 = jnp.round(center_yx[0] - 0.5 * crop_sz)
+        x1 = jnp.round(center_yx[1] - 0.5 * crop_sz)
+    else:
+        crop_sz = jnp.asarray(crop_sz, jnp.float32)
+        y1, x1 = origin_yx[0], origin_yx[1]
 
     s = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (crop_sz / out_size) - 0.5
     s = jnp.clip(s, 0.0, crop_sz - 1.0)

@@ -149,14 +149,18 @@ def atom_init_state(rt: ATOMRuntime, model: ATOMNet, params,
     target_scale = jnp.sqrt(search_area) / rt.image_sample_size
     base_target_sz = target_sz / target_scale
 
-    crop_sz, sample_pos, sample_scale = _sample_geometry(rt, pos, target_scale)
     rng = jax.random.PRNGKey(0)
     rng, rng_shift, rng_proj, rng_drop = jax.random.split(rng, 4)
 
     S_im = rt.image_sample_size
-    expanded = _normalize(crop_at(frame, pos,
-                                  crop_sz * rt.augmentation_expansion_factor,
-                                  S_im * rt.augmentation_expansion_factor))
+    S_e = S_im * rt.augmentation_expansion_factor
+    # init sample centered at pos.round(), target box in crop coords uses
+    # sample_scale = target_scale exactly (generate_init_samples semantics)
+    init_sample_pos = jnp.round(pos)
+    szl_e, tl_e, _, _ = _sample_geometry(
+        rt, init_sample_pos, target_scale, out_size=S_e)
+    expanded = _normalize(crop_at(frame, init_sample_pos, szl_e, S_e,
+                                  origin_yx=tl_e))
     patches, shifts = dimp_init_augmentations(
         expanded, S_im, rng_shift, random_shift_factor=rt.random_shift_factor,
         blur_sigmas=rt.aug_blur, rotate_angles=rt.aug_rotate)
@@ -190,7 +194,8 @@ def atom_init_state(rt: ATOMRuntime, model: ATOMNet, params,
 
     mod3, mod4 = model.apply(
         params, [bfeat["layer2"][:1], bfeat["layer3"][:1]],
-        _get_iounet_box(rt, pos, target_sz, sample_pos, sample_scale)[None],
+        _get_iounet_box(rt, pos, target_sz, init_sample_pos,
+                        target_scale)[None],
         method=lambda m, ff, b: m.bb_regressor.get_modulation(ff, b))
 
     comp_init = feats @ P
@@ -223,10 +228,10 @@ def atom_track_step(rt: ATOMRuntime, model: ATOMNet, params, state: dict,
     rng, rng_refine = jax.random.split(state["rng"])
     state = {**state, "rng": rng}
 
-    crop_sz, sample_pos, sample_scale = _sample_geometry(
+    crop_sz, tl, sample_pos, sample_scale = _sample_geometry(
         rt, state["pos"], state["target_scale"])
     patch = _normalize(crop_at(frame, state["pos"], crop_sz,
-                               rt.image_sample_size))
+                               rt.image_sample_size, origin_yx=tl))
     bfeat = model.apply(params, patch[None], method=ATOMNet.extract_backbone)
     comp = bfeat["layer3"] @ state["projection"]
     scores = mlu(apply_filter(comp, state["filter"]),

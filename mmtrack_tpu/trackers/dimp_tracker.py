@@ -63,6 +63,14 @@ class DiMPRuntime:
     maximal_aspect_ratio: float = 6.0
     box_refinement_iter: int = 5
     box_refinement_step_length: float = 1.0
+    # 'default' ascends in box space scaled by size (dimp.py:727-752);
+    # 'relative' in the PrDiMP [cx/sw, cy/sh, log w, log h] parametrization
+    # (optimize_boxes_relative, keep_track.py / dimp.py:755-790)
+    box_refinement_space: str = "default"
+    # sample_patch border handling (preprocessing.py:57-150): 'replicate'
+    # or 'inside'/'inside_major' (shrink to image, shift crop inside)
+    border_mode: str = "replicate"
+    patch_max_scale_change: float = float("inf")
     # First-frame augmentation set (DeT_DiMP50_Max.py:30-39; the image
     # transforms live in ops/augment.py, dropout is feature-space).
     use_augmentation: bool = True
@@ -91,14 +99,28 @@ def _normalize(patch: jnp.ndarray) -> jnp.ndarray:
     return (patch / 255.0 - jnp.asarray(MEAN_6CH)) / jnp.asarray(STD_6CH)
 
 
-def _sample_geometry(rt: DiMPRuntime, pos_yx, target_scale):
-    """Actual crop center and scale after crop_at's rounding."""
-    crop_sz = jnp.maximum(jnp.round(target_scale * rt.image_sample_size), 2.0)
-    y1 = jnp.round(pos_yx[0] - 0.5 * crop_sz)
-    x1 = jnp.round(pos_yx[1] - 0.5 * crop_sz)
-    sample_pos = jnp.stack([y1 + 0.5 * crop_sz, x1 + 0.5 * crop_sz])
-    sample_scale = crop_sz / rt.image_sample_size
-    return crop_sz, sample_pos, sample_scale
+def _sample_geometry(rt: DiMPRuntime, pos_yx, target_scale,
+                     out_size: int | None = None):
+    """Reference-exact crop geometry (sample_patch,
+    pytracking/features/preprocessing.py:57-150, df=1 path): integer
+    center by truncation (pos.long()), side by round, and the
+    tl = posl - (szl-1)//2 / br = posl + szl//2 + 1 split. Returns
+    (crop side szl, top-left (y, x), sample_pos, sample_scale).
+
+    Deviation kept on purpose: the reference pre-downsamples by an integer
+    factor df when the crop is >~2.1x the output (strided slicing, then
+    bilinear) — a memory optimization for host torch. Our crop is a single
+    bilinear gather at full resolution (strictly higher quality); df is
+    not modeled.
+    """
+    S = rt.image_sample_size if out_size is None else out_size
+    szl = jnp.maximum(jnp.round(target_scale * S), 2.0)
+    posl = jnp.trunc(pos_yx)                       # torch .long(): trunc to 0
+    tl = posl - jnp.floor((szl - 1.0) / 2.0)
+    br = posl + jnp.floor(szl / 2.0) + 1.0
+    sample_pos = 0.5 * (tl + br - 1.0)
+    sample_scale = szl / S
+    return szl, tl, sample_pos, sample_scale
 
 
 def _get_iounet_box(rt: DiMPRuntime, pos_yx, sz_hw, sample_pos, sample_scale):
@@ -136,25 +158,33 @@ def dimp_init_state(rt: DiMPRuntime, model: DiMPNet, params, frame: jnp.ndarray,
     target_scale = jnp.sqrt(search_area) / rt.image_sample_size
     base_target_sz = target_sz / target_scale
 
-    crop_sz, sample_pos, sample_scale = _sample_geometry(rt, pos, target_scale)
+    # init crop geometry (dimp.py:354 + generate_init_samples): the init
+    # sample is centered at pos.round() and the target box in crop coords
+    # uses sample_scale = target_scale exactly (not the rounded szl/S).
+    init_sample_pos = jnp.round(pos)
+    init_sample_scale = target_scale
     rng = jax.random.PRNGKey(0)
-    box_crop = _get_iounet_box(rt, pos, target_sz, sample_pos, sample_scale)
+    box_crop = _get_iounet_box(rt, pos, target_sz, init_sample_pos,
+                               init_sample_scale)
 
     if rt.use_augmentation:
         rng, rng_shift, rng_drop = jax.random.split(rng, 3)
         S_im = rt.image_sample_size
-        expanded = _normalize(crop_at(
-            frame, pos, crop_sz * rt.augmentation_expansion_factor,
-            S_im * rt.augmentation_expansion_factor))
+        S_e = S_im * rt.augmentation_expansion_factor
+        szl_e, tl_e, _, _ = _sample_geometry(rt, init_sample_pos,
+                                             target_scale, out_size=S_e)
+        expanded = _normalize(crop_at(frame, init_sample_pos, szl_e, S_e,
+                                      origin_yx=tl_e))
         patches, shifts = dimp_init_augmentations(
             expanded, S_im, rng_shift,
             random_shift_factor=rt.random_shift_factor)
 
         bfeat = model.apply(params, patches, method=DiMPNet.extract_backbone)
         clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
-        drop = feature_dropout(clf_feat[0], rng_drop, rt.aug_dropout_num,
-                               rt.aug_dropout_prob)
-        clf_feat = jnp.concatenate([clf_feat, drop], axis=0)
+        if rt.aug_dropout_num > 0:
+            drop = feature_dropout(clf_feat[0], rng_drop, rt.aug_dropout_num,
+                                   rt.aug_dropout_prob)
+            clf_feat = jnp.concatenate([clf_feat, drop], axis=0)
 
         # target box per sample: + (shift_x, shift_y) (init_target_boxes,
         # dimp.py:402-410); dropout copies reuse the identity transform.
@@ -164,13 +194,31 @@ def dimp_init_state(rt: DiMPRuntime, model: DiMPNet, params, frame: jnp.ndarray,
             [shifts[:, ::-1], jnp.zeros_like(shifts)], axis=1)
         bfeat0 = {k: v[:1] for k, v in bfeat.items()}
     else:
-        patch = _normalize(crop_at(frame, pos, crop_sz, rt.image_sample_size))
+        szl, tl, _, _ = _sample_geometry(rt, init_sample_pos, target_scale)
+        patch = _normalize(crop_at(frame, init_sample_pos, szl,
+                                   rt.image_sample_size, origin_yx=tl))
         bfeat = model.apply(params, patch[None], method=DiMPNet.extract_backbone)
         clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
         boxes = box_crop[None]
         bfeat0 = bfeat
 
-    N = rt.num_init_samples
+    return dimp_assemble_init_state(
+        rt, model, params, clf_feat, boxes, bfeat0, box_crop,
+        pos, target_sz, target_scale, base_target_sz, rng)
+
+
+def dimp_assemble_init_state(rt: DiMPRuntime, model: DiMPNet, params,
+                             clf_feat, boxes, bfeat0, box_crop,
+                             pos, target_sz, target_scale, base_target_sz,
+                             rng) -> dict:
+    """Build the tracker state from already-extracted init samples
+    (init_classifier + init_memory + init_iou_net, dimp.py:412-589):
+    filter init + steepest-descent optimization over the N samples, IoU
+    modulation from the identity sample, memory seeded with weight 1/N.
+
+    Split out so the trajectory parity harness can feed the REFERENCE'S
+    own recorded init patches through our network and state machine."""
+    N = clf_feat.shape[0]
     w0 = model.apply(params, clf_feat, boxes, method=DiMPNet.get_filter)
     filt = model.apply(params, w0, clf_feat, boxes, None,
                        rt.net_opt_iter, method=DiMPNet.optimize_filter)
@@ -212,13 +260,18 @@ def _localize_advanced(rt: DiMPRuntime, scores, state, sample_pos, sample_scale)
     scale_fac = (rt.image_sample_size / output_sz) * sample_scale
     trans1 = target_disp1 * scale_fac
 
-    # mask the target neighborhood, find the second peak
+    # mask the target neighborhood, find the second peak — bounds exactly
+    # as dimp.py:270-275: round() (half-even, = python round) with the
+    # asymmetric +1 bottom/right edge, clamped to the map
     neigh = rt.target_neighborhood_scale * (state["target_sz"] / sample_scale) \
         * (output_sz / rt.image_sample_size)
     iy = jnp.arange(S, dtype=jnp.float32)[:, None]
     ix = jnp.arange(S, dtype=jnp.float32)[None, :]
-    inside = ((jnp.abs(iy - disp1[0]) <= neigh[0] / 2 + 0.5)
-              & (jnp.abs(ix - disp1[1]) <= neigh[1] / 2 + 0.5))
+    top = jnp.maximum(jnp.round(disp1[0] - neigh[0] / 2), 0.0)
+    bottom = jnp.minimum(jnp.round(disp1[0] + neigh[0] / 2 + 1), float(S))
+    left = jnp.maximum(jnp.round(disp1[1] - neigh[1] / 2), 0.0)
+    right = jnp.minimum(jnp.round(disp1[1] + neigh[1] / 2 + 1), float(S))
+    inside = ((iy >= top) & (iy < bottom)) & ((ix >= left) & (ix < right))
     masked = jnp.where(inside, 0.0, scores)
     max2, disp2 = _max2d(masked)
     target_disp2 = disp2 - score_center
@@ -255,15 +308,18 @@ def _refine_box(rt: DiMPRuntime, model, params, bfeat, state, sample_pos,
     (new_pos, new_sz, new_scale, ok)."""
     init_box = _get_iounet_box(rt, state["pos"], state["target_sz"],
                                sample_pos, sample_scale)
-    sq = jnp.sqrt(jnp.prod(init_box[2:]))
-    rand_factor = sq * jnp.asarray([rt.box_jitter_pos, rt.box_jitter_pos,
-                                    rt.box_jitter_sz, rt.box_jitter_sz])
-    min_edge = jnp.min(init_box[2:]) / 3
-    r = (jax.random.uniform(rng, (rt.num_init_random_boxes, 4)) - 0.5) * rand_factor
-    new_sz = jnp.maximum(init_box[2:] + r[:, 2:], min_edge)
-    new_center = init_box[:2] + init_box[2:] / 2 + r[:, :2]
-    jittered = jnp.concatenate([new_center - new_sz / 2, new_sz], axis=1)
-    boxes = jnp.concatenate([init_box[None], jittered], axis=0)  # (P, 4)
+    if rt.num_init_random_boxes > 0:
+        sq = jnp.sqrt(jnp.prod(init_box[2:]))
+        rand_factor = sq * jnp.asarray([rt.box_jitter_pos, rt.box_jitter_pos,
+                                        rt.box_jitter_sz, rt.box_jitter_sz])
+        min_edge = jnp.min(init_box[2:]) / 3
+        r = (jax.random.uniform(rng, (rt.num_init_random_boxes, 4)) - 0.5) * rand_factor
+        new_sz = jnp.maximum(init_box[2:] + r[:, 2:], min_edge)
+        new_center = init_box[:2] + init_box[2:] / 2 + r[:, :2]
+        jittered = jnp.concatenate([new_center - new_sz / 2, new_sz], axis=1)
+        boxes = jnp.concatenate([init_box[None], jittered], axis=0)  # (P, 4)
+    else:
+        boxes = init_box[None]
 
     iou_feat = model.apply(params, [bfeat["layer2"], bfeat["layer3"]],
                            method=lambda m, f: m.bb_regressor.get_iou_feat(f))
@@ -273,19 +329,28 @@ def _refine_box(rt: DiMPRuntime, model, params, bfeat, state, sample_pos,
         return model.apply(params, mod, iou_feat, props[None],
                            method=lambda m, a, b, c: m.bb_regressor.predict_iou(a, b, c))[0]
 
-    def ascent(_, bxs):
-        g = jax.grad(lambda b: iou_of(b).sum())(bxs)
+    def ascent(_, carry):
+        bxs, _prev = carry
+        # one forward + one VJP per iteration, like the reference's
+        # forward + backward (optimize_boxes_default, dimp.py:727-752)
+        ious, vjp = jax.vjp(iou_of, bxs)
+        (g,) = vjp(jnp.ones_like(ious))
         sz_rep = jnp.tile(bxs[:, 2:], (1, 2))
-        return bxs + rt.box_refinement_step_length * g * sz_rep
+        return (bxs + rt.box_refinement_step_length * g * sz_rep, ious)
 
-    boxes = jax.lax.fori_loop(0, rt.box_refinement_iter, ascent, boxes)
-    ious = iou_of(boxes)
+    # NB the reference returns `outputs` from the LAST loop iteration — the
+    # IoU of the boxes BEFORE their final gradient step (dimp.py:752) — and
+    # ranks the post-step boxes by it. Reproduce that off-by-one exactly.
+    boxes, ious = jax.lax.fori_loop(
+        0, rt.box_refinement_iter, ascent,
+        (boxes, jnp.zeros((boxes.shape[0],), boxes.dtype)))
 
     boxes = boxes.at[:, 2:].set(jnp.maximum(boxes[:, 2:], 1.0))
     ar = boxes[:, 2] / boxes[:, 3]
     keep = (ar < rt.maximal_aspect_ratio) & (ar > 1 / rt.maximal_aspect_ratio)
     ious_k = jnp.where(keep, ious, -jnp.inf)
-    top_iou, top_idx = jax.lax.top_k(ious_k, rt.iounet_k)
+    top_iou, top_idx = jax.lax.top_k(
+        ious_k, min(rt.iounet_k, boxes.shape[0]))
     top_boxes = boxes[top_idx]
     valid = jnp.isfinite(top_iou)
     denom = jnp.maximum(valid.sum(), 1)
@@ -336,14 +401,29 @@ def _update_memory(rt: DiMPRuntime, state, clf_feat, box_crop, lr):
 def dimp_track_step(rt: DiMPRuntime, model: DiMPNet, params, state: dict,
                     frame: jnp.ndarray):
     """One tracked frame (dimp.py:94-176). Returns (state, box_xywh, score)."""
-    H, W = frame.shape[0], frame.shape[1]
+    crop_sz, tl, sample_pos, sample_scale = _sample_geometry(
+        rt, state["pos"], state["target_scale"])
+    patch = crop_at(frame, state["pos"], crop_sz, rt.image_sample_size,
+                    origin_yx=tl)
+    return dimp_step_from_patch(rt, model, params, state, patch,
+                                sample_pos, sample_scale,
+                                (float(frame.shape[0]), float(frame.shape[1])))
+
+
+def dimp_step_from_patch(rt: DiMPRuntime, model: DiMPNet, params, state: dict,
+                         patch: jnp.ndarray, sample_pos, sample_scale,
+                         img_hw):
+    """The tracked-frame step from an already-extracted raw (0..255) sample
+    patch + its geometry (everything in dimp.py:94-176 after
+    extract_backbone_features's sample_patch call). Shared by the fused
+    device path and the trajectory parity harness, which feeds the
+    reference's own crops."""
+    H, W = img_hw
     state = {**state, "frame_num": state["frame_num"] + 1}
     rng, rng_refine = jax.random.split(state["rng"])
     state = {**state, "rng": rng}
 
-    crop_sz, sample_pos, sample_scale = _sample_geometry(
-        rt, state["pos"], state["target_scale"])
-    patch = _normalize(crop_at(frame, state["pos"], crop_sz, rt.image_sample_size))
+    patch = _normalize(patch)
     bfeat = model.apply(params, patch[None], method=DiMPNet.extract_backbone)
     clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
     scores = model.apply(params, state["filter"], clf_feat,

@@ -88,9 +88,10 @@ def keeptrack_init_state(rt: KeepTrackRuntime, model: DiMPNet, bundle,
     state = dimp_init_state(rt, model, params, frame, init_box)
 
     # initial peak collection from the first classification map
-    crop_sz, sample_pos, sample_scale = _sample_geometry(
+    crop_sz, tl, sample_pos, sample_scale = _sample_geometry(
         rt, state["pos"], state["target_scale"])
-    patch = _normalize(crop_at(frame, state["pos"], crop_sz, rt.image_sample_size))
+    patch = _normalize(crop_at(frame, state["pos"], crop_sz,
+                               rt.image_sample_size, origin_yx=tl))
     bfeat = model.apply(params, patch[None], method=DiMPNet.extract_backbone)
     clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
     scores = model.apply(params, state["filter"], clf_feat,
@@ -120,8 +121,10 @@ def keeptrack_track_step(rt: KeepTrackRuntime, model: DiMPNet, bundle,
     eff_scale = jnp.where(lost_prev, state["scale_ring"].mean(),
                           state["target_scale"])
 
-    crop_sz, sample_pos, sample_scale = _sample_geometry(rt, state["pos"], eff_scale)
-    patch = _normalize(crop_at(frame, state["pos"], crop_sz, rt.image_sample_size))
+    crop_sz, tl, sample_pos, sample_scale = _sample_geometry(
+        rt, state["pos"], eff_scale)
+    patch = _normalize(crop_at(frame, state["pos"], crop_sz,
+                               rt.image_sample_size, origin_yx=tl))
     bfeat = model.apply(params, patch[None], method=DiMPNet.extract_backbone)
     clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
     scores = model.apply(params, state["filter"], clf_feat,

@@ -162,7 +162,8 @@ def test_augmented_init_improves_transformed_view():
         # over exactly these views must beat the single-sample filter on
         # them — a well-posed property, unlike off-set angles where
         # generalization on synthetic blocks is a coin flip
-        crop_sz, _, _ = _sample_geometry(rt, state["pos"], state["target_scale"])
+        crop_sz, _, _, _ = _sample_geometry(rt, state["pos"],
+                                            state["target_scale"])
         from mmtrack_tpu.ops.augment import _rotated_window
         expanded = _normalize(crop_at(jnp.asarray(frames[0]), state["pos"],
                                       crop_sz * 2, rt.image_sample_size * 2))
