@@ -404,6 +404,13 @@ def convert_dimp_checkpoint(state_dict: dict) -> dict:
         if m:
             put(f"filter_optimizer/{m.group(1)}", _np(t).reshape(1))
             continue
+        # super_dimp_hinge: GNSteepestDescent wraps LinearFilterHinge whose
+        # only parameter is the filter regularization
+        # (keep_track_vot2021/ltr: dimpnet50_hinge, residual_modules.py:93)
+        m = re.match(r"classifier\.filter_optimizer\.residual_module\.filter_reg", name)
+        if m:
+            put("filter_optimizer/filter_reg", _np(t).reshape(1))
+            continue
         m = re.match(r"classifier\.filter_optimizer\.label_map_predictor\.weight", name)
         if m:
             put("filter_optimizer/label_map_kernel", _np(t).reshape(-1))
@@ -455,6 +462,19 @@ def convert_dimp_checkpoint(state_dict: dict) -> dict:
             continue
 
     return flax.traverse_util.unflatten_dict(out)
+
+
+def convert_super_dimp_checkpoint(state_dict: dict) -> dict:
+    """super_dimp_hinge (the KeepTrack base network,
+    keep_track/release.py:66) -> flax params for build_super_dimp50.
+
+    The name surface is dimpnet50_hinge (keep_track_vot2021/ltr/models/
+    tracking/dimpnet.py:216-268) — identical to dimpnet50 except the
+    filter optimizer, a GNSteepestDescent whose only parameter is
+    `residual_module.filter_reg`; convert_dimp_checkpoint already maps
+    both layouts, so this is the by-name entry point for super_dimp
+    checkpoints."""
+    return convert_dimp_checkpoint(state_dict)
 
 
 def _put_mha(put, base_t: str, base_f: str, name: str, t) -> bool:

@@ -222,6 +222,63 @@ class SteepestDescentGN(nn.Module):
         return jax.lax.fori_loop(0, num_iter, body, weights)
 
 
+class SteepestDescentHinge(nn.Module):
+    """Generic GN steepest descent over the hinge residual — the
+    super_dimp_hinge filter optimizer (GNSteepestDescent,
+    keep_track_vot2021/ltr/models/meta/steepestdescent.py:8-106, wrapping
+    LinearFilterHinge, ltr/models/target_classifier/
+    residual_modules.py:89-134; built by dimpnet50_hinge,
+    dimpnet.py:216-268 with score_act='relu').
+
+    Unlike DiMPSteepestDescentGN, the training labels are SUPPLIED by the
+    tracker (Gaussian maps — keep_track.py init_target_labels /
+    get_label_function); the only learned parameter is the filter
+    regularization. Per iteration: g = J^T r (vjp), h = J g (jvp),
+    alpha = |g|^2 / |h|^2, w <- w - alpha g — exactly the reference's
+    double-autograd step (steepestdescent.py:62-88).
+    """
+    num_iter: int = 5
+    init_filter_reg: float = 1e-2
+    hinge_threshold: float = 0.05
+    activation_leak: float = 0.0
+
+    @nn.compact
+    def __call__(self, weights: jnp.ndarray, feat: jnp.ndarray,
+                 label: jnp.ndarray, sample_weight: jnp.ndarray | None = None,
+                 num_iter=None):
+        """weights (fh, fw, C); feat (N, H, W, C); label (N, outH, outW);
+        sample_weight (N,) or None. num_iter may be traced."""
+        num_iter = self.num_iter if num_iter is None else num_iter
+        N = feat.shape[0]
+        filter_reg = self.param(
+            "filter_reg", nn.initializers.constant(self.init_filter_reg), (1,))
+        if sample_weight is None:
+            sw = jnp.asarray(math.sqrt(1.0 / N), feat.dtype)
+        else:
+            sw = jnp.sqrt(sample_weight).reshape(-1, 1, 1)
+        target_mask = jnp.clip(
+            (label > self.hinge_threshold).astype(feat.dtype)
+            + self.activation_leak, None, 1.0)
+
+        def residual_fn(w):
+            scores = apply_filter(feat, w)
+            scores_act = leaky_relu_par(scores, target_mask)
+            data_res = sw * (scores_act - target_mask * label)
+            reg_res = filter_reg[0] * w.reshape(-1)
+            return data_res, reg_res
+
+        def body(_, w):
+            r, vjp = jax.vjp(residual_fn, w)
+            (g,) = vjp(r)
+            _, h = jax.jvp(residual_fn, (w,), (g,))
+            ip_gg = jnp.sum(g * g)
+            ip_hh = sum(jnp.sum(e * e) for e in h)
+            alpha = ip_gg / jnp.maximum(ip_hh, 1e-8)
+            return w - alpha * g
+
+        return jax.lax.fori_loop(0, num_iter, body, weights)
+
+
 # ---------------------------------------------------------------- IoU net
 
 class ConvBlock(nn.Module):
@@ -349,6 +406,7 @@ class DiMPNet(nn.Module):
     feat_stride: int = 16
     merge_type: str | None = None   # None = single-backbone DiMP
     merge_weights: tuple[float, float] = (0.6, 0.4)  # DeT weightedSum
+    optimizer_type: str = "dimp"    # "dimp" | "hinge" (super_dimp_hinge)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -362,9 +420,13 @@ class DiMPNet(nn.Module):
                                                 self.filter_size, name="clf_features")
         self.filter_initializer = FilterInitializer(
             self.filter_size, self.feat_stride, name="filter_initializer")
-        self.filter_optimizer = SteepestDescentGN(
-            num_iter=self.optim_iter, feat_stride=self.feat_stride,
-            name="filter_optimizer")
+        if self.optimizer_type == "hinge":
+            self.filter_optimizer = SteepestDescentHinge(
+                num_iter=self.optim_iter, name="filter_optimizer")
+        else:
+            self.filter_optimizer = SteepestDescentGN(
+                num_iter=self.optim_iter, feat_stride=self.feat_stride,
+                name="filter_optimizer")
         self.bb_regressor = AtomIoUNet(name="bb_regressor")
 
     def _merge(self, a: jnp.ndarray, b: jnp.ndarray, layer: str) -> jnp.ndarray:
@@ -402,6 +464,34 @@ class DiMPNet(nn.Module):
         return self.filter_optimizer(weights, clf_feat, bb_xywh, sample_weight,
                                      num_iter)
 
+    def optimize_filter_hinge(self, weights, clf_feat, label,
+                              sample_weight=None, num_iter=None):
+        """Hinge-residual optimization from tracker-supplied Gaussian labels
+        (optimizer_type='hinge'; super_dimp get_filter train_label path,
+        keep_track.py:1622-1624)."""
+        return self.filter_optimizer(weights, clf_feat, label, sample_weight,
+                                     num_iter)
+
+    def _train_labels(self, clf_feat: jnp.ndarray, bb_xywh: jnp.ndarray):
+        """Gaussian labels on the score grid for the training-style forward
+        (the ltr hinge actors supply these from data; sigma = 1/4 of the
+        target size, the keep_track output_sigma_factor default)."""
+        N, H, W, _ = clf_feat.shape
+        end_pad = (self.filter_size + 1) % 2
+        # label grid: k from -(sz-1)/2, end-padded for even kernels
+        # (dcf.gauss_spatial, keep_track_vot2021/pytracking/libs/dcf.py:48-59)
+        ky = jnp.arange(H + end_pad, dtype=jnp.float32) - (H - 1) / 2
+        kx = jnp.arange(W + end_pad, dtype=jnp.float32) - (W - 1) / 2
+        # bb is in crop pixel coords; center measured from the map center,
+        # + half-cell shift for even kernels
+        center = ((bb_xywh[:, :2] + bb_xywh[:, 2:] / 2) / self.feat_stride
+                  )[:, ::-1] - jnp.asarray([(H - 1) / 2, (W - 1) / 2]) \
+            + 0.5 * end_pad
+        sigma = 0.25 * jnp.sqrt(bb_xywh[:, 2] * bb_xywh[:, 3]) / self.feat_stride
+        gy = jnp.exp(-0.5 * ((ky[None, :] - center[:, 0:1]) / sigma[:, None]) ** 2)
+        gx = jnp.exp(-0.5 * ((kx[None, :] - center[:, 1:2]) / sigma[:, None]) ** 2)
+        return gy[:, :, None] * gx[:, None, :]
+
     def classify(self, weights: jnp.ndarray, clf_feat: jnp.ndarray) -> jnp.ndarray:
         return apply_filter(clf_feat, weights)
 
@@ -413,7 +503,11 @@ class DiMPNet(nn.Module):
         train_clf = self.extract_classification_feat(train_feat)
         test_clf = self.extract_classification_feat(test_feat)
         w = self.get_filter(train_clf, train_bb)
-        w = self.filter_optimizer(w, train_clf, train_bb)
+        if self.optimizer_type == "hinge":
+            w = self.filter_optimizer(w, train_clf,
+                                      self._train_labels(train_clf, train_bb))
+        else:
+            w = self.filter_optimizer(w, train_clf, train_bb)
         scores = self.classify(w, test_clf)
         iou_pred = self.bb_regressor(
             [train_feat["layer2"], train_feat["layer3"]],
@@ -425,6 +519,14 @@ class DiMPNet(nn.Module):
 def build_dimp50(dtype=jnp.float32) -> DiMPNet:
     """Plain RGB DiMP-50 (dimpnet.py:367-419)."""
     return DiMPNet(merge_type=None, dtype=dtype)
+
+
+def build_super_dimp50(dtype=jnp.float32) -> DiMPNet:
+    """super_dimp_hinge: plain RGB DiMP-50 with the hinge-residual GN
+    optimizer (dimpnet50_hinge, keep_track_vot2021/ltr/models/tracking/
+    dimpnet.py:216-268) — the KeepTrack base network
+    (keep_track/release.py:66)."""
+    return DiMPNet(merge_type=None, optimizer_type="hinge", dtype=dtype)
 
 
 def build_det_dimp50(merge_type: str = "max", dtype=jnp.float32) -> DiMPNet:

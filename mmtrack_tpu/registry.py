@@ -91,10 +91,11 @@ def _atom(merge_type: str | None):
 
 def _keeptrack():
     def build(seed=0, params=None):
-        from mmtrack_tpu.models.dimp import DiMPNet
+        from mmtrack_tpu.models.dimp import build_super_dimp50
         from mmtrack_tpu.trackers.keeptrack_tracker import (KeepTrackRuntime,
                                                             KeepTrackTracker)
-        model = DiMPNet(merge_type=None)
+        # super_dimp_hinge base network (keep_track/release.py:66)
+        model = build_super_dimp50()
         if params is None:
             im = jnp.zeros((1, 288, 288, 6))
             bb = jnp.asarray([[100.0, 100.0, 80.0, 80.0]])

@@ -100,12 +100,19 @@ def _normalize(patch: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sample_geometry(rt: DiMPRuntime, pos_yx, target_scale,
-                     out_size: int | None = None):
+                     out_size: int | None = None, im_hw=None):
     """Reference-exact crop geometry (sample_patch,
     pytracking/features/preprocessing.py:57-150, df=1 path): integer
     center by truncation (pos.long()), side by round, and the
     tl = posl - (szl-1)//2 / br = posl + szl//2 + 1 split. Returns
     (crop side szl, top-left (y, x), sample_pos, sample_scale).
+
+    With rt.border_mode 'inside'/'inside_major' (and im_hw given), the
+    crop is first shrunk so it fits the image (shrink factor clamped to
+    [1, patch_max_scale_change], truncated to integer size) and then
+    shifted inside, including the halving correction when it still
+    overhangs both edges (preprocessing.py:78-125) — the super_dimp /
+    KeepTrack configuration (keep_track/release.py:14-15).
 
     Deviation kept on purpose: the reference pre-downsamples by an integer
     factor df when the crop is >~2.1x the output (strided slicing, then
@@ -114,10 +121,30 @@ def _sample_geometry(rt: DiMPRuntime, pos_yx, target_scale,
     not modeled.
     """
     S = rt.image_sample_size if out_size is None else out_size
-    szl = jnp.maximum(jnp.round(target_scale * S), 2.0)
     posl = jnp.trunc(pos_yx)                       # torch .long(): trunc to 0
+    if rt.border_mode in ("inside", "inside_major") and im_hw is not None:
+        im_sz = jnp.asarray(im_hw, jnp.float32)
+        shrink = (target_scale * S) / im_sz        # per-axis
+        shrink = shrink.max() if rt.border_mode == "inside" else shrink.min()
+        shrink = jnp.clip(shrink, 1.0, rt.patch_max_scale_change)
+        # (sample_sz / shrink).long(): truncation, then round is identity
+        szl = jnp.maximum(jnp.trunc(target_scale * S / shrink), 2.0)
+    else:
+        im_sz = None
+        szl = jnp.maximum(jnp.round(target_scale * S), 2.0)
     tl = posl - jnp.floor((szl - 1.0) / 2.0)
     br = posl + jnp.floor(szl / 2.0) + 1.0
+    if im_sz is not None:
+        # shift the crop inside the image (preprocessing.py:115-125)
+        shift = jnp.clip(-tl, 0.0, None) - jnp.clip(br - im_sz, 0.0, None)
+        tl = tl + shift
+        br = br + shift
+        # if still outside on both sides, center the overhang
+        outside = jnp.floor((jnp.clip(-tl, 0.0, None)
+                             + jnp.clip(br - im_sz, 0.0, None)) / 2.0)
+        shift = (-tl - outside) * (outside > 0)
+        tl = tl + shift
+        br = br + shift
     sample_pos = 0.5 * (tl + br - 1.0)
     sample_scale = szl / S
     return szl, tl, sample_pos, sample_scale
@@ -329,21 +356,44 @@ def _refine_box(rt: DiMPRuntime, model, params, bfeat, state, sample_pos,
         return model.apply(params, mod, iou_feat, props[None],
                            method=lambda m, a, b, c: m.bb_regressor.predict_iou(a, b, c))[0]
 
-    def ascent(_, carry):
-        bxs, _prev = carry
-        # one forward + one VJP per iteration, like the reference's
-        # forward + backward (optimize_boxes_default, dimp.py:727-752)
-        ious, vjp = jax.vjp(iou_of, bxs)
-        (g,) = vjp(jnp.ones_like(ious))
-        sz_rep = jnp.tile(bxs[:, 2:], (1, 2))
-        return (bxs + rt.box_refinement_step_length * g * sz_rep, ious)
-
     # NB the reference returns `outputs` from the LAST loop iteration — the
     # IoU of the boxes BEFORE their final gradient step (dimp.py:752) — and
     # ranks the post-step boxes by it. Reproduce that off-by-one exactly.
-    boxes, ious = jax.lax.fori_loop(
-        0, rt.box_refinement_iter, ascent,
-        (boxes, jnp.zeros((boxes.shape[0],), boxes.dtype)))
+    zeros_iou = jnp.zeros((boxes.shape[0],), boxes.dtype)
+    if rt.box_refinement_space == "relative":
+        # PrDiMP/KeepTrack parametrization [cx/sw, cy/sh, log w, log h]
+        # normalized by the FIRST box's size (optimize_boxes_relative +
+        # bbutils.rect_to_rel/rel_to_rect)
+        sz_norm = boxes[:1, 2:]
+
+        def to_rect(rel):
+            sz = jnp.exp(rel[:, 2:])
+            c = rel[:, :2] * sz_norm
+            return jnp.concatenate([c - 0.5 * sz, sz], axis=1)
+
+        def ascent_rel(_, carry):
+            rel, _prev = carry
+            ious, vjp = jax.vjp(lambda b: iou_of(to_rect(b)), rel)
+            (g,) = vjp(jnp.ones_like(ious))
+            return (rel + rt.box_refinement_step_length * g, ious)
+
+        c0 = boxes[:, :2] + 0.5 * boxes[:, 2:]
+        rel0 = jnp.concatenate([c0 / sz_norm, jnp.log(boxes[:, 2:])], axis=1)
+        rel, ious = jax.lax.fori_loop(0, rt.box_refinement_iter, ascent_rel,
+                                      (rel0, zeros_iou))
+        boxes = to_rect(rel)
+    else:
+        def ascent(_, carry):
+            bxs, _prev = carry
+            # one forward + one VJP per iteration, like the reference's
+            # forward + backward (optimize_boxes_default, dimp.py:727-752)
+            ious, vjp = jax.vjp(iou_of, bxs)
+            (g,) = vjp(jnp.ones_like(ious))
+            sz_rep = jnp.tile(bxs[:, 2:], (1, 2))
+            return (bxs + rt.box_refinement_step_length * g * sz_rep, ious)
+
+        boxes, ious = jax.lax.fori_loop(0, rt.box_refinement_iter, ascent,
+                                        (boxes, zeros_iou))
 
     boxes = boxes.at[:, 2:].set(jnp.maximum(boxes[:, 2:], 1.0))
     ar = boxes[:, 2] / boxes[:, 3]
@@ -402,7 +452,8 @@ def dimp_track_step(rt: DiMPRuntime, model: DiMPNet, params, state: dict,
                     frame: jnp.ndarray):
     """One tracked frame (dimp.py:94-176). Returns (state, box_xywh, score)."""
     crop_sz, tl, sample_pos, sample_scale = _sample_geometry(
-        rt, state["pos"], state["target_scale"])
+        rt, state["pos"], state["target_scale"],
+        im_hw=(frame.shape[0], frame.shape[1]))
     patch = crop_at(frame, state["pos"], crop_sz, rt.image_sample_size,
                     origin_yx=tl)
     return dimp_step_from_patch(rt, model, params, state, patch,

@@ -26,7 +26,6 @@ from mmtrack_tpu.trackers.dimp_tracker import (
     _normalize,
     _refine_box,
     _sample_geometry,
-    _update_memory,
     FLAG_HARD_NEG,
     FLAG_NORMAL,
     FLAG_NOT_FOUND,
@@ -42,12 +41,98 @@ from mmtrack_tpu.trackers.keep_track import (
 
 @dataclass(frozen=True)
 class KeepTrackRuntime(DiMPRuntime):
+    """KeepTrack at its reference configuration — super_dimp_hinge geometry
+    + the certainty-weighted memory (keep_track_vot2021/pytracking/
+    parameter/keep_track/release.py:12-88). The base network is
+    build_super_dimp50 (plain RGB DiMP-50, hinge-residual GN optimizer)."""
+    # super_dimp_hinge geometry (release.py:12-15)
+    image_sample_size: int = 480          # 30*16
+    search_area_scale: float = 8.0
+    border_mode: str = "inside_major"
+    patch_max_scale_change: float = 1.5
+    # PrDiMP-style relative box refinement (release.py:60-67)
+    box_refinement_space: str = "relative"
+    box_refinement_iter: int = 10
+    box_refinement_step_length: float = 2.5e-3
+    # tracker-generated Gaussian training labels (keep_track.py:1337-1351)
+    output_sigma_factor: float = 0.25
+    # certainty-weighted memory (release.py:76-88)
+    use_certainty_for_weight_computation: bool = True
+    certainty_ths: float = 0.5            # certainty_for_weight_computation_ths
+    id0_weight_increase: bool = True
+
     peaks: PeakMatchConfig = PeakMatchConfig()
     scale_memory: int = 30   # recent target-scale ring for occlusion rescale
     # learned SuperGlue-style matcher (models/peak_matching.py, the
     # reference's peak_matching.py) vs the mutual-NN fallback
     use_learned_matcher: bool = True
     descriptor_dim: int = 256
+
+
+def _label_spatial(rt: KeepTrackRuntime, sigma, center_yx):
+    """Separable Gaussian label on the (feat_sz + end_pad) score grid with
+    the origin at the map center (dcf.label_function_spatial /
+    gauss_spatial, keep_track_vot2021/pytracking/libs/dcf.py:48-59; the
+    end pad extends the grid asymmetrically for even kernels)."""
+    S = rt.feat_sz
+    end_pad = (rt.kernel_size + 1) % 2
+    k = jnp.arange(S + end_pad, dtype=jnp.float32) - (S - 1) / 2.0
+    gy = jnp.exp(-0.5 / sigma[0] ** 2 * (k - center_yx[0]) ** 2)
+    gx = jnp.exp(-0.5 / sigma[1] ** 2 * (k - center_yx[1]) ** 2)
+    return gy[:, None] * gx[None, :]
+
+
+def _frame_label(rt: KeepTrackRuntime, sigma, pos, sample_pos, sample_scale):
+    """Per-frame training label (get_label_function,
+    keep_track.py:1498-1507)."""
+    end_pad = (rt.kernel_size + 1) % 2
+    norm = (pos - sample_pos) / (sample_scale * rt.image_sample_size)
+    center = rt.feat_sz * norm + 0.5 * end_pad
+    return _label_spatial(rt, sigma, center)
+
+
+def _update_memory_keeptrack(rt: KeepTrackRuntime, state, clf_feat, box_crop,
+                             label, lr, certainty):
+    """update_memory + update_sample_weights_based_on_certainty
+    (keep_track.py:1371-1496): the replacement slot is the LOWEST
+    certainty*weight beyond the protected init slots (not the lowest
+    weight), the previous-slot weight carry is skipped when the same slot
+    is replaced twice in a row, and the label + certainty memories are
+    written alongside features and boxes."""
+    M = rt.sample_memory_size
+    sw = state["sample_weights"]
+    num = state["num_stored"]
+    prev = state["prev_replace_ind"]
+    num_init = rt.num_init_samples
+
+    cert_w = state["certainties"] * sw
+    cand = jnp.where(jnp.arange(M) >= num_init, cert_w, jnp.inf)
+    r_min = jnp.argmin(cand).astype(jnp.int32)
+    r_ind = jnp.where(num < M, num, r_min)
+
+    first = prev < 0
+    same = (~first) & (r_ind == prev)
+    sw_first = (sw / (1 - lr)).at[r_ind].set(lr)
+    sw_else = sw.at[r_ind].set(sw[jnp.maximum(prev, 0)] / (1 - lr))
+    sw1 = jnp.where(first, sw_first, jnp.where(same, sw, sw_else))
+    sw1 = sw1 / sw1.sum()
+    init_sum = sw1[:num_init].sum()
+    need = init_sum < rt.init_samples_minimum_weight
+    rest = sw1[num_init:].sum()
+    sw2 = (sw1 / (rt.init_samples_minimum_weight + rest)
+           ).at[:num_init].set(rt.init_samples_minimum_weight / num_init)
+    sw1 = jnp.where(need, sw2, sw1)
+
+    return {
+        **state,
+        "memory_feat": state["memory_feat"].at[r_ind].set(clf_feat),
+        "memory_boxes": state["memory_boxes"].at[r_ind].set(box_crop),
+        "memory_labels": state["memory_labels"].at[r_ind].set(label),
+        "certainties": state["certainties"].at[r_ind].set(certainty),
+        "sample_weights": sw1,
+        "num_stored": jnp.minimum(num + 1, M),
+        "prev_replace_ind": r_ind,
+    }
 
 
 def _peak_descriptors(rt: KeepTrackRuntime, bundle, matcher_params, feat,
@@ -83,13 +168,114 @@ def _make_match_fn(rt: KeepTrackRuntime, bundle, matcher_params):
 def keeptrack_init_state(rt: KeepTrackRuntime, model: DiMPNet, bundle,
                          params, matcher_params, frame: jnp.ndarray,
                          init_box: jnp.ndarray) -> dict:
-    from mmtrack_tpu.trackers.dimp_tracker import dimp_init_state
+    """First-frame initialization at the super_dimp_hinge recipe
+    (keep_track.py:375-474 + init_classifier:1557-1636): augmented sample
+    set -> tracker-generated Gaussian labels (init_target_labels) ->
+    filter init + hinge-residual GN optimization; memory seeded with all
+    samples at weight 1/N and certainty 1.0 for the ground-truth init
+    samples (init_target_label_certainties).
 
-    state = dimp_init_state(rt, model, params, frame, init_box)
+    NB the init crop uses replicate borders even under
+    border_mode='inside_major' — the reference's generate_init_samples
+    gate (keep_track.py:1248) only matches 'inside' exactly.
+    """
+    from mmtrack_tpu.ops.augment import dimp_init_augmentations, feature_dropout
+
+    x, y, w, h = init_box
+    pos = jnp.stack([y + (h - 1) / 2, x + (w - 1) / 2])
+    target_sz = jnp.stack([h, w])
+    search_area = jnp.prod(target_sz * rt.search_area_scale)
+    target_scale = jnp.sqrt(search_area) / rt.image_sample_size
+    base_target_sz = target_sz / target_scale
+
+    init_sample_pos = jnp.round(pos)
+    init_sample_scale = target_scale
+    rng = jax.random.PRNGKey(0)
+    box_crop = _get_iounet_box(rt, pos, target_sz, init_sample_pos,
+                               init_sample_scale)
+
+    S_im = rt.image_sample_size
+    if rt.use_augmentation:
+        rng, rng_shift, rng_drop = jax.random.split(rng, 3)
+        S_e = S_im * rt.augmentation_expansion_factor
+        szl_e, tl_e, _, _ = _sample_geometry(
+            rt, init_sample_pos, target_scale, out_size=S_e)  # replicate
+        expanded = _normalize(crop_at(frame, init_sample_pos, szl_e, S_e,
+                                      origin_yx=tl_e))
+        patches, shifts = dimp_init_augmentations(
+            expanded, S_im, rng_shift,
+            random_shift_factor=rt.random_shift_factor)
+
+        bfeat = model.apply(params, patches, method=DiMPNet.extract_backbone)
+        clf_feat = model.apply(params, bfeat,
+                               method=DiMPNet.extract_classification_feat)
+        if rt.aug_dropout_num > 0:
+            drop = feature_dropout(clf_feat[0], rng_drop, rt.aug_dropout_num,
+                                   rt.aug_dropout_prob)
+            clf_feat = jnp.concatenate([clf_feat, drop], axis=0)
+        shifts = jnp.concatenate(
+            [shifts, jnp.zeros((rt.aug_dropout_num, 2), jnp.float32)], axis=0)
+        boxes = box_crop[None] + jnp.concatenate(
+            [shifts[:, ::-1], jnp.zeros_like(shifts)], axis=1)
+        bfeat0 = {k: v[:1] for k, v in bfeat.items()}
+    else:
+        szl, tl0, _, _ = _sample_geometry(rt, init_sample_pos, target_scale)
+        patch = _normalize(crop_at(frame, init_sample_pos, szl, S_im,
+                                   origin_yx=tl0))
+        bfeat = model.apply(params, patch[None],
+                            method=DiMPNet.extract_backbone)
+        clf_feat = model.apply(params, bfeat,
+                               method=DiMPNet.extract_classification_feat)
+        shifts = jnp.zeros((1, 2), jnp.float32)
+        boxes = box_crop[None]
+        bfeat0 = bfeat
+
+    # Gaussian labels per augmented sample (init_target_labels,
+    # keep_track.py:1331-1351): sigma from the base target size, centers
+    # shifted per transform
+    sigma_v = jnp.sqrt(jnp.prod(
+        rt.feat_sz / rt.image_sample_size * base_target_sz)) \
+        * rt.output_sigma_factor
+    sigma = jnp.stack([sigma_v, sigma_v])
+    end_pad = (rt.kernel_size + 1) % 2
+    norm = (pos - init_sample_pos) / (init_sample_scale * rt.image_sample_size)
+    center0 = rt.feat_sz * norm + 0.5 * end_pad
+    centers = center0[None] + shifts / rt.image_sample_size * rt.feat_sz
+    labels = jax.vmap(lambda c: _label_spatial(rt, sigma, c))(centers)
+
+    N = clf_feat.shape[0]
+    w0 = model.apply(params, clf_feat, boxes, method=DiMPNet.get_filter)
+    filt = model.apply(params, w0, clf_feat, labels, None, rt.net_opt_iter,
+                       method=DiMPNet.optimize_filter_hinge)
+    mod3, mod4 = model.apply(
+        params, [bfeat0["layer2"], bfeat0["layer3"]], box_crop[None],
+        method=lambda m, f, b: m.bb_regressor.get_modulation(f, b))
+
+    M = rt.sample_memory_size
+    Sf = rt.feat_sz
+    C = clf_feat.shape[-1]
+    So = Sf + end_pad
+    state = {
+        "pos": pos, "target_sz": target_sz,
+        "target_scale": target_scale, "base_target_sz": base_target_sz,
+        "sigma": sigma,
+        "filter": filt,
+        "memory_feat": jnp.zeros((M, Sf, Sf, C), jnp.float32).at[:N].set(clf_feat),
+        "memory_boxes": jnp.zeros((M, 4), jnp.float32).at[:N].set(boxes),
+        "memory_labels": jnp.zeros((M, So, So), jnp.float32).at[:N].set(labels),
+        "certainties": jnp.zeros((M,), jnp.float32).at[:N].set(1.0),
+        "sample_weights": jnp.zeros((M,), jnp.float32).at[:N].set(1.0 / N),
+        "num_stored": jnp.asarray(N, jnp.int32),
+        "prev_replace_ind": jnp.asarray(-1, jnp.int32),
+        "frame_num": jnp.asarray(1, jnp.int32),
+        "iou_mod3": mod3[0], "iou_mod4": mod4[0],
+        "rng": rng,
+    }
 
     # initial peak collection from the first classification map
     crop_sz, tl, sample_pos, sample_scale = _sample_geometry(
-        rt, state["pos"], state["target_scale"])
+        rt, state["pos"], state["target_scale"],
+        im_hw=(frame.shape[0], frame.shape[1]))
     patch = _normalize(crop_at(frame, state["pos"], crop_sz,
                                rt.image_sample_size, origin_yx=tl))
     bfeat = model.apply(params, patch[None], method=DiMPNet.extract_backbone)
@@ -122,7 +308,7 @@ def keeptrack_track_step(rt: KeepTrackRuntime, model: DiMPNet, bundle,
                           state["target_scale"])
 
     crop_sz, tl, sample_pos, sample_scale = _sample_geometry(
-        rt, state["pos"], eff_scale)
+        rt, state["pos"], eff_scale, im_hw=(H, W))
     patch = _normalize(crop_at(frame, state["pos"], crop_sz,
                                rt.image_sample_size, origin_yx=tl))
     bfeat = model.apply(params, patch[None], method=DiMPNet.extract_backbone)
@@ -177,24 +363,54 @@ def keeptrack_track_step(rt: KeepTrackRuntime, model: DiMPNet, bundle,
     # memory + filter update, certainty-gated (keep_track: updates only when
     # the peak selection is certain)
     update_ok = found & peaks["selection_certain"]
-    lr = jnp.where(flag == FLAG_HARD_NEG, rt.hard_negative_learning_rate,
+    hard_neg = flag == FLAG_HARD_NEG
+    lr = jnp.where(hard_neg, rt.hard_negative_learning_rate,
                    rt.learning_rate)
     box_crop = _get_iounet_box(rt, state["pos"], state["target_sz"],
                                sample_pos, sample_scale)
-    updated = _update_memory(rt, state, clf_feat[0], box_crop, lr)
-    mem_keys = ("memory_feat", "memory_boxes", "sample_weights",
-                "num_stored", "prev_replace_ind")
+
+    # target label certainty (target_label_certainty_type='max_score_map',
+    # keep_track.py:809-810) with the id0 boost (update_memory:1375-1378:
+    # certainty := max(c, sqrt(c)) while identity 0 is still selected)
+    certainty = jnp.max(scores)
+    if rt.id0_weight_increase:
+        certainty = jnp.where(peaks["selected_object_id"] == 0,
+                              jnp.maximum(certainty, jnp.sqrt(certainty)),
+                              certainty)
+    # per-frame Gaussian training label at the refined position
+    # (track -> get_label_function, keep_track.py:566-576)
+    train_y = _frame_label(rt, state["sigma"], state["pos"], sample_pos,
+                           sample_scale)
+
+    updated = _update_memory_keeptrack(rt, state, clf_feat[0], box_crop,
+                                       train_y, lr, certainty)
+    mem_keys = ("memory_feat", "memory_boxes", "memory_labels", "certainties",
+                "sample_weights", "num_stored", "prev_replace_ind")
     state = {**state, **{k: jnp.where(update_ok, updated[k], state[k])
                          for k in mem_keys}}
 
+    # hard-negative re-optimization is skipped when the sample's certainty
+    # is below the weight-computation threshold (update_classifier,
+    # keep_track.py:1655-1663)
+    hn_iter = jnp.where(certainty < rt.certainty_ths, 0, rt.net_opt_hn_iter) \
+        if rt.use_certainty_for_weight_computation else rt.net_opt_hn_iter
     num_iter = jnp.where(
         ~update_ok, 0,
-        jnp.where(flag == FLAG_HARD_NEG, rt.net_opt_hn_iter,
+        jnp.where(hard_neg, hn_iter,
                   jnp.where((state["frame_num"] - 1) % rt.train_skipping == 0,
                             rt.net_opt_update_iter, 0)))
+    # optimizer sample weights: certainty-suppressed (certainties < ths
+    # zeroed, then multiplied into the age weights — keep_track.py:1684-1695)
+    if rt.use_certainty_for_weight_computation:
+        certs = state["certainties"]
+        w_opt = state["sample_weights"] * jnp.where(
+            certs < rt.certainty_ths, 0.0, certs)
+    else:
+        w_opt = state["sample_weights"]
     new_filter = model.apply(
-        params, state["filter"], state["memory_feat"], state["memory_boxes"],
-        state["sample_weights"], num_iter, method=DiMPNet.optimize_filter)
+        params, state["filter"], state["memory_feat"],
+        state["memory_labels"], w_opt, num_iter,
+        method=DiMPNet.optimize_filter_hinge)
     state = {**state, "filter": new_filter}
 
     box = jnp.concatenate([

@@ -15,6 +15,7 @@ from mmtrack_tpu.trackers.dimp_tracker import (
     DiMPTracker,
     _get_iounet_box,
     _localize_advanced,
+    _sample_geometry,
     _update_memory,
 )
 
@@ -128,3 +129,52 @@ def test_dimp_tracker_end_to_end():
     st = tracker.state
     assert int(st["frame_num"]) == 5
     assert float(st["sample_weights"].sum()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_sample_geometry_matches_reference_replicate_and_inside_major():
+    """_sample_geometry vs a numpy mirror of the reference's sample_patch
+    integer geometry (preprocessing.py:57-150, df=1): pos.long()
+    truncation, round/trunc side, (szl-1)//2 split, and the
+    inside/inside_major shrink + shift-inside + overhang-centering path
+    used by super_dimp/KeepTrack (keep_track/release.py:14-15)."""
+
+    def ref_geometry(pos, scale, S, mode, im_hw, max_change):
+        # float32 arithmetic throughout, as torch's f32 tensors compute it
+        sample = np.float32(np.float32(scale) * S)
+        if mode in ("inside", "inside_major"):
+            shr = np.array([sample, sample], np.float32) \
+                / np.array(im_hw, np.float32)
+            shr = shr.max() if mode == "inside" else shr.min()
+            shr = np.float32(min(max(shr, np.float32(1.0)),
+                                 np.float32(max_change)))
+            szl = max(int(np.float32(sample / shr)), 2)  # .long() truncation
+        else:
+            szl = max(round(float(sample)), 2)
+        posl = np.trunc(pos).astype(np.int64)
+        tl = posl - (szl - 1) // 2
+        br = posl + szl // 2 + 1
+        if mode in ("inside", "inside_major"):
+            im = np.asarray(im_hw, np.int64)
+            shift = np.clip(-tl, 0, None) - np.clip(br - im, 0, None)
+            tl, br = tl + shift, br + shift
+            outside = (np.clip(-tl, 0, None) + np.clip(br - im, 0, None)) // 2
+            shift = (-tl - outside) * (outside > 0)
+            tl, br = tl + shift, br + shift
+        return float(szl), tl.astype(np.float64), 0.5 * (tl + br - 1)
+
+    rng = np.random.RandomState(3)
+    for mode in ("replicate", "inside_major", "inside"):
+        rt = DiMPRuntime(image_sample_size=480, border_mode=mode,
+                         patch_max_scale_change=1.5)
+        for _ in range(40):
+            im_hw = (int(rng.randint(100, 500)), int(rng.randint(100, 700)))
+            pos = rng.uniform(-20, max(im_hw) + 20, (2,))
+            scale = float(rng.uniform(0.05, 1.5))
+            szl, tl, sp, ss = _sample_geometry(
+                rt, jnp.asarray(pos, jnp.float32), jnp.float32(scale),
+                im_hw=im_hw if mode != "replicate" else None)
+            e_szl, e_tl, e_sp = ref_geometry(pos, scale, 480, mode, im_hw,
+                                             1.5)
+            assert float(szl) == e_szl, (mode, pos, scale)
+            np.testing.assert_allclose(np.asarray(tl), e_tl, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(sp), e_sp, atol=1e-4)

@@ -16,9 +16,30 @@ RT = KeepTrackRuntime(image_sample_size=96, sample_memory_size=6,
                       use_augmentation=False)
 
 
+def test_runtime_defaults_match_release_parameters():
+    """Pin the runtime to keep_track/release.py:12-88 (super_dimp_hinge
+    geometry + certainty-weighted memory)."""
+    rt = KeepTrackRuntime()
+    assert rt.image_sample_size == 30 * 16
+    assert rt.search_area_scale == 8.0
+    assert rt.border_mode == "inside_major"
+    assert rt.patch_max_scale_change == 1.5
+    assert rt.box_refinement_space == "relative"
+    assert rt.box_refinement_iter == 10
+    assert rt.box_refinement_step_length == 2.5e-3
+    assert rt.output_sigma_factor == 0.25
+    assert rt.use_certainty_for_weight_computation
+    assert rt.certainty_ths == 0.5
+    assert rt.id0_weight_increase
+    # inherited DiMP constants release.py repeats (sample memory, lr,
+    # train_skipping, thresholds)
+    assert rt.sample_memory_size == 50 and rt.learning_rate == 0.01
+    assert rt.train_skipping == 20 and rt.target_not_found_threshold == 0.25
+
+
 @pytest.mark.slow
 def test_keeptrack_tracker_end_to_end():
-    net = DiMPNet(merge_type=None)
+    net = DiMPNet(merge_type=None, optimizer_type="hinge")
     im = jnp.zeros((1, 96, 96, 6))
     bb = jnp.asarray([[30.0, 30.0, 30.0, 30.0]])
     props = jnp.asarray([[[30.0, 30.0, 30.0, 30.0]] * 2])
