@@ -125,17 +125,26 @@ def test_feature_dropout():
 
 
 @pytest.mark.slow
-@pytest.mark.xfail(
-    reason="open question (round-2 close): with the reference-strength "
-           "filter regularizer (0.1) and the corrected cv2 rotation "
-           "direction, the augmented-init filter no longer beats the "
-           "single-sample filter on rotated synthetic views — needs a "
-           "root-cause pass (label placement under rotation+shift vs the "
-           "regularizer shrinking diverse-set responses)", strict=False)
-def test_augmented_init_improves_transformed_view():
-    """The filter optimized over the augmented set must classify a rotated/
-    shifted view of the target better than the single-sample filter (the
-    point of generate_init_samples; fixed seeds make this deterministic)."""
+def test_augmented_init_localizes_on_all_training_views():
+    """The filter optimized over the full augmented set must put its score
+    peak at the target on EVERY in-set view (identity + rotations) — the
+    correctness property of label placement under the transforms (a
+    mislabeled rotation or shift would displace the peak).
+
+    Round-3 root-cause of the former xfail ("augmented init must BEAT the
+    single-sample filter on rotated views"): that premise is false. Run
+    through the parity shims, the REFERENCE'S OWN generate_init_samples +
+    get_filter shows the same ordering on this synthetic setup — its
+    single-sample filter out-discriminates its augmented filter at every
+    angle (0.34 vs 0.25 center-margin, incl. the in-set 45/-45). With a
+    random-weight backbone on a synthetic block, fitting 13 diverse views
+    with one linear 4x4 filter trades per-view margin for cross-view
+    robustness; augmentation's benefit is tracking robustness, not
+    per-view margin. (The former test also evaluated -30deg, which is not
+    in ROTATE_ANGLES = (10, -10, 45, -45).) Our transforms themselves are
+    now pixel-checked against the reference's in
+    tools/parity/check_augmentation.py: window/flip exact, blur 2e-7,
+    rotation within cv2's fixed-point remap quantization."""
     from mmtrack_tpu.data.synthetic import make_synthetic_sequence
     from mmtrack_tpu.models.dimp import DiMPNet
     from mmtrack_tpu.trackers.dimp_tracker import (DiMPRuntime,
@@ -143,6 +152,7 @@ def test_augmented_init_improves_transformed_view():
                                                    _sample_geometry,
                                                    _normalize)
     from mmtrack_tpu.ops.crop import crop_at
+    from mmtrack_tpu.ops.augment import ROTATE_ANGLES, _rotated_window
     from functools import partial
 
     frames, gt = make_synthetic_sequence(n_frames=2, height=120, width=160,
@@ -154,44 +164,26 @@ def test_augmented_init_improves_transformed_view():
     params = jax.jit(lambda r: net.init(r, im, im, bb, props))(
         jax.random.PRNGKey(5))
 
-    def center_score(rt):
-        state = jax.jit(partial(dimp_init_state, rt, net))(
-            params, jnp.asarray(frames[0]), jnp.asarray(gt[0], jnp.float32))
-        # evaluate on rotation angles the augmentation set itself
-        # contains (ROTATE_ANGLES has -30 and 45): the filter optimized
-        # over exactly these views must beat the single-sample filter on
-        # them — a well-posed property, unlike off-set angles where
-        # generalization on synthetic blocks is a coin flip
-        crop_sz, _, _, _ = _sample_geometry(rt, state["pos"],
-                                            state["target_scale"])
-        from mmtrack_tpu.ops.augment import _rotated_window
-        expanded = _normalize(crop_at(jnp.asarray(frames[0]), state["pos"],
-                                      crop_sz * 2, rt.image_sample_size * 2))
-        total = 0.0
-        for ang in (45.0, -30.0):
-            view = _rotated_window(expanded, rt.image_sample_size, ang,
-                                   jnp.zeros(2, jnp.int32))
-            bf = net.apply(params, view[None], method=DiMPNet.extract_backbone)
-            cf = net.apply(params, bf, method=DiMPNet.extract_classification_feat)
-            scores = np.asarray(net.apply(params, state["filter"], cf,
-                                          method=DiMPNet.classify)[0])
-            S_ = scores.shape[0]
-            c = S_ // 2
-            center = scores[c - 2:c + 3, c - 2:c + 3].max()
-            off = scores.copy()
-            off[c - 2:c + 3, c - 2:c + 3] = -np.inf
-            # DISCRIMINATION, not absolute response: the reference-strength
-            # filter regularizer (0.1) shrinks magnitudes for the
-            # diversely-trained filter, so raw peak height is not the
-            # quantity augmentation improves
-            total += float(center - off.max())
-        return total / 2.0
-
-    aug = center_score(DiMPRuntime(image_sample_size=96, sample_memory_size=20,
-                                   train_skipping=3))
-    single = center_score(DiMPRuntime(image_sample_size=96, sample_memory_size=20,
-                                      train_skipping=3, use_augmentation=False))
-    assert aug > single, (aug, single)
+    rt = DiMPRuntime(image_sample_size=96, sample_memory_size=20,
+                     train_skipping=3)
+    state = jax.jit(partial(dimp_init_state, rt, net))(
+        params, jnp.asarray(frames[0]), jnp.asarray(gt[0], jnp.float32))
+    crop_sz, tl, _, _ = _sample_geometry(rt, state["pos"],
+                                         state["target_scale"])
+    expanded = _normalize(crop_at(jnp.asarray(frames[0]), state["pos"],
+                                  crop_sz * 2, rt.image_sample_size * 2))
+    for ang in (0.0,) + tuple(ROTATE_ANGLES):
+        view = _rotated_window(expanded, rt.image_sample_size, ang,
+                               jnp.zeros(2, jnp.int32))
+        bf = net.apply(params, view[None], method=DiMPNet.extract_backbone)
+        cf = net.apply(params, bf,
+                       method=DiMPNet.extract_classification_feat)
+        scores = np.asarray(net.apply(params, state["filter"], cf,
+                                      method=DiMPNet.classify)[0])
+        S_ = scores.shape[0]
+        c = S_ // 2
+        iy, ix = np.unravel_index(scores.argmax(), scores.shape)
+        assert abs(iy - c) <= 2 and abs(ix - c) <= 2, (ang, iy, ix)
 
 
 def test_rotate_matches_cv2_warpaffine():
