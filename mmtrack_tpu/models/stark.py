@@ -46,13 +46,42 @@ def sine_position_embedding(h: int, w: int, dim: int = 256,
     return jnp.concatenate([pos_y, pos_x], axis=-1).reshape(h * w, dim)
 
 
+def sine_position_embedding_masked(not_mask: jnp.ndarray, dim: int = 256,
+                                   temperature: float = 10000.0) -> jnp.ndarray:
+    """Mask-aware DETR sine embedding (PositionEmbeddingSine,
+    SPT/lib/models/stark/position_encoding.py:27-48, normalize=True):
+    coordinates are cumulative sums over the VALID region, so padded crops
+    keep the valid area spanning the full [0, 2pi) range.
+
+    not_mask (B, h, w) float/bool, True(1)=valid -> (B, h*w, dim)."""
+    half = dim // 2
+    nm = not_mask.astype(jnp.float32)
+    B, h, w = nm.shape
+    eps = 1e-6
+    scale = 2 * math.pi
+    ys = jnp.cumsum(nm, axis=1)
+    xs = jnp.cumsum(nm, axis=2)
+    ys = ys / (ys[:, -1:, :] + eps) * scale
+    xs = xs / (xs[:, :, -1:] + eps) * scale
+    dim_t = temperature ** (2 * (jnp.arange(half) // 2) / half)
+    pos_x = xs[..., None] / dim_t
+    pos_y = ys[..., None] / dim_t
+    pos_x = jnp.stack([jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])],
+                      axis=-1).reshape(B, h, w, half)
+    pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])],
+                      axis=-1).reshape(B, h, w, half)
+    return jnp.concatenate([pos_y, pos_x], axis=-1).reshape(B, h * w, dim)
+
+
 class _MHA(nn.Module):
     dim: int
     heads: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, k, v):
+    def __call__(self, q, k, v, key_padding_mask=None):
+        """key_padding_mask (B, L_k) bool, True = masked (the torch
+        nn.MultiheadAttention convention): masked keys get -inf logits."""
         hd = self.dim // self.heads
         B = q.shape[0]
         qh = nn.Dense(self.dim, dtype=self.dtype, name="q")(q).reshape(B, -1, self.heads, hd)
@@ -60,6 +89,9 @@ class _MHA(nn.Module):
         vh = nn.Dense(self.dim, dtype=self.dtype, name="v")(v).reshape(B, -1, self.heads, hd)
         logits = jnp.einsum("bqhd,bkhd->bhqk", qh * hd ** -0.5, kh,
                             preferred_element_type=jnp.float32)
+        if key_padding_mask is not None:
+            logits = jnp.where(key_padding_mask[:, None, None, :],
+                               -jnp.inf, logits)
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh,
                          preferred_element_type=jnp.float32).astype(self.dtype)
@@ -73,9 +105,10 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pos):
+    def __call__(self, x, pos, key_padding_mask=None):
         q = k = x + pos
-        y = _MHA(self.dim, self.heads, dtype=self.dtype, name="self_attn")(q, k, x)
+        y = _MHA(self.dim, self.heads, dtype=self.dtype, name="self_attn")(
+            q, k, x, key_padding_mask=key_padding_mask)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + y)
         y = nn.Dense(self.ffn, dtype=self.dtype, name="linear1")(x)
         y = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(nn.relu(y))
@@ -89,12 +122,14 @@ class DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tgt, memory, query_pos, mem_pos):
+    def __call__(self, tgt, memory, query_pos, mem_pos,
+                 memory_key_padding_mask=None):
         q = k = tgt + query_pos
         y = _MHA(self.dim, self.heads, dtype=self.dtype, name="self_attn")(q, k, tgt)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt + y)
         y = _MHA(self.dim, self.heads, dtype=self.dtype, name="cross_attn")(
-            tgt + query_pos, memory + mem_pos, memory)
+            tgt + query_pos, memory + mem_pos, memory,
+            key_padding_mask=memory_key_padding_mask)
         tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt + y)
         y = nn.Dense(self.ffn, dtype=self.dtype, name="linear1")(tgt)
         y = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(nn.relu(y))
@@ -175,39 +210,68 @@ class STARK(nn.Module):
                              nn.Dense(self.dim, name="cls_1"),
                              nn.Dense(1, name="cls_2")]
 
-    def embed(self, im: jnp.ndarray):
-        """(B, S, S, 3|6) -> (color tokens (B,hw,d), depth tokens or None,
-        pos (hw, d))."""
+    def embed(self, im: jnp.ndarray, att_mask: jnp.ndarray | None = None):
+        """(B, S, S, 3|6) [+ pixel att_mask (B, S, S), True = padded] ->
+        (color tokens (B,hw,d), depth tokens or None, pos (B,hw,d),
+        token mask (B,hw) or None).
+
+        With a mask, the positional embedding follows the valid-region
+        cumsum (PositionEmbeddingSine) and the mask is downsampled to the
+        token grid exactly as the reference backbone does
+        (F.interpolate nearest = top-left sample per stride cell,
+        SPT/lib/models/stark/backbone.py:88)."""
         f = self.backbone(im[..., :3], (self.feat_layer,))[self.feat_layer]
         tok = self.bottleneck(f)
         B, h, w, _ = tok.shape
         tokens_c = tok.reshape(B, h * w, self.dim)
-        pos = sine_position_embedding(h, w, self.dim)
+        if att_mask is None:
+            pos = jnp.broadcast_to(
+                sine_position_embedding(h, w, self.dim)[None],
+                (B, h * w, self.dim))
+            tok_mask = None
+        else:
+            sy = im.shape[1] // h
+            sx = im.shape[2] // w
+            feat_mask = att_mask[:, ::sy, ::sx].astype(bool)
+            pos = sine_position_embedding_masked(~feat_mask, self.dim)
+            tok_mask = feat_mask.reshape(B, h * w)
         tokens_d = None
         if self.six_channel:
             fx = self.backbone_x(im[..., 3:6], (self.feat_layer,))[self.feat_layer]
             tokens_d = self.bottleneck_x(fx).reshape(B, h * w, self.dim)
-        return tokens_c, tokens_d, pos
+        return tokens_c, tokens_d, pos, tok_mask
 
-    def transformer(self, z_c, z_d, z_pos, x_c, x_d, x_pos):
+    def transformer(self, z_c, z_d, z_pos, x_c, x_d, x_pos,
+                    z_mask=None, x_mask=None):
         """Returns (decoder output (B, 1, dim), memory (B, L, dim)) with
-        L = len_z + len_x (transformer.py:85-121)."""
-        pos = jnp.concatenate([z_pos, x_pos], axis=0)[None]
+        L = len_z + len_x (transformer.py:85-121). z_pos/x_pos are
+        (B, len, dim); z_mask/x_mask (B, len) bool True=padded feed the
+        encoder/fusion src_key_padding_mask and the decoder
+        memory_key_padding_mask (transformer.py:97-113)."""
+        pos = jnp.concatenate([z_pos, x_pos], axis=1)
+        mask = None
+        if z_mask is not None or x_mask is not None:
+            B, Lz = z_c.shape[0], z_c.shape[1]
+            zm = z_mask if z_mask is not None \
+                else jnp.zeros((B, Lz), bool)
+            xm = x_mask if x_mask is not None \
+                else jnp.zeros((B, x_c.shape[1]), bool)
+            mask = jnp.concatenate([zm, xm], axis=1)
         mem = jnp.concatenate([z_c, x_c], axis=1)
         for layer in self.encoder:
-            mem = layer(mem, pos)
+            mem = layer(mem, pos, key_padding_mask=mask)
         if self.six_channel:
             mem_d = jnp.concatenate([z_d, x_d], axis=1)
             for layer in self.encoder_d:
-                mem_d = layer(mem_d, pos)
+                mem_d = layer(mem_d, pos, key_padding_mask=mask)
             # channel concat -> 1x1 neck -> fusion encoder (lines 98-101)
             mem = self.neck(jnp.concatenate([mem, mem_d], axis=-1))
             for layer in self.fusion:
-                mem = layer(mem, pos)
+                mem = layer(mem, pos, key_padding_mask=mask)
         tgt = jnp.zeros((mem.shape[0], 1, self.dim), self.dtype)
         qpos = self.query_embed[None]
         for layer in self.decoder:
-            tgt = layer(tgt, mem, qpos, pos)
+            tgt = layer(tgt, mem, qpos, pos, memory_key_padding_mask=mask)
         return self.dec_norm(tgt), mem
 
     def forward_box_head(self, dec_out, memory):
@@ -231,10 +295,13 @@ class STARK(nn.Module):
         h = nn.relu(self.cls_head[1](h))
         return nn.sigmoid(self.cls_head[2](h))[:, 0]
 
-    def __call__(self, template: jnp.ndarray, search: jnp.ndarray) -> dict:
-        z_c, z_d, z_pos = self.embed(template)
-        x_c, x_d, x_pos = self.embed(search)
-        dec, mem = self.transformer(z_c, z_d, z_pos, x_c, x_d, x_pos)
+    def __call__(self, template: jnp.ndarray, search: jnp.ndarray,
+                 template_mask: jnp.ndarray | None = None,
+                 search_mask: jnp.ndarray | None = None) -> dict:
+        z_c, z_d, z_pos, z_m = self.embed(template, template_mask)
+        x_c, x_d, x_pos, x_m = self.embed(search, search_mask)
+        dec, mem = self.transformer(z_c, z_d, z_pos, x_c, x_d, x_pos,
+                                    z_mask=z_m, x_mask=x_m)
         boxes = self.forward_box_head(dec, mem)
         out = {"pred_boxes": boxes}
         if self.score_head:

@@ -188,6 +188,43 @@ def crop_at(image: jnp.ndarray, center_yx: jnp.ndarray, crop_sz,
             + fy * (1 - fx) * tap(y0 + 1, x0) + fy * fx * tap(y0 + 1, x0 + 1))
 
 
+def crop_att_mask(box_xywh: jnp.ndarray, search_area_factor: float,
+                  out_size: int, H: int, W: int) -> jnp.ndarray:
+    """Attention mask for crop_resize's geometry, traced: True where the
+    output pixel's bilinear footprint touches constant padding — the
+    in-jit analog of sample_target's att_mask (a {0,1} float image resized
+    by cv2 bilinear then cast to bool, so ANY positively-weighted padded
+    tap marks the pixel; SPT processing_utils.py:55-69). The valid region
+    is a rectangle, so the mask is the separable OR of per-axis masks.
+
+    Returns (out_size, out_size) bool.
+    """
+    x, y, w, h = box_xywh[0], box_xywh[1], box_xywh[2], box_xywh[3]
+    crop_sz = jnp.maximum(jnp.ceil(jnp.sqrt(w * h) * search_area_factor), 1.0)
+    x1 = jnp.round(x + 0.5 * w - crop_sz * 0.5)
+    y1 = jnp.round(y + 0.5 * h - crop_sz * 0.5)
+    x1_pad = jnp.maximum(-x1, 0.0)
+    x2_pad = jnp.maximum(x1 + crop_sz - W + 1, 0.0)
+    y1_pad = jnp.maximum(-y1, 0.0)
+    y2_pad = jnp.maximum(y1 + crop_sz - H + 1, 0.0)
+
+    s = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) \
+        * (crop_sz / out_size) - 0.5
+    lo = jnp.floor(s)
+    frac = s - lo
+    t0 = jnp.clip(lo, 0.0, crop_sz - 1.0)
+    t1 = jnp.clip(lo + 1.0, 0.0, crop_sz - 1.0)
+
+    def axis_mask(p1, p2):
+        def padded(t):
+            return (t < p1) | (t >= crop_sz - p2)
+        return (((1.0 - frac) > 0) & padded(t0)) | ((frac > 0) & padded(t1))
+
+    my = axis_mask(y1_pad, y2_pad)
+    mx = axis_mask(x1_pad, x2_pad)
+    return my[:, None] | mx[None, :]
+
+
 def sample_target_np(im: np.ndarray, target_bb, search_area_factor: float,
                      output_sz: int | None = None):
     """Host/cv2 twin of the reference sample_target (bit-parity path).
