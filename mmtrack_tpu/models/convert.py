@@ -464,6 +464,16 @@ def convert_dimp_checkpoint(state_dict: dict) -> dict:
     return flax.traverse_util.unflatten_dict(out)
 
 
+def convert_prdimp_checkpoint(state_dict: dict) -> dict:
+    """PrDiMP-50 (klcedimpnet50, keep_track_vot2021/ltr/models/tracking/
+    dimpnet.py:411-460) -> flax params for build_prdimp50. The name
+    surface equals dimpnet50 except the optimizer, whose only parameters
+    are log_step_length and filter_reg (PrDiMPSteepestDescentNewton) —
+    the same names convert_dimp_checkpoint already maps; this is the
+    by-name entry point for prdimp checkpoints."""
+    return convert_dimp_checkpoint(state_dict)
+
+
 def convert_super_dimp_checkpoint(state_dict: dict) -> dict:
     """super_dimp_hinge (the KeepTrack base network,
     keep_track/release.py:66) -> flax params for build_super_dimp50.

@@ -279,6 +279,102 @@ class SteepestDescentHinge(nn.Module):
         return jax.lax.fori_loop(0, num_iter, body, weights)
 
 
+class SteepestDescentNewtonKL(nn.Module):
+    """PrDiMP's KL-divergence Newton steepest descent
+    (PrDiMPSteepestDescentNewton, keep_track_vot2021/ltr/models/
+    target_classifier/optimizer.py:457-600; built by klcedimpnet50,
+    dimpnet.py:411-460 at the prdimp50 train settings: gauss_sigma
+    0.25/5*18 = 0.9, alpha_eps 0.05, optim_init_step 1.0,
+    optim_init_reg = optim_min_reg = 0.05, normalize_label=True).
+
+    The predictive distribution is a softmax over the score map; each
+    iteration takes a Newton-preconditioned steepest-descent step on the
+    KL divergence to a Gaussian label density. Same call signature as
+    SteepestDescentGN (labels derived from bb), so the DiMP tracker loop
+    drives it unchanged.
+    """
+    num_iter: int = 5
+    feat_stride: int = 16
+    init_step_length: float = 1.0
+    init_filter_reg: float = 0.05
+    min_filter_reg: float = 0.05
+    gauss_sigma: float = 0.9
+    alpha_eps: float = 0.05
+    uni_weight: float = 0.0
+    normalize_label: bool = True
+    label_shrink: float = 0.0
+    label_threshold: float = 0.0
+
+    @nn.compact
+    def __call__(self, weights: jnp.ndarray, feat: jnp.ndarray,
+                 bb_xywh: jnp.ndarray, sample_weight: jnp.ndarray | None = None,
+                 num_iter=None):
+        """weights (fh, fw, C); feat (N, H, W, C); bb (N, 4) crop coords;
+        sample_weight (N,) or None. num_iter may be traced."""
+        num_iter = self.num_iter if num_iter is None else num_iter
+        N, H, W, C = feat.shape
+        fh, fw = weights.shape[0], weights.shape[1]
+        out_h, out_w = H + (fh + 1) % 2, W + (fw + 1) % 2
+
+        log_step = self.param(
+            "log_step_length",
+            nn.initializers.constant(math.log(self.init_step_length)), (1,))
+        filter_reg = self.param(
+            "filter_reg", nn.initializers.constant(self.init_filter_reg), (1,))
+        step_length = jnp.exp(log_step)[0]
+        reg = jnp.clip(filter_reg * filter_reg,
+                       self.min_filter_reg ** 2, None)[0]
+
+        # Gaussian label DENSITY (get_label_density, optimizer.py:495-519)
+        offset = jnp.array([fh % 2, fw % 2], jnp.float32) / 2.0
+        center = ((bb_xywh[:, :2] + bb_xywh[:, 2:] / 2)
+                  / self.feat_stride)[:, ::-1] - offset       # (N, 2) (y, x)
+        k0 = jnp.arange(out_h, dtype=jnp.float32)
+        k1 = jnp.arange(out_w, dtype=jnp.float32)
+        d0 = (k0[None, :] - center[:, 0:1]) ** 2              # (N, out_h)
+        d1 = (k1[None, :] - center[:, 1:2]) ** 2
+        s2 = 2 * self.gauss_sigma ** 2
+        g0 = jnp.exp(-d0 / s2) / (math.pi * s2)
+        g1 = jnp.exp(-d1 / s2)
+        gauss = g0[:, :, None] * g1[:, None, :]               # (N, oh, ow)
+        gauss = gauss * (gauss > self.label_threshold)
+        if self.normalize_label:
+            gauss = gauss / (gauss.sum(axis=(-2, -1), keepdims=True) + 1e-8)
+        label_density = (1.0 - self.label_shrink) * (
+            (1.0 - self.uni_weight) * gauss
+            + self.uni_weight / (out_h * out_w))
+
+        if sample_weight is None:
+            sw = jnp.full((N, 1, 1), 1.0 / N, feat.dtype)
+        else:
+            sw = sample_weight.reshape(N, 1, 1)
+
+        filt_fn = lambda w: apply_filter(feat, w)
+
+        def body(_, w):
+            scores = filt_fn(w)                               # (N, oh, ow)
+            sm = jax.nn.softmax(scores.reshape(N, -1),
+                                axis=-1).reshape(scores.shape)
+            res = sw * (sm - label_density)
+            _, vjp = jax.vjp(filt_fn, w)
+            (w_grad,) = vjp(res)                              # feat^T res
+            w_grad = w_grad + reg * w
+            # Newton preconditioning with the softmax Hessian
+            scores_grad = filt_fn(w_grad)
+            sm_sg = sm * scores_grad
+            hes_sg = sm_sg - sm * sm_sg.sum(axis=(-2, -1), keepdims=True)
+            ghg = jnp.maximum(
+                (scores_grad * hes_sg).reshape(N, -1).sum(axis=1), 0.0)
+            ghg = (sw.reshape(N) * ghg).sum()
+            alpha_num = jnp.sum(w_grad * w_grad)
+            alpha_den = jnp.maximum(
+                ghg + (reg + self.alpha_eps) * alpha_num, 1e-8)
+            alpha = alpha_num / alpha_den
+            return w - (step_length * alpha) * w_grad
+
+        return jax.lax.fori_loop(0, num_iter, body, weights)
+
+
 # ---------------------------------------------------------------- IoU net
 
 class ConvBlock(nn.Module):
@@ -423,6 +519,10 @@ class DiMPNet(nn.Module):
         if self.optimizer_type == "hinge":
             self.filter_optimizer = SteepestDescentHinge(
                 num_iter=self.optim_iter, name="filter_optimizer")
+        elif self.optimizer_type == "prdimp":
+            self.filter_optimizer = SteepestDescentNewtonKL(
+                num_iter=self.optim_iter, feat_stride=self.feat_stride,
+                name="filter_optimizer")
         else:
             self.filter_optimizer = SteepestDescentGN(
                 num_iter=self.optim_iter, feat_stride=self.feat_stride,
@@ -519,6 +619,15 @@ class DiMPNet(nn.Module):
 def build_dimp50(dtype=jnp.float32) -> DiMPNet:
     """Plain RGB DiMP-50 (dimpnet.py:367-419)."""
     return DiMPNet(merge_type=None, dtype=dtype)
+
+
+def build_prdimp50(dtype=jnp.float32) -> DiMPNet:
+    """PrDiMP-50: plain RGB DiMP-50 with the KL-divergence Newton
+    steepest-descent optimizer (klcedimpnet50 at the prdimp50 train
+    settings, keep_track_vot2021/ltr/models/tracking/dimpnet.py:411-460;
+    tracker constants in pytracking/parameter/dimp/prdimp50.py of the
+    AR fork)."""
+    return DiMPNet(merge_type=None, optimizer_type="prdimp", dtype=dtype)
 
 
 def build_super_dimp50(dtype=jnp.float32) -> DiMPNet:

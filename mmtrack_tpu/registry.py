@@ -73,6 +73,22 @@ def _dimp(merge_type: str | None):
     return build
 
 
+def _prdimp():
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.dimp import build_prdimp50
+        from mmtrack_tpu.trackers.dimp_tracker import (DiMPTracker,
+                                                       prdimp50_runtime)
+        model = build_prdimp50()
+        if params is None:
+            im = jnp.zeros((1, 352, 352, 6))
+            bb = jnp.asarray([[120.0, 120.0, 100.0, 100.0]])
+            props = jnp.asarray([[[120.0, 120.0, 100.0, 100.0]] * 2])
+            params = jax.jit(lambda r: model.init(r, im, im, bb, props))(
+                jax.random.PRNGKey(seed))
+        return DiMPTracker(model, params, prdimp50_runtime())
+    return build
+
+
 def _atom(merge_type: str | None):
     """ATOM (pytracking/parameter/atom/default.py) and the DeT_ATOM_*
     RGBD variants: online factorized-conv classifier (GN-CG) + IoUNet."""
@@ -251,6 +267,7 @@ TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
     "mfdimp": TrackerRecipe(_dimp("mean"), "rgbt", "dimp",
                             composition="rgbrgb"),
     # ATOM family (pytracking parameter/atom + DeT_ATOM_{Max,Mean,MC})
+    "prdimp50": TrackerRecipe(_prdimp(), "rgb", "dimp"),
     "atom": TrackerRecipe(_atom(None), "rgb", "dimp"),
     "det_atom_max": TrackerRecipe(_atom("max"), "rgbd", "dimp"),
     "det_atom_mean": TrackerRecipe(_atom("mean"), "rgbd", "dimp"),

@@ -71,6 +71,9 @@ class DiMPRuntime:
     # or 'inside'/'inside_major' (shrink to image, shift crop inside)
     border_mode: str = "replicate"
     patch_max_scale_change: float = float("inf")
+    # 'none' | 'softmax': PrDiMP localizes on the softmax predictive
+    # distribution over the flattened score map (dimp.py:202-213)
+    score_preprocess: str = "none"
     # First-frame augmentation set (DeT_DiMP50_Max.py:30-39; the image
     # transforms live in ops/augment.py, dropout is feature-space).
     use_augmentation: bool = True
@@ -479,6 +482,10 @@ def dimp_step_from_patch(rt: DiMPRuntime, model: DiMPNet, params, state: dict,
     clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
     scores = model.apply(params, state["filter"], clf_feat,
                          method=DiMPNet.classify)[0]
+    if rt.score_preprocess == "softmax":
+        # PrDiMP: localize on the softmax predictive distribution
+        # (dimp.py:205-213, softmax_reg with reg=None)
+        scores = jax.nn.softmax(scores.reshape(-1)).reshape(scores.shape)
 
     translation, flag, max_score = _localize_advanced(
         rt, scores, state, sample_pos, sample_scale)
@@ -527,6 +534,20 @@ def dimp_step_from_patch(rt: DiMPRuntime, model: DiMPNet, params, state: dict,
         state["target_sz"][::-1],
     ])
     return state, box, max_score
+
+
+def prdimp50_runtime(**overrides) -> DiMPRuntime:
+    """PrDiMP-50 tracker constants (AR fork
+    pytracking/parameter/dimp/prdimp50.py:12-67): 352px samples at scale
+    6, inside_major borders, softmax score preprocessing with a 0.04
+    not-found threshold, relative-space box refinement (2.5e-3 x 10)."""
+    base = dict(image_sample_size=22 * 16, search_area_scale=6.0,
+                border_mode="inside_major", patch_max_scale_change=1.5,
+                score_preprocess="softmax", target_not_found_threshold=0.04,
+                box_refinement_space="relative", box_refinement_iter=10,
+                box_refinement_step_length=2.5e-3)
+    base.update(overrides)
+    return DiMPRuntime(**base)
 
 
 class DiMPTracker:

@@ -178,3 +178,41 @@ def test_sample_geometry_matches_reference_replicate_and_inside_major():
             assert float(szl) == e_szl, (mode, pos, scale)
             np.testing.assert_allclose(np.asarray(tl), e_tl, atol=1e-4)
             np.testing.assert_allclose(np.asarray(sp), e_sp, atol=1e-4)
+
+
+def test_prdimp_tracker_end_to_end():
+    """PrDiMP-50 recipe (KL Newton optimizer + softmax localization +
+    relative box refinement + inside_major borders) runs the full loop on
+    a small runtime; constants pinned to the AR fork's prdimp50.py."""
+    from mmtrack_tpu.models.dimp import build_prdimp50
+    from mmtrack_tpu.trackers.dimp_tracker import prdimp50_runtime
+
+    rt = prdimp50_runtime()
+    assert rt.image_sample_size == 22 * 16 and rt.search_area_scale == 6.0
+    assert rt.border_mode == "inside_major"
+    assert rt.patch_max_scale_change == 1.5
+    assert rt.score_preprocess == "softmax"
+    assert rt.target_not_found_threshold == 0.04
+    assert rt.box_refinement_space == "relative"
+    assert rt.box_refinement_iter == 10
+    assert rt.box_refinement_step_length == 2.5e-3
+
+    net = build_prdimp50()
+    im = jnp.zeros((1, 96, 96, 6))
+    bb = jnp.asarray([[30.0, 30.0, 30.0, 30.0]])
+    props = jnp.asarray([[[30.0, 30.0, 30.0, 30.0]] * 2])
+    params = jax.jit(lambda r: net.init(r, im, im, bb, props))(
+        jax.random.PRNGKey(0))
+
+    frames, gt = make_synthetic_sequence(n_frames=4, height=120, width=160)
+    small = prdimp50_runtime(image_sample_size=96, sample_memory_size=8,
+                             train_skipping=3, use_augmentation=False)
+    tracker = DiMPTracker(net, params, small)
+    tracker.initialize(frames[0], {"init_bbox": gt[0].tolist()})
+    for t in range(1, 4):
+        out = tracker.track(frames[t])
+        b = out["target_bbox"]
+        assert np.isfinite(b).all() and b[2] > 0 and b[3] > 0
+        # softmax-preprocessed confidence is a probability
+        assert 0.0 <= out["best_score"] <= 1.0
+    assert int(tracker.state["frame_num"]) == 4
