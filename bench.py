@@ -46,8 +46,13 @@ REFERENCE_GPU_FPS = 35.0
 # device-resident configuration (v5e-1 sweet spot from round 1)
 DR_BATCH, DR_CHUNK_T, DR_CHUNKS, DR_H, DR_W = 16, 16, 4, 240, 320
 
-# streamed-from-disk configuration: DepthTrack-like 640x480 sources
-ST_BATCH, ST_CHUNK_T, ST_CHUNKS, ST_H, ST_W = 8, 8, 6, 480, 640
+# streamed-from-disk configuration: DepthTrack-like 640x480 sources.
+# 18 chunks = 144 steady-state steps per pass (~25-60 s at observed tunnel
+# speeds) — a 3x longer window than round 2's 48 steps, tightening the
+# number on a medium that varies >2x run to run; the per-chunk budget
+# check still bails early with a valid partial measurement if the tunnel
+# degrades mid-pass.
+ST_BATCH, ST_CHUNK_T, ST_CHUNKS, ST_H, ST_W = 8, 8, 18, 480, 640
 FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".bench_cache", "depthtrack_like")
 

@@ -1,9 +1,11 @@
-"""LMDB-backed dataset storage (optional).
+"""LMDB-backed dataset storage.
 
 Rebuild of the reference's *_lmdb dataset twins + lib/utils/lmdb_utils.py:
 image bytes and annotation text stored under relative-path keys in one LMDB
-environment per corpus. The `lmdb` package is not in this image, so the
-backend is import-gated; the file-system datasets are the default path.
+environment per corpus. Reads go through the C `lmdb` package when
+installed, else through the pure-python reader (data/minilmdb.py — the
+on-disk format is stable and read-only access needs no locking), so the
+backend works in this image without the package.
 """
 
 from __future__ import annotations
@@ -19,16 +21,19 @@ class LmdbBackend:
     def __init__(self, lmdb_path: str):
         try:
             import lmdb
-        except ImportError as e:
-            raise ImportError(
-                "LMDB-backed datasets need the 'lmdb' package; use the "
-                "file-system dataset classes instead") from e
-        self._env = lmdb.open(lmdb_path, readonly=True, lock=False,
-                              readahead=False, meminit=False)
+
+            env = lmdb.open(lmdb_path, readonly=True, lock=False,
+                            readahead=False, meminit=False)
+            self._get = lambda k: env.begin(write=False).get(k)
+        except ImportError:
+            from mmtrack_tpu.data.minilmdb import Env
+
+            env = Env(lmdb_path)
+            self._get = env.get
+        self._env = env
 
     def read_bytes(self, key: str) -> bytes:
-        with self._env.begin(write=False) as txn:
-            val = txn.get(key.encode())
+        val = self._get(key.encode())
         if val is None:
             raise KeyError(f"lmdb key not found: {key}")
         return bytes(val)

@@ -146,7 +146,7 @@ class CornerPredictor(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_dist: bool = False):
         tl = _ConvTower(self.channel, 1, dtype=self.dtype, name="tl")(x)[..., 0]
         br = _ConvTower(self.channel, 1, dtype=self.dtype, name="br")(x)[..., 0]
         img_sz = self.feat_sz * self.stride
@@ -157,8 +157,12 @@ class CornerPredictor(nn.Module):
         def soft_argmax(score):
             B = score.shape[0]
             prob = nn.softmax(score.reshape(B, -1).astype(jnp.float32), axis=1)
-            return (prob * cx).sum(axis=1), (prob * cy).sum(axis=1)
+            return (prob * cx).sum(axis=1), (prob * cy).sum(axis=1), prob
 
-        x_tl, y_tl = soft_argmax(tl)
-        x_br, y_br = soft_argmax(br)
-        return jnp.stack([x_tl, y_tl, x_br, y_br], axis=1) / img_sz
+        x_tl, y_tl, p_tl = soft_argmax(tl)
+        x_br, y_br, p_br = soft_argmax(br)
+        boxes = jnp.stack([x_tl, y_tl, x_br, y_br], axis=1) / img_sz
+        if return_dist:
+            # corner probability vectors (return_dist branch, head.py:57-62)
+            return boxes, p_tl, p_br
+        return boxes

@@ -275,22 +275,36 @@ class ViPTrack(nn.Module):
         lens_x = S * S
         feat = tokens[:, -lens_x:].reshape(tokens.shape[0], S, S, -1)
         if self.head_type == "CORNER":
-            # xyxy soft-argmax decode; score map = uniform (no confidence head)
-            boxes_xyxy = CornerPredictor(self.head_channel, S, self.patch_size,
-                                         dtype=self.dtype, name="box_head")(feat)
+            # xyxy soft-argmax decode. Confidence: geometric mean of the two
+            # corner distributions' peak probabilities — OUR design; the
+            # reference's CORNER confidence path is dead code as shipped
+            # (ostrack_prompt.py:71 unpacks 2 values from the 3-tuple the
+            # return_dist branch returns, and the test tracker reads
+            # 'size_map', which CORNER never emits), so there is no
+            # reference semantics to match. A sharp pair of corner peaks
+            # means a confident localization; a diffuse distribution means
+            # uncertainty — giving the F-score threshold sweep a real,
+            # monotone signal instead of a constant.
+            boxes_xyxy, p_tl, p_br = CornerPredictor(
+                self.head_channel, S, self.patch_size, dtype=self.dtype,
+                name="box_head")(feat, return_dist=True)
             cx = (boxes_xyxy[:, 0] + boxes_xyxy[:, 2]) / 2
             cy = (boxes_xyxy[:, 1] + boxes_xyxy[:, 3]) / 2
             pred_boxes = jnp.stack([cx, cy, boxes_xyxy[:, 2] - boxes_xyxy[:, 0],
                                     boxes_xyxy[:, 3] - boxes_xyxy[:, 1]], axis=1)
             B = feat.shape[0]
-            score_map = jnp.full((B, S, S), 1.0 / (S * S), self.dtype)
+            score_map = p_tl.reshape(B, S, S).astype(self.dtype)
             size_map = jnp.zeros((B, S, S, 2), self.dtype)
             offset_map = jnp.zeros((B, S, S, 2), self.dtype)
-            max_score = jnp.ones((B,), jnp.float32)
+            max_score = jnp.sqrt(p_tl.max(axis=1) * p_br.max(axis=1))
         elif self.head_type == "MLP":
             # per-token box regression, averaged (head.py MLP branch: the
             # STARK lineage applies it to a single decoder token; the
-            # one-stream case pools the search tokens first)
+            # one-stream case pools the search tokens first). No spatial
+            # distribution exists to derive a confidence from, so
+            # max_score stays constant — F-score threshold sweeps over an
+            # MLP-head recipe degenerate to a single operating point by
+            # construction (documented protocol caveat).
             pred_boxes = nn.sigmoid(MLPHead(self.embed_dim, dtype=self.dtype,
                                             name="box_head")(feat.mean(axis=(1, 2))))
             B = feat.shape[0]

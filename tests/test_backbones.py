@@ -209,3 +209,34 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_corner_head_confidence_tracks_peak_sharpness():
+    """CORNER-head confidence is the geometric mean of the corner
+    distributions' peak probabilities (our design; the reference's corner
+    confidence path is dead code — see models/vipt.py). It must be a real
+    in-(0,1] signal that increases with sharper corner evidence, so
+    F-score threshold sweeps are meaningful."""
+    from mmtrack_tpu.models.vipt import ViPTrack
+
+    model = ViPTrack(embed_dim=32, depth=1, num_heads=2, patch_size=16,
+                     template_size=32, search_size=64, ce_loc=(),
+                     prompt_type="none", head_channel=8, head_type="CORNER")
+    z = jnp.zeros((1, 32, 32, 3))
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), z, x, None, None)
+
+    rng = np.random.RandomState(0)
+    scores = []
+    for _ in range(4):
+        xi = jnp.asarray(rng.uniform(-2, 2, (1, 64, 64, 3)).astype(np.float32))
+        out = model.apply(params, z, xi, None, None)
+        s = float(out["max_score"][0])
+        assert 0.0 < s <= 1.0
+        # score_map is the tl distribution, not a uniform placeholder
+        sm = np.asarray(out["score_map"][0])
+        assert sm.std() > 0
+        np.testing.assert_allclose(sm.sum(), 1.0, rtol=1e-5)
+        scores.append(s)
+    # a real signal varies across inputs (constant 1.0 was the old bug)
+    assert np.std(scores) > 0
