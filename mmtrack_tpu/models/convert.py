@@ -487,6 +487,27 @@ def convert_super_dimp_checkpoint(state_dict: dict) -> dict:
     return convert_dimp_checkpoint(state_dict)
 
 
+def convert_eco_backbone_checkpoint(state_dict: dict) -> dict:
+    """resnet18_vggmconv1.pth (ECO's feature net: keep_track_vot2021/ltr/
+    models/backbone/resnet_vggm.py, loaded raw by resnet18_vggmconv1 and
+    wrapped by pytracking/features/deep.py ResNetVGGm1) -> flax params for
+    models/backbones.ResNetVGGm1. The VGG-M conv1 branch carries a bias;
+    its LRN has no parameters; the trunk is torchvision-style ResNet-18."""
+    out: dict[tuple, np.ndarray] = {}
+
+    def put(path, value):
+        out[tuple(path.split("/"))] = value
+
+    for name, t in state_dict.items():
+        if name == "vggmconv1.weight":
+            put("params/vggmconv1/kernel", _conv_kernel(t))
+        elif name == "vggmconv1.bias":
+            put("params/vggmconv1/bias", _np(t))
+        else:
+            _convert_resnet("net", "params", f"net.{name}", t, put)
+    return flax.traverse_util.unflatten_dict(out)
+
+
 def _put_mha(put, base_t: str, base_f: str, name: str, t) -> bool:
     """torch nn.MultiheadAttention -> q/k/v/proj Dense leaves."""
     m = re.match(rf"{re.escape(base_t)}\.in_proj_(weight|bias)$", name)

@@ -1,0 +1,194 @@
+"""Fourier-series machinery for DCF trackers (ECO / C-COT lineage).
+
+Rebuild of RGBD/models/keep_track_vot2021/pytracking/libs/{fourier.py,
+dcf.py,complex.py} with one deliberate structural change: the reference
+emulates complex arithmetic with trailing real/imag pairs over the rfft
+HALF-spectrum, which forces a web of 2x-column inner-product rules
+(fourier.py:140-146), conjugate left-padding for convolutions
+(eco/optim.py:52-69), and a dedicated 211-line complex.py. Here every
+spectrum is the FULL centered Fourier series as a native complex array:
+
+  - sizes are the reference's odd `filter_sz` (cfft2 "always produces odd
+    output sizes", fourier.py:20-24): for an even N input the N-periodic
+    DFT is sampled at k = -N/2..N/2, duplicating the (real-valued) Nyquist
+    bin exactly like rfftshift2's row duplication;
+  - conjugate symmetry then makes every reference inner product a PLAIN
+    sum over the grid: inner_prod_fs's "2x all kx>0 columns" rule IS the
+    mirrored negative-kx half, so objectives and CG geometry match the
+    reference bit-for-bit in exact arithmetic while the bookkeeping
+    disappears. XLA maps the resulting dense complex einsums straight onto
+    batched MXU matmuls.
+
+All functions are jit-safe with static sizes; `reg_filter` (host, numpy)
+ports dcf.py:106-153's DFT-sparsified spatial regularizer construction.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def centered_freqs(F: int) -> jnp.ndarray:
+    """Integer frequencies k = -(F-1)/2 .. (F-1)/2 (F odd)."""
+    return jnp.arange(F, dtype=jnp.float32) - (F - 1) // 2
+
+
+def cfft2(x: jnp.ndarray) -> jnp.ndarray:
+    """Centered full Fourier series of a real signal over the last two axes.
+
+    (..., N, N) real -> (..., F, F) complex64 with F = N + (N+1)%2 (odd;
+    fourier.py cfft2 + rfftshift2 semantics: even-N Nyquist duplicated)."""
+    N = x.shape[-1]
+    F = N + (N + 1) % 2
+    X = jnp.fft.fft2(x.astype(jnp.float32))
+    k = (np.arange(F) - (F - 1) // 2) % N
+    return X[..., k, :][..., :, k].astype(jnp.complex64)
+
+
+def sample_scores(S: jnp.ndarray, grid: int) -> jnp.ndarray:
+    """Evaluate the Fourier series on a grid x grid spatial grid
+    (fourier.py sample_fs with rescale=True: sum-of-series convention).
+
+    (..., F, F) complex -> (..., grid, grid) real; spatial index 0 is zero
+    displacement (the label center), displacements wrap around mod grid."""
+    F = S.shape[-1]
+    if F > grid:
+        raise ValueError(f"series size {F} larger than grid {grid}")
+    k = ((np.arange(F) - (F - 1) // 2) % grid)
+    Z = jnp.zeros(S.shape[:-2] + (grid, grid), jnp.complex64)
+    Z = Z.at[..., k[:, None], k[None, :]].set(S)
+    return jnp.fft.ifft2(Z).real * (grid * grid)
+
+
+def shift_spectrum(S: jnp.ndarray, shift_yx) -> jnp.ndarray:
+    """Translate the underlying signal so content at +delta moves to 0
+    (fourier.py shift_fs): multiply by exp(i * shift * k), with
+    shift = 2*pi*delta_px / support."""
+    F = S.shape[-1]
+    k = centered_freqs(F)
+    py = jnp.exp(1j * shift_yx[..., 0:1] * k).astype(jnp.complex64)
+    px = jnp.exp(1j * shift_yx[..., 1:2] * k).astype(jnp.complex64)
+    return S * py[..., :, None] * px[..., None, :]
+
+
+def embed_spectrum(S: jnp.ndarray, F_out: int) -> jnp.ndarray:
+    """Zero-pad a centered series to a larger odd size (fourier.py sum_fs's
+    aligned addition of multi-resolution score spectra)."""
+    F = S.shape[-1]
+    pad = (F_out - F) // 2
+    if pad < 0:
+        raise ValueError(f"cannot embed {F} into {F_out}")
+    widths = [(0, 0)] * (S.ndim - 2) + [(pad, pad), (pad, pad)]
+    return jnp.pad(S, widths)
+
+
+def bicubic_interp_spectrum(F: int, a: float = -0.75,
+                            centering: bool = True) -> jnp.ndarray:
+    """Fourier coefficients of the bicubic interpolation kernel
+    (dcf.py cubic_spline_fourier + get_interp_fourier): (F, F) complex,
+    separable product of per-dimension kernels with the half-pixel
+    centering phase."""
+    k = np.arange(F, dtype=np.float64) - (F - 1) // 2
+    f = k / F
+    with np.errstate(divide="ignore", invalid="ignore"):
+        bf = (6 * (1 - np.cos(2 * np.pi * f)) + 3 * a * (1 - np.cos(4 * np.pi * f))
+              - (6 + 8 * a) * np.pi * f * np.sin(2 * np.pi * f)
+              - 2 * a * np.pi * f * np.sin(4 * np.pi * f)) / (4 * np.pi**4 * f**4)
+    bf[f == 0] = 1.0
+    d = bf / F
+    if centering:
+        d = d * np.exp(-1j * np.pi * k / F)
+    # numpy, NOT a device array: the axon TPU runtime cannot transfer
+    # complex64 host<->device (on-device complex compute is fine) — keep
+    # complex constants host-side and split into real/imag pairs before
+    # they cross a jit boundary (see eco_geometry)
+    return np.outer(d, d).astype(np.complex64)
+
+
+def gauss_label_spectrum(F: int, sigma_y: float, sigma_x: float) -> jnp.ndarray:
+    """Fourier series of a centered Gaussian label (dcf.py gauss_fourier /
+    label_function), real (F, F)."""
+    def g(sigma):
+        k = np.arange(F, dtype=np.float64) - (F - 1) // 2
+        return (math.sqrt(2 * math.pi) * sigma / F) * \
+            np.exp(-2 * (math.pi * sigma * k / F) ** 2)
+    return jnp.asarray(np.outer(g(float(sigma_y)), g(float(sigma_x))),
+                       jnp.float32)
+
+
+def conj_symmetrize(S: jnp.ndarray) -> jnp.ndarray:
+    """Project onto the conjugate-symmetric subspace (real underlying
+    signal): S <- (S + conj(S[::-1, ::-1])) / 2 over the last two axes
+    (the full-spectrum form of eco.py symmetrize_filter)."""
+    return (S + jnp.conj(S[..., ::-1, ::-1])) / 2
+
+
+def reg_filter(support_hw, base_target_hw, reg_window_min: float,
+               reg_window_edge: float, reg_window_power: float,
+               reg_sparsity_threshold: float,
+               pad_to: int | None = None) -> np.ndarray:
+    """Spatial regularization filter in the Fourier domain
+    (dcf.py get_reg_filter): polynomial window over the support, DFT,
+    sparsify, correct the spatial minimum back to reg_window_min, crop to
+    the nonzero box and mirror to a full small real kernel.
+
+    Host-side numpy (runs once per sequence at init). `pad_to` zero-pads
+    both dims to a fixed odd size so jit shapes stay static across
+    sequences; zeros do not change the (linear) convolution results."""
+    sz = np.asarray(support_hw, np.float64)
+    reg_scale = 0.5 * np.asarray(base_target_hw, np.float64)
+    wrg = np.arange(-int((sz[0] - 1) / 2), int(sz[0] / 2 + 1))[:, None]
+    wcg = np.arange(-int((sz[1] - 1) / 2), int(sz[1] / 2 + 1))[None, :]
+    win = (reg_window_edge - reg_window_min) * \
+        (np.abs(wrg / reg_scale[0]) ** reg_window_power +
+         np.abs(wcg / reg_scale[1]) ** reg_window_power) + reg_window_min
+
+    dft = np.fft.rfft2(win) / sz.prod()
+    mag = np.abs(dft)
+    dft[mag < reg_sparsity_threshold * mag.max()] = 0
+    sparse = np.fft.irfft2(dft, s=win.shape)
+    dft[0, 0] += reg_window_min - sz.prod() * sparse.min()
+
+    # center rows (rfftshift2) and keep the real part
+    H = dft.shape[0]
+    h2 = H + 2
+    cent = np.concatenate([dft[(h2 - 1) // 2:], dft[:h2 // 2]], axis=0).real
+
+    nz = np.argwhere(cent != 0)
+    mid = (cent.shape[0] - 1) // 2
+    top = nz[:, 0].max() + 1
+    bottom = 2 * mid - nz[:, 0].max()
+    right = nz[:, 1].max() + 1
+    cent = cent[bottom:top, :right]
+    if cent.shape[1] > 1:
+        cent = np.concatenate([cent[::-1, ::-1][:, :-1], cent], axis=1)
+    out = cent.astype(np.float32)
+
+    if pad_to is not None:
+        if out.shape[0] > pad_to or out.shape[1] > pad_to:
+            raise ValueError(f"reg filter {out.shape} exceeds pad_to={pad_to}")
+        py = (pad_to - out.shape[0]) // 2
+        px = (pad_to - out.shape[1]) // 2
+        out = np.pad(out, [(py, pad_to - out.shape[0] - py),
+                           (px, pad_to - out.shape[1] - px)])
+    return out
+
+
+def max2d_wrapped(scores: jnp.ndarray):
+    """argmax over the last two axes + wraparound displacement
+    (dcf.py max2d + eco.py's `(disp + sz/2) % sz - sz/2` convention).
+
+    (..., G, G) -> (max_val (...,), disp_yx (..., 2) float32 in grid cells
+    relative to zero displacement)."""
+    G = scores.shape[-1]
+    flat = scores.reshape(scores.shape[:-2] + (G * G,))
+    idx = jnp.argmax(flat, axis=-1)
+    max_val = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
+    dy = (idx // G).astype(jnp.float32)
+    dx = (idx % G).astype(jnp.float32)
+    disp = jnp.stack([(dy + G / 2) % G - G / 2,
+                      (dx + G / 2) % G - G / 2], axis=-1)
+    return max_val, disp

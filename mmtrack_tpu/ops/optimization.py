@@ -24,12 +24,17 @@ def _tree_axpy(alpha, x, y):
     return jax.tree.map(lambda a, b: alpha * a + b, x, y)
 
 
-def conjugate_gradient(A, b, x0, num_iter: int, eps: float = 1e-10):
+def conjugate_gradient(A, b, x0, num_iter: int, eps: float = 1e-10,
+                       precond=None):
     """Solve A x = b for a symmetric PSD linear operator A on pytrees.
 
-    Standard CG (optimization.py ConjugateGradientBase.run_CG); num_iter may
-    be a traced int.
+    Standard (optionally preconditioned) CG (optimization.py
+    ConjugateGradientBase.run_CG, standard_alpha path); num_iter may be a
+    traced int. `precond` is M^-1 as a pytree function (the reference's M1,
+    e.g. division by the diagonal energy estimate in ECO's FilterOptim).
     """
+    M1 = precond or (lambda t: t)
+
     def body(_, carry):
         x, r, p, rho = carry
         Ap = A(p)
@@ -37,37 +42,48 @@ def conjugate_gradient(A, b, x0, num_iter: int, eps: float = 1e-10):
         alpha = jnp.where(jnp.abs(denom) > eps, rho / denom, 0.0)
         x = _tree_axpy(alpha, p, x)
         r = _tree_axpy(-alpha, Ap, r)
-        rho_new = _tree_vdot(r, r)
+        z = M1(r)
+        rho_new = _tree_vdot(r, z)
         beta = jnp.where(jnp.abs(rho) > eps, rho_new / rho, 0.0)
-        p = _tree_axpy(beta, p, r)
+        p = _tree_axpy(beta, p, z)
         return x, r, p, rho_new
 
     r0 = jax.tree.map(lambda bb, ax: bb - ax, b, A(x0))
-    carry = (x0, r0, r0, _tree_vdot(r0, r0))
+    z0 = M1(r0)
+    carry = (x0, r0, z0, _tree_vdot(r0, z0))
     x, _, _, _ = jax.lax.fori_loop(0, num_iter, body, carry)
     return x
 
 
-def gauss_newton_cg(residual_fn, x, num_gn_iter: int, num_cg_iter: int):
+def gauss_newton_cg(residual_fn, x, num_gn_iter: int, num_cg_iter: int,
+                    precond=None):
     """Minimize ||residual_fn(x)||^2 by Gauss-Newton steps, each solved with
     `num_cg_iter` CG iterations on the normal equations
     (GaussNewtonCG, optimization.py:49-230).
 
     residual_fn: pytree -> pytree of residuals. Returns the optimized x.
     num_gn_iter must be static (python int); num_cg_iter may be traced.
+    `precond` preconditions the CG inner solves (same tree as x).
+
+    The GN iterations run as a lax.fori_loop (one traced copy of the
+    linearized graph instead of num_gn_iter unrolled ones — the unrolled
+    form blew past the TPU backend's program size on ECO's joint
+    problem). This makes the result non-reverse-differentiable; use
+    steepest_descent_gn for meta-learned optimizers.
     """
-    for _ in range(num_gn_iter):
+    def gn_step(_, x):
         r, jvp_fn = jax.linearize(residual_fn, x)
         _, vjp_fn = jax.vjp(residual_fn, x)
 
-        def A(u, jvp_fn=jvp_fn, vjp_fn=vjp_fn):
+        def A(u):
             return vjp_fn(jvp_fn(u))[0]
 
         b = jax.tree.map(lambda g: -g, vjp_fn(r)[0])
         zero = jax.tree.map(jnp.zeros_like, x)
-        dx = conjugate_gradient(A, b, zero, num_cg_iter)
-        x = jax.tree.map(jnp.add, x, dx)
-    return x
+        dx = conjugate_gradient(A, b, zero, num_cg_iter, precond=precond)
+        return jax.tree.map(jnp.add, x, dx)
+
+    return jax.lax.fori_loop(0, num_gn_iter, gn_step, x)
 
 
 def steepest_descent_gn(residual_fn, x, num_iter: int,

@@ -122,6 +122,23 @@ def _keeptrack():
     return build
 
 
+def _eco():
+    """ECO (keep_track_vot2021/pytracking/tracker/eco + parameter/eco/
+    default.py): Fourier-domain factorized correlation filters over
+    resnet18_vggmconv1 features, optimized online by preconditioned
+    GN-CG. Load converted resnet18_vggmconv1.pth weights via
+    models/convert.convert_eco_backbone_checkpoint."""
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.backbones import resnet18_vggmconv1
+        from mmtrack_tpu.trackers.eco_tracker import ECORuntime, ECOTracker
+        model = resnet18_vggmconv1()
+        if params is None:
+            x = jnp.zeros((1, 208, 208, 3))
+            params = jax.jit(lambda r: model.init(r, x))(jax.random.PRNGKey(seed))
+        return ECOTracker(model, params, ECORuntime())
+    return build
+
+
 def _siamfc():
     def build(seed=0, params=None):
         from mmtrack_tpu.models.siamfc import SiamFC
@@ -273,6 +290,9 @@ TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
     "det_atom_mean": TrackerRecipe(_atom("mean"), "rgbd", "dimp"),
     "det_atom_mc": TrackerRecipe(_atom("conv"), "rgbd", "dimp"),
     "keep_track": TrackerRecipe(_keeptrack(), "rgb", "dimp"),
+    # ECO (the keep_track fork's DCF family; also shipped by every
+    # AR-external fork, e.g. SPT/external/AR/pytracking/tracker/eco)
+    "eco": TrackerRecipe(_eco(), "rgb", "eco", composition="color"),
     # classic zoo
     "siamfc": TrackerRecipe(_siamfc(), "rgbe", "siamfc"),
     "mdnet": TrackerRecipe(_mdnet("single"), "rgb", "mdnet"),
