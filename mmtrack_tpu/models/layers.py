@@ -8,6 +8,7 @@ XLA), static-shape CE blocks, stochastic depth via explicit RNG.
 
 from __future__ import annotations
 
+import os as _os
 from functools import lru_cache
 from typing import Optional
 
@@ -53,6 +54,9 @@ class PatchEmbed(nn.Module):
     """Image to patch tokens: Conv(k=stride=patch) then flatten.
 
     Equivalent of ViPT/lib/models/layers/patch_embed.py; NHWC input.
+    (A space-to-depth + matmul reformulation was measured on TPU and lost
+    to the conv emitter — the input transpose costs more than the conv
+    saves; see docs/PERF.md.)
     """
     embed_dim: int = 768
     patch_size: int = 16
@@ -65,6 +69,9 @@ class PatchEmbed(nn.Module):
                     padding="VALID", dtype=self.dtype, name="proj")(x)
         B, H, W, C = x.shape
         return x.reshape(B, H * W, C)
+
+
+_ATTN_IMPL = _os.environ.get("MMTRACK_ATTN", "fused")
 
 
 class Mlp(nn.Module):
@@ -110,10 +117,26 @@ class Attention(nn.Module):
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(B, L, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, H, D)
 
         scale = head_dim ** -0.5
+        # Fused VMEM-resident attention on TPU (ops/flash_attn.py) unless the
+        # caller needs the probability matrix (CE ranking) or the rpe bias.
+        # The kernel consumes the qkv projection in its native (B, L, 3C)
+        # layout — no reshapes or transposes anywhere. The einsum path below
+        # is the reference semantics; the kernel matches it to summation-
+        # order rounding (tests/test_flash_attn.py). MMTRACK_ATTN=xla opts
+        # out for A/B timing and debugging.
+        use_fused = (not return_attn and not self.rpe
+                     and _ATTN_IMPL != "xla"
+                     and self.dtype == jnp.bfloat16
+                     and jax.default_backend() in ("tpu", "axon"))
+        if use_fused:
+            from mmtrack_tpu.ops.flash_attn import flash_mhsa_qkv
+            out = flash_mhsa_qkv(qkv, self.num_heads, scale)  # (B, L, C)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out), None
+
+        qkv = qkv.reshape(B, L, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, H, D)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                             preferred_element_type=jnp.float32)
         if self.rpe:
@@ -213,22 +236,63 @@ class CEBlock(nn.Module):
         lens_s = global_index_s.shape[1]
         needs_ce = lens_keep is not None and lens_keep < lens_s
 
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        attn_out, attn = Attention(self.dim, self.num_heads, self.qkv_bias,
-                                   dtype=self.dtype, name="attn")(h, return_attn=needs_ce)
-        if not deterministic and self.drop_path_rate > 0:
-            rng = self.make_rng("drop_path")
-            attn_out = drop_path(attn_out, self.drop_path_rate, deterministic, rng)
-        x = x + attn_out
+        ln1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")
+        attention = Attention(self.dim, self.num_heads, self.qkv_bias,
+                              dtype=self.dtype, name="attn")
+        # Fused half-blocks on TPU (ops/{flash_attn,mlp_fuse}.py): XLA's fc2
+        # emitter runs at ~38% of peak vs fc1's ~85%, and the attention
+        # middle round-trips scores + qkv through HBM (docs/PERF.md). The
+        # kernels compute x + proj(mhsa(qkv(LN1(x)))) and
+        # x + fc2(gelu(fc1(LN2(x)))) with weights VMEM-resident. Training
+        # (stochastic depth active) and CE blocks (need the probability
+        # matrix) keep the XLA path.
+        # bf16 only: at f32 the half-block's weights alone (fc1+fc2 ~19 MB)
+        # exceed the 16 MB scoped-VMEM limit — the f32 parity/debug path
+        # keeps XLA.
+        use_fused = (_ATTN_IMPL != "xla"
+                     and _os.environ.get("MMTRACK_MLP", "fused") != "xla"
+                     and (deterministic or self.drop_path_rate == 0.0)
+                     and self.dtype == jnp.bfloat16
+                     and jax.default_backend() in ("tpu", "axon"))
+        if use_fused and not needs_ce and not attention.rpe and self.qkv_bias:
+            from mmtrack_tpu.ops.flash_attn import attn_block_fused
+            ln1(x[:, :1]); attention(x[:, :1])  # bind identical param tree
+            pv = lambda m: self.get_variable("params", m)
+            x = attn_block_fused(
+                x, pv("norm1")["scale"], pv("norm1")["bias"],
+                pv("attn")["qkv"]["kernel"], pv("attn")["qkv"]["bias"],
+                pv("attn")["proj"]["kernel"], pv("attn")["proj"]["bias"],
+                num_heads=self.num_heads,
+                scale=(self.dim // self.num_heads) ** -0.5, eps=1e-6)
+        else:
+            h = ln1(x)
+            attn_out, attn = attention(h, return_attn=needs_ce)
+            if not deterministic and self.drop_path_rate > 0:
+                rng = self.make_rng("drop_path")
+                attn_out = drop_path(attn_out, self.drop_path_rate,
+                                     deterministic, rng)
+            x = x + attn_out
 
         removed_index_s = None
         if needs_ce:
             x, global_index_s, removed_index_s = candidate_elimination(
                 attn, x, lens_t, lens_keep, global_index_s, box_mask_z)
 
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        mlp_out = Mlp(int(self.dim * self.mlp_ratio), self.dim,
-                      dtype=self.dtype, name="mlp")(h)
+        ln2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")
+        mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim,
+                  dtype=self.dtype, name="mlp")
+        if use_fused:
+            from mmtrack_tpu.ops.mlp_fuse import mlp_block_fused
+            ln2(x[:, :1]); mlp(x[:, :1])  # bind identical param tree
+            pv = lambda m: self.get_variable("params", m)
+            x = mlp_block_fused(
+                x, pv("norm2")["scale"], pv("norm2")["bias"],
+                pv("mlp")["fc1"]["kernel"], pv("mlp")["fc1"]["bias"],
+                pv("mlp")["fc2"]["kernel"], pv("mlp")["fc2"]["bias"],
+                eps=1e-6)
+            return x, global_index_t, global_index_s, removed_index_s
+        h = ln2(x)
+        mlp_out = mlp(h)
         if not deterministic and self.drop_path_rate > 0:
             rng = self.make_rng("drop_path")
             mlp_out = drop_path(mlp_out, self.drop_path_rate, deterministic, rng)

@@ -54,20 +54,28 @@ class Fovea(nn.Module):
 class PromptBlock(nn.Module):
     """Modal prompt fusion (Prompt_block, vit_ce_prompt.py:50-71), token space.
 
-    Input (B, L, 2C): RGB-stream tokens concatenated channel-wise with
-    prompt-stream tokens. Two 1x1 projections to a bottleneck, Fovea gate on
-    the RGB branch, sum, then a 1x1 back to C.
+    Inputs (B, L, C) + (B, L, C): RGB-stream tokens and prompt-stream tokens
+    (the reference concatenates them channel-wise and slices back; keeping
+    them separate is equivalent and skips the concat). Two 1x1 projections
+    to a bottleneck, Fovea gate on the RGB branch, sum, then a 1x1 back to C.
+
+    Perf note: a fully-fused Pallas version of this block was measured 0.25
+    ms/forward SLOWER than XLA at B=16 — XLA piggybacks the tiny 8-channel
+    contractions onto neighboring fusions' memory passes essentially for
+    free (docs/PERF.md), so this stays plain XLA.
     """
     embed_dim: int
     hide_channel: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         C = self.embed_dim
         init = nn.initializers.xavier_uniform()
-        x0 = nn.Dense(self.hide_channel, kernel_init=init, dtype=self.dtype, name="conv0_0")(feat[..., :C])
-        x1 = nn.Dense(self.hide_channel, kernel_init=init, dtype=self.dtype, name="conv0_1")(feat[..., C:])
+        x0 = nn.Dense(self.hide_channel, kernel_init=init, dtype=self.dtype,
+                      name="conv0_0")(a)
+        x1 = nn.Dense(self.hide_channel, kernel_init=init, dtype=self.dtype,
+                      name="conv0_1")(b)
         x0 = Fovea(smooth=True, name="fovea")(x0) + x1
         return nn.Dense(C, kernel_init=init, dtype=self.dtype, name="conv1x1")(x0)
 
@@ -166,8 +174,8 @@ class ViTCEPrompt(nn.Module):
                                          name=f"prompt_norms_{i}") for i in range(n_prompt)]
 
             n0 = prompt_norms[0]
-            z_p = prompt_blocks[0](jnp.concatenate([n0(z_tok), n0(z_dte_tok)], axis=-1))
-            x_p = prompt_blocks[0](jnp.concatenate([n0(x_tok), n0(x_dte_tok)], axis=-1))
+            z_p = prompt_blocks[0](n0(z_tok), n0(z_dte_tok))
+            x_p = prompt_blocks[0](n0(x_tok), n0(x_dte_tok))
             z_prompted, x_prompted = z_p, x_p
             z_tok = z_tok + z_p
             x_tok = x_tok + x_p
@@ -208,8 +216,8 @@ class ViTCEPrompt(nn.Module):
                 z_t, x_t = full[:, :lens_z], full[:, lens_z:]
                 zp = prompt_norms[i](z_prompted)
                 xp = prompt_norms[i](x_prompted)
-                z_new = prompt_blocks[i](jnp.concatenate([z_t, zp], axis=-1))
-                x_new = prompt_blocks[i](jnp.concatenate([x_t, xp], axis=-1))
+                z_new = prompt_blocks[i](z_t, zp)
+                x_new = prompt_blocks[i](x_t, xp)
                 z_prompted, x_prompted = z_new, x_new
                 x_sel = gather_search_tokens(x_new, gidx_s) if pruned else x_new
                 x_cur = x_ori + jnp.concatenate([z_new, x_sel], axis=1)
