@@ -487,6 +487,203 @@ def convert_super_dimp_checkpoint(state_dict: dict) -> dict:
     return convert_dimp_checkpoint(state_dict)
 
 
+def convert_kys_checkpoint(state_dict: dict) -> dict:
+    """torch KYSNet (kysnet_res50, keep_track_vot2021/ltr/models/tracking/
+    kysnet.py:123-184; public upstream kys.pth naming) -> flax params for
+    models/kys.build_kysnet.
+
+    The DiMP base re-uses convert_dimp_checkpoint under a prefix rename
+    (backbone_feature_extractor -> feature_extractor, dimp_classifier ->
+    classifier) and lands in the `dimp` subtree. The response predictor
+    (predictor.predictor.*, a PredictorWrapper around ResponsePredictor —
+    resp_predictor.py:412-563) maps its nested conv_block Sequentials
+    (.N.0 conv / .N.1 BN) onto the flax list-submodule names
+    (`cost_volume_proc1_0/conv`, ...)."""
+    base_sd: dict = {}
+    pred_sd: dict = {}
+    for name, t in state_dict.items():
+        if name.startswith("backbone_feature_extractor."):
+            base_sd["feature_extractor." + name.split(".", 1)[1]] = t
+        elif name.startswith("dimp_classifier."):
+            base_sd["classifier." + name.split(".", 1)[1]] = t
+        elif name.startswith("bb_regressor."):
+            base_sd[name] = t
+        elif name.startswith("predictor.predictor."):
+            pred_sd[name[len("predictor.predictor."):]] = t
+        # predictor.cost_volume (the correlation layer) has no parameters
+
+    out: dict[tuple, np.ndarray] = {}
+
+    def put(path, value):
+        out[tuple(("predictor/" + path).split("/"))] = value
+
+    def put_bn(base, leaf, t):
+        nm = {"weight": "scale", "bias": "bias", "running_mean": "mean",
+              "running_var": "var"}.get(leaf)
+        if nm:
+            put(f"{base}/bn/{nm}", _np(t))
+
+    seqs = ("cost_volume_proc1", "cost_volume_proc2",
+            "representation_predictor", "is_target_predictor")
+    for name, t in pred_sd.items():
+        m = re.match(r"(\w+)\.(\d)\.(\d)\.(.+)", name)
+        if m and m.group(1) in seqs:
+            mod, blk, layer, leaf = m.groups()
+            base = f"{mod}_{blk}"
+            if layer == "0":  # conv
+                if leaf == "weight":
+                    put(f"{base}/conv/kernel", _conv_kernel(t))
+                else:
+                    put(f"{base}/conv/bias", _np(t))
+            else:  # BN
+                put_bn(base, leaf, t)
+            continue
+        m = re.match(r"(response_predictor|init_hidden_state_predictor)"
+                     r"\.0\.(\d)\.(.+)", name)
+        if m:
+            mod, layer, leaf = m.groups()
+            if layer == "0":
+                if leaf == "weight":
+                    put(f"{mod}/conv/kernel", _conv_kernel(t))
+                else:
+                    put(f"{mod}/conv/bias", _np(t))
+            else:
+                put_bn(mod, leaf, t)
+            continue
+        m = re.match(r"state_predictor\.(conv_reset|conv_update|"
+                     r"conv_state_new)\.(weight|bias)", name)
+        if m:
+            mod, leaf = m.groups()
+            if leaf == "weight":
+                put(f"state_predictor/{mod}/kernel", _conv_kernel(t))
+            else:
+                put(f"state_predictor/{mod}/bias", _np(t))
+            continue
+        # patch_going_oof_w / patch_coming_in_w belong to the
+        # model_out_of_frame variant (SepProcConvGRUv6), not the canonical
+        # ResponsePredictor — skip silently if present.
+
+    tree = flax.traverse_util.unflatten_dict(out)
+    tree["dimp"] = convert_dimp_checkpoint(base_sd)
+    return tree
+
+
+def convert_lwl_checkpoint(state_dict: dict) -> dict:
+    """torch LWTLNet (steepest_descent_resnet50, keep_track_vot2021/ltr/
+    models/lwl/lwl_net.py:147-209) -> flax params for models/lwl.LWLNet.
+
+    Maps: the ResNet-50 backbone (shared resnet converter), the target
+    model's feature Sequential (final 3x3 conv; InstanceL2Norm is
+    parameterless), GNSteepestDescent's residual filter_reg, the
+    ResidualDS16SW label encoder (its BasicBlocks carry a plain biased 3x3
+    downsample conv — label_encoder.py:16-20), and the TSE/RRB/CAB/proj/
+    Upsampler decoder ModuleDicts."""
+    out: dict[tuple, np.ndarray] = {}
+
+    def put(path, value):
+        out[tuple(path.split("/"))] = value
+
+    def put_bn(base, leaf, t):
+        nm = {"weight": "scale", "bias": "bias", "running_mean": "mean",
+              "running_var": "var"}.get(leaf)
+        if nm:
+            put(f"{base}/{nm}", _np(t))
+
+    def put_conv(base, leaf, t):
+        if leaf == "weight":
+            put(f"{base}/kernel", _conv_kernel(t))
+        else:
+            put(f"{base}/bias", _np(t))
+
+    for name, t in state_dict.items():
+        if name.startswith("feature_extractor."):
+            _convert_resnet("feature_extractor", "feature_extractor",
+                            name, t, put)
+            continue
+        m = re.match(r"target_model\.feature_extractor\.(\d)\.weight", name)
+        if m:
+            put("tm_features/final_conv/kernel", _conv_kernel(t))
+            continue
+        if re.match(r"target_model\.filter_optimizer\."
+                    r"(residual_module\.)?filter_reg", name):
+            put("filter_reg", _np(t).reshape(1))
+            continue
+        m = re.match(r"label_encoder\.(.+)", name)
+        if m:
+            sub = m.group(1)
+            m2 = re.match(r"conv_block\.(\d)\.(.+)", sub)
+            if m2:
+                if m2.group(1) == "0":
+                    put_conv("label_encoder/conv_block/conv", m2.group(2), t)
+                else:
+                    put_bn("label_encoder/conv_block/bn", m2.group(2), t)
+                continue
+            m2 = re.match(r"(res1|res2)\.(conv1|conv2|downsample)\.(.+)", sub)
+            if m2:
+                put_conv(f"label_encoder/{m2.group(1)}/{m2.group(2)}",
+                         m2.group(3), t)
+                continue
+            m2 = re.match(r"(res1|res2)\.(bn1|bn2)\.(.+)", sub)
+            if m2:
+                put_bn(f"label_encoder/{m2.group(1)}/{m2.group(2)}",
+                       m2.group(3), t)
+                continue
+            m2 = re.match(r"label_pred\.(\d)\.(.+)", sub)
+            if m2:
+                if m2.group(1) == "0":
+                    put_conv("label_encoder/label_pred/conv", m2.group(2), t)
+                else:
+                    put_bn("label_encoder/label_pred/bn", m2.group(2), t)
+                continue
+            m2 = re.match(r"samp_w_pred\.(.+)", sub)
+            if m2:
+                put_conv("label_encoder/samp_w_pred", m2.group(1), t)
+                continue
+        m = re.match(r"decoder\.(.+)", name)
+        if m:
+            sub = m.group(1)
+            m2 = re.match(r"TSE\.(\w+)\.reduce\.(\d)\.(.+)", sub)
+            if m2:
+                put_conv(f"decoder/TSE_{m2.group(1)}/reduce_{m2.group(2)}",
+                         m2.group(3), t)
+                continue
+            m2 = re.match(r"TSE\.(\w+)\.transform\.(\d)\.(.+)", sub)
+            if m2:
+                put_conv(f"decoder/TSE_{m2.group(1)}/transform_{m2.group(2)}",
+                         m2.group(3), t)
+                continue
+            m2 = re.match(r"(RRB1|RRB2)\.(\w+)\.conv1x1\.(.+)", sub)
+            if m2:
+                put_conv(f"decoder/{m2.group(1)}_{m2.group(2)}/conv1x1",
+                         m2.group(3), t)
+                continue
+            m2 = re.match(r"(RRB1|RRB2)\.(\w+)\.bblock\.(\d)\.(.+)", sub)
+            if m2:
+                base = f"decoder/{m2.group(1)}_{m2.group(2)}"
+                idx, leaf = m2.group(3), m2.group(4)
+                if idx == "1":  # the BN inside bblock (use_bn=True layout)
+                    put_bn(f"{base}/bblock_bn", leaf, t)
+                else:           # 0 and 3 -> convs; flax names 0 and 2
+                    fidx = "0" if idx == "0" else "2"
+                    put_conv(f"{base}/bblock_{fidx}", leaf, t)
+                continue
+            m2 = re.match(r"CAB\.(\w+)\.convreluconv\.(\d)\.(.+)", sub)
+            if m2:
+                put_conv(f"decoder/CAB_{m2.group(1)}/convreluconv_{m2.group(2)}",
+                         m2.group(3), t)
+                continue
+            m2 = re.match(r"proj\.(\w+)\.0\.(.+)", sub)
+            if m2:
+                put_conv(f"decoder/proj_{m2.group(1)}", m2.group(2), t)
+                continue
+            m2 = re.match(r"project\.(conv1|conv2)\.(.+)", sub)
+            if m2:
+                put_conv(f"decoder/project_{m2.group(1)}", m2.group(2), t)
+                continue
+
+    return flax.traverse_util.unflatten_dict(out)
+
+
 def convert_eco_backbone_checkpoint(state_dict: dict) -> dict:
     """resnet18_vggmconv1.pth (ECO's feature net: keep_track_vot2021/ltr/
     models/backbone/resnet_vggm.py, loaded raw by resnet18_vggmconv1 and

@@ -122,6 +122,41 @@ def _keeptrack():
     return build
 
 
+def _kys():
+    """KYS: DiMP-50 + scene-propagation response fusion
+    (keep_track_vot2021/ltr/models/tracking/kysnet.py:123-184,
+    pytracking/tracker/kys/dimp_motion.py)."""
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.kys import build_kysnet
+        from mmtrack_tpu.trackers.kys_tracker import KYSRuntime, KYSTracker
+        model = build_kysnet()
+        if params is None:
+            im = jnp.zeros((1, 288, 288, 3))
+            bb = jnp.asarray([[100.0, 100.0, 80.0, 80.0]])
+            props = jnp.asarray([[[100.0, 100.0, 80.0, 80.0]] * 2])
+            params = jax.jit(lambda r: model.init(r, im, im, bb, props,
+                                                  method="init_forward"))(
+                jax.random.PRNGKey(seed))
+        return KYSTracker(model, params, KYSRuntime())
+    return build
+
+
+def _lwl():
+    """LWL: few-shot segmentation target model + decoder
+    (keep_track_vot2021/ltr/models/lwl/, pytracking/tracker/lwl/)."""
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.lwl import build_lwl_paper
+        from mmtrack_tpu.trackers.lwl_tracker import LWLRuntime, LWLTracker
+        model = build_lwl_paper()
+        if params is None:
+            im = jnp.zeros((1, 480, 480, 3))
+            m = jnp.zeros((1, 480, 480))
+            params = jax.jit(lambda r: model.init(r, im, im, m))(
+                jax.random.PRNGKey(seed))
+        return LWLTracker(model, params, LWLRuntime())
+    return build
+
+
 def _eco():
     """ECO (keep_track_vot2021/pytracking/tracker/eco + parameter/eco/
     default.py): Fourier-domain factorized correlation filters over
@@ -290,6 +325,11 @@ TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
     "det_atom_mean": TrackerRecipe(_atom("mean"), "rgbd", "dimp"),
     "det_atom_mc": TrackerRecipe(_atom("conv"), "rgbd", "dimp"),
     "keep_track": TrackerRecipe(_keeptrack(), "rgb", "dimp"),
+    # KYS: scene-propagation state fused into the DiMP score
+    # (keep_track fork, ltr/models/motion + pytracking/tracker/kys)
+    "kys": TrackerRecipe(_kys(), "rgb", "dimp"),
+    # LWL: few-shot segmentation (VOS) tracker (keep_track fork)
+    "lwl": TrackerRecipe(_lwl(), "rgb", "lwl"),
     # ECO (the keep_track fork's DCF family; also shipped by every
     # AR-external fork, e.g. SPT/external/AR/pytracking/tracker/eco)
     "eco": TrackerRecipe(_eco(), "rgb", "eco", composition="color"),

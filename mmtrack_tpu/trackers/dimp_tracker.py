@@ -209,8 +209,8 @@ def dimp_init_state(rt: DiMPRuntime, model: DiMPNet, params, frame: jnp.ndarray,
             expanded, S_im, rng_shift,
             random_shift_factor=rt.random_shift_factor)
 
-        bfeat = model.apply(params, patches, method=DiMPNet.extract_backbone)
-        clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
+        bfeat = model.apply(params, patches, method="extract_backbone")
+        clf_feat = model.apply(params, bfeat, method="extract_classification_feat")
         if rt.aug_dropout_num > 0:
             drop = feature_dropout(clf_feat[0], rng_drop, rt.aug_dropout_num,
                                    rt.aug_dropout_prob)
@@ -227,8 +227,8 @@ def dimp_init_state(rt: DiMPRuntime, model: DiMPNet, params, frame: jnp.ndarray,
         szl, tl, _, _ = _sample_geometry(rt, init_sample_pos, target_scale)
         patch = _normalize(crop_at(frame, init_sample_pos, szl,
                                    rt.image_sample_size, origin_yx=tl))
-        bfeat = model.apply(params, patch[None], method=DiMPNet.extract_backbone)
-        clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
+        bfeat = model.apply(params, patch[None], method="extract_backbone")
+        clf_feat = model.apply(params, bfeat, method="extract_classification_feat")
         boxes = box_crop[None]
         bfeat0 = bfeat
 
@@ -249,9 +249,9 @@ def dimp_assemble_init_state(rt: DiMPRuntime, model: DiMPNet, params,
     Split out so the trajectory parity harness can feed the REFERENCE'S
     own recorded init patches through our network and state machine."""
     N = clf_feat.shape[0]
-    w0 = model.apply(params, clf_feat, boxes, method=DiMPNet.get_filter)
+    w0 = model.apply(params, clf_feat, boxes, method="get_filter")
     filt = model.apply(params, w0, clf_feat, boxes, None,
-                       rt.net_opt_iter, method=DiMPNet.optimize_filter)
+                       rt.net_opt_iter, method="optimize_filter")
 
     mod3, mod4 = model.apply(
         params, [bfeat0["layer2"], bfeat0["layer3"]], box_crop[None],
@@ -478,10 +478,10 @@ def dimp_step_from_patch(rt: DiMPRuntime, model: DiMPNet, params, state: dict,
     state = {**state, "rng": rng}
 
     patch = _normalize(patch)
-    bfeat = model.apply(params, patch[None], method=DiMPNet.extract_backbone)
-    clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
+    bfeat = model.apply(params, patch[None], method="extract_backbone")
+    clf_feat = model.apply(params, bfeat, method="extract_classification_feat")
     scores = model.apply(params, state["filter"], clf_feat,
-                         method=DiMPNet.classify)[0]
+                         method="classify")[0]
     if rt.score_preprocess == "softmax":
         # PrDiMP: localize on the softmax predictive distribution
         # (dimp.py:205-213, softmax_reg with reg=None)
@@ -526,7 +526,7 @@ def dimp_step_from_patch(rt: DiMPRuntime, model: DiMPNet, params, state: dict,
                             rt.net_opt_update_iter, 0)))
     new_filter = model.apply(
         params, state["filter"], state["memory_feat"], state["memory_boxes"],
-        state["sample_weights"], num_iter, method=DiMPNet.optimize_filter)
+        state["sample_weights"], num_iter, method="optimize_filter")
     state = {**state, "filter": new_filter}
 
     box = jnp.concatenate([

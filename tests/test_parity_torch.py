@@ -69,6 +69,25 @@ def test_mdnet_reference_weight_parity():
     assert res["pass"], res
 
 
+def test_kys_reference_weight_parity():
+    """The reference's own ResponsePredictor (torch) vs models/kys.py over
+    two chained propagation steps on converted weights."""
+    from tools.parity.check_kys import run
+
+    res = run()
+    assert res["ok"], res
+
+
+def test_lwl_reference_weight_parity():
+    """The reference's own LWTLNet (torch, 38.8M params) vs models/lwl.py:
+    backbone, target-model features, label encoder, GN few-shot filter,
+    mask encoding, decoded segmentation — on converted weights."""
+    from tools.parity.check_lwl import run
+
+    res = run()
+    assert res["ok"], res
+
+
 def test_mixformer_reference_weight_parity_small():
     """Structural parity at reduced dims (full published scale takes ~15 min
     on this 1-core host; run `python tools/parity/check_mixformer.py` for the

@@ -13,7 +13,7 @@ def test_registry_surface():
     for required in ("vipt_deep_rgbd", "vipt_deep_rgbt", "vipt_deep_rgbe",
                      "ostrack", "dimp50", "det_dimp50_max", "mfdimp",
                      "siamfc", "pymdnet", "manet", "stark_s", "stark_st",
-                     "spt", "mixformer_rgbd"):
+                     "spt", "mixformer_rgbd", "kys", "lwl"):
         assert required in names
     assert "vipt_deep_rgbt" in list_trackers("rgbt")
     assert "vipt_deep_rgbt" not in list_trackers("rgbd")

@@ -1,0 +1,153 @@
+"""LWL (Learning What to Learn) torch->flax full-network parity check.
+
+Reference: RGBD/models/keep_track_vot2021/ltr/models/lwl/
+{lwl_net,label_encoder,linear_filter,decoder,loss_residual_modules}.py +
+ltr/models/meta/steepestdescent.py. Builds the reference's own
+steepest_descent_resnet50 at a runnable configuration (clf_feat_blocks=0 +
+final_conv — the signature's 1-block/no-conv default cannot execute in
+torch: BasicBlock(1024, 512) has no downsample for the residual add),
+converts its state_dict with convert_lwl_checkpoint, and compares every
+stage: backbone, target-model features, label encoder (label + spatial
+weights), the Gauss-Newton few-shot-optimized filter, the mask encoding,
+and the decoded full-resolution segmentation scores.
+
+Run: python tools/parity/check_lwl.py
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+import sys
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+from tools.parity.refload import (patch_cuda_to_cpu, reference_available,  # noqa: E402
+                                  reference_path)
+
+TOL = {"layer1": 5e-4, "layer2": 5e-4, "layer3": 5e-4, "layer4": 5e-4,
+       "tm_feat": 1e-5, "label": 1e-5, "spatial_w": 1e-5,
+       "filter": 1e-5, "mask_enc": 1e-4, "seg": 5e-4}
+
+CFG = dict(filter_size=3, num_filters=16, optim_iter=5, optim_init_reg=0.01,
+           out_feature_dim=512, clf_feat_blocks=0, final_conv=True,
+           label_encoder_dims=(16, 32, 64), use_bn_in_label_enc=True)
+
+
+def run(seed: int = 0) -> dict:
+    import torch
+
+    patch_cuda_to_cpu()
+    if "torch._six" not in sys.modules:
+        six = types.ModuleType("torch._six")
+        six.string_classes = (str,)
+        six.int_classes = (int,)
+        sys.modules["torch._six"] = six
+    with reference_path("RGBD/models/keep_track_vot2021"):
+        lwl_net = importlib.import_module("ltr.models.lwl.lwl_net")
+        torch.manual_seed(seed)
+        tmodel = lwl_net.steepest_descent_resnet50(
+            backbone_pretrained=False, **CFG)
+        tmodel.eval()
+
+        rng = np.random.RandomState(seed)
+        S = 224
+        im = rng.uniform(-2, 2, (1, 3, S, S)).astype(np.float32)
+        # a soft blob mask
+        yy, xx = np.mgrid[0:S, 0:S].astype(np.float32)
+        mask = np.exp(-0.5 * (((yy - 90) / 40) ** 2 + ((xx - 120) / 30) ** 2))
+        mask = (mask > 0.5).astype(np.float32)[None]  # (1, S, S)
+
+        # torch>=2 rejects list SUBCLASSES (pytracking's TensorList) in
+        # autograd.grad's overrides dispatch; coerce to plain lists — a
+        # version-compat shim, not a math change
+        real_grad = torch.autograd.grad
+
+        def compat_grad(outputs, inputs, grad_outputs=None, **kw):
+            def fix(a):
+                return list(a) if isinstance(a, list) else a
+            return real_grad(fix(outputs), fix(inputs), fix(grad_outputs),
+                             **kw)
+
+        torch.autograd.grad = compat_grad
+
+        with torch.no_grad():
+            bfeat = tmodel.extract_backbone_features(torch.from_numpy(im))
+            tm_feat = tmodel.extract_target_model_features(bfeat)  # (1,512,h,w)
+            label, sw = tmodel.label_encoder(
+                torch.from_numpy(mask).unsqueeze(1), tm_feat.unsqueeze(1))
+            filt, _, _ = tmodel.target_model.get_filter(
+                tm_feat.unsqueeze(1), label, sw, num_iter=CFG["optim_iter"])
+            enc = tmodel.target_model.apply_target_model(
+                filt, tm_feat.unsqueeze(1))
+            seg, _ = tmodel.decoder(enc, bfeat, (S, S))
+
+        sd = {k: v for k, v in tmodel.state_dict().items()}
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from mmtrack_tpu.models.convert import convert_lwl_checkpoint, load_into
+    from mmtrack_tpu.models.lwl import LWLNet, apply_target_model
+
+    fmodel = LWLNet(**CFG)
+    tr = jnp.zeros((1, S, S, 3))
+    zeros = jax.jit(lambda k: fmodel.init(k, tr, tr, jnp.zeros((1, S, S))))(
+        jax.random.PRNGKey(0))
+    converted = convert_lwl_checkpoint(sd)
+    params, missing, unexpected = load_into(zeros["params"], converted)
+    diag = {"missing": [".".join(k) for k in missing],
+            "unexpected": [".".join(k) for k in unexpected]}
+    params = {"params": params}
+
+    im_f = jnp.asarray(im.transpose(0, 2, 3, 1))
+    bf = fmodel.apply(params, im_f, method="extract_backbone")
+    tmf = fmodel.apply(params, bf, method="extract_target_model_features")
+    lab, swf = fmodel.apply(params, jnp.asarray(mask), method="encode_labels")
+    filt_f = fmodel.apply(params, tmf, lab, swf, None, CFG["optim_iter"],
+                          method="get_filter")
+    enc_f = apply_target_model(tmf, filt_f)
+    seg_f = fmodel.apply(params, filt_f, tmf, bf, (S, S), method="segment")
+
+    def d(a_nhwc, t_nchw):
+        return float(np.max(np.abs(
+            np.asarray(a_nhwc) - np.moveaxis(t_nchw.numpy(), -3, -1))))
+
+    results = {
+        "layer1": d(bf["layer1"], bfeat["layer1"]),
+        "layer2": d(bf["layer2"], bfeat["layer2"]),
+        "layer3": d(bf["layer3"], bfeat["layer3"]),
+        "layer4": d(bf["layer4"], bfeat["layer4"]),
+        "tm_feat": d(tmf, tm_feat),
+        "label": d(lab, label[0]),
+        "spatial_w": d(swf, sw[0]),
+        # torch filter (1, nf, C, fh, fw) -> flax (nf, fh, fw, C)
+        "filter": float(np.max(np.abs(
+            np.asarray(filt_f)
+            - filt[0].permute(0, 2, 3, 1).numpy()))),
+        "mask_enc": d(enc_f, enc[0]),
+        "seg": float(np.max(np.abs(np.asarray(seg_f)[0]
+                                   - seg.numpy().reshape(S, S)))),
+    }
+    ok = (not diag["missing"] and not diag["unexpected"]
+          and all(v <= TOL[k] for k, v in results.items()))
+    return {"ok": ok, "tol": TOL, "max_abs_diff": results, **diag,
+            "n_params": sum(int(np.prod(v.shape)) for v in sd.values())}
+
+
+def main():
+    if not reference_available():
+        print(json.dumps({"ok": None, "skipped": "reference unavailable"}))
+        return 0
+    out = run()
+    print(json.dumps(out, indent=2))
+    return 0 if out["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
