@@ -49,6 +49,33 @@ def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(pred - target).mean()
 
 
+def lovasz_hinge_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Lovász hinge (binary Jaccard surrogate), per image then averaged.
+
+    Rebuild of lovasz_hinge / lovasz_grad (keep_track_vot2021/ltr/models/
+    loss/lovasz_loss.py:20-122, per_image=True) — the segmentation
+    objective of the LWL training recipes. Static shapes: one argsort +
+    cumsum per image.
+
+    logits, labels: (B, H, W); labels in {0, 1}.
+    """
+    B = logits.shape[0]
+    logits = logits.reshape(B, -1)
+    labels = labels.reshape(B, -1).astype(logits.dtype)
+    signs = 2.0 * labels - 1.0
+    errors = 1.0 - logits * signs
+    order = jnp.argsort(-errors, axis=1)
+    errors_sorted = jnp.take_along_axis(errors, order, axis=1)
+    gt_sorted = jnp.take_along_axis(labels, order, axis=1)
+    gts = gt_sorted.sum(axis=1, keepdims=True)
+    intersection = gts - jnp.cumsum(gt_sorted, axis=1)
+    union = gts + jnp.cumsum(1.0 - gt_sorted, axis=1)
+    jaccard = 1.0 - intersection / union
+    grad = jnp.concatenate([jaccard[:, :1],
+                            jaccard[:, 1:] - jaccard[:, :-1]], axis=1)
+    return (jnp.maximum(errors_sorted, 0.0) * grad).sum(axis=1).mean()
+
+
 def lb_hinge_loss(pred: jnp.ndarray, label: jnp.ndarray, threshold: float = 0.05) -> jnp.ndarray:
     """Lower-bound hinge MSE for DiMP classifier training.
 

@@ -174,6 +174,30 @@ def _eco():
     return build
 
 
+def _ccot():
+    """C-COT (keep_track_vot2021/pytracking/tracker/ccot): ECO's
+    unfactorized predecessor — full-channel continuous filters, CG every
+    frame."""
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.backbones import resnet18_vggmconv1
+        from mmtrack_tpu.trackers.ccot_tracker import CCOTTracker, ccot_runtime
+        model = resnet18_vggmconv1()
+        if params is None:
+            x = jnp.zeros((1, 208, 208, 3))
+            params = jax.jit(lambda r: model.init(r, x))(jax.random.PRNGKey(seed))
+        return CCOTTracker(model, params, ccot_runtime())
+    return build
+
+
+def _mosse():
+    """MOSSE (keep_track_vot2021/pytracking/tracker/mosse): classic
+    closed-form grayscale correlation filter; no learned parameters."""
+    def build(seed=0, params=None):
+        from mmtrack_tpu.trackers.mosse_tracker import MOSSETracker
+        return MOSSETracker()
+    return build
+
+
 def _siamfc():
     def build(seed=0, params=None):
         from mmtrack_tpu.models.siamfc import SiamFC
@@ -333,6 +357,8 @@ TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
     # ECO (the keep_track fork's DCF family; also shipped by every
     # AR-external fork, e.g. SPT/external/AR/pytracking/tracker/eco)
     "eco": TrackerRecipe(_eco(), "rgb", "eco", composition="color"),
+    "ccot": TrackerRecipe(_ccot(), "rgb", "eco", composition="color"),
+    "mosse": TrackerRecipe(_mosse(), "rgb", "eco", composition="color"),
     # classic zoo
     "siamfc": TrackerRecipe(_siamfc(), "rgbe", "siamfc"),
     "mdnet": TrackerRecipe(_mdnet("single"), "rgb", "mdnet"),

@@ -97,6 +97,11 @@ class ECORuntime:
     aug_blur: tuple = ((2, 0.2), (0.2, 2), (3, 1), (1, 3), (2, 2))
     aug_dropout_num: int = 7
     aug_dropout_prob: float = 0.2
+    # CCOT mode (trackers/ccot_tracker.py): full-dimensional filters (no
+    # projection) updated EVERY frame (ccot.py:146-150 runs FilterOptim
+    # unconditionally; ECO's schedule gates on train_skipping)
+    use_projection: bool = True
+    train_every_frame: bool = False
 
     @property
     def scale_factors(self) -> np.ndarray:
@@ -424,9 +429,11 @@ def eco_track_step(rt: ECORuntime, model, st: ECOGeom, params, consts: dict,
         for i in range(rt.num_scales)])
     feats = _extract_features(model, params, patches)
 
-    # project spatially, then window/fft/interp (eco.py:293-309)
+    # project spatially, then window/fft/interp (eco.py:293-309);
+    # CCOT keeps the full channel dimension (no projection)
     test_X = tuple(
-        _to_spectrum(feats[b] @ state["projections"][b],
+        _to_spectrum(feats[b] @ state["projections"][b]
+                     if rt.use_projection else feats[b],
                      consts["windows"][b], consts["interp"][b])
         for b in range(2))
 
@@ -481,8 +488,10 @@ def eco_track_step(rt: ECORuntime, model, st: ECOGeom, params, consts: dict,
              "num_stored": jnp.minimum(state["num_stored"] + 1,
                                        rt.sample_memory_size)}
 
-    # periodic filter-only optimization (eco.py:232-235)
-    do_train = (state["frame_num"] % rt.train_skipping) == 1
+    # periodic filter-only optimization (eco.py:232-235); CCOT trains
+    # unconditionally every frame (ccot.py:150)
+    do_train = jnp.asarray(True) if rt.train_every_frame \
+        else (state["frame_num"] % rt.train_skipping) == 1
 
     def run_cg(operand):
         hs, se = operand

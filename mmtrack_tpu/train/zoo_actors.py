@@ -238,3 +238,147 @@ def make_mdnet_train_step(model, tx, n_pos: int = 32, n_neg: int = 96,
         return _apply_update(state, tx, lg)
 
     return train_step
+
+
+# ------------------------------------------------------------------- KYS
+
+def make_kys_train_step(model, tx, clf_weight: float = 1.0,
+                        is_target_weight: float = 0.25,
+                        filter_optim_iter: int = 5):
+    """KYS response-predictor training (MotionTrackerActor,
+    keep_track_vot2021/ltr/actors/tracking_motion.py:10-163): the DiMP
+    base is FROZEN (KYSNet.train, kysnet.py:18-28) and only the
+    scene-propagation predictor learns, from pairs of consecutive search
+    frames — frame 1 seeds the GRU state from its label, frame 2's fused
+    response is supervised with the LBHinge classification loss plus BCE
+    on the is_target auxiliary head. The reference ships no KYS train
+    settings; loss weights are the actor's argument defaults in spirit
+    (objective['test_clf'] + aux weights).
+
+    Batch: train_images (B,S,S,3) + train_anno (B,4) crop-coord xywh for
+    the filter, test_prev/test_cur (B,S,S,3), label_prev/label_cur
+    (B,h,w) Gaussian labels on the feature grid. Pass tx masked to the
+    predictor subtree for exact reference freezing semantics.
+    """
+    from mmtrack_tpu.ops.losses import lb_hinge_loss
+
+    def train_step(state, batch, rng):
+        def loss_fn(params):
+            stop = jax.lax.stop_gradient
+
+            def dimp_pass(im):
+                bf = model.apply(params, im, method="extract_backbone")
+                cf = model.apply(params, bf,
+                                 method="extract_classification_feat")
+                return bf, cf
+
+            bf_tr, cf_tr = dimp_pass(batch["train_images"])
+            w0 = model.apply(params, cf_tr, batch["train_anno"],
+                             method="get_filter")
+            filt = model.apply(params, w0, cf_tr, batch["train_anno"], None,
+                               filter_optim_iter,
+                               method="optimize_filter")
+            bf_p, _ = dimp_pass(batch["test_prev"])
+            bf_c, _ = dimp_pass(batch["test_cur"])
+            S = batch["label_cur"].shape[-1]
+
+            def score_of(bf):
+                cf = model.apply(params, bf,
+                                 method="extract_classification_feat")
+                return model.apply(params, filt, cf,
+                                   method="classify")[:, :S, :S]
+
+            score_cur = stop(score_of(bf_c))
+            feat_p = stop(model.apply(params, bf_p, method="motion_feat"))
+            feat_c = stop(model.apply(params, bf_c, method="motion_feat"))
+
+            st0 = model.apply(params, batch["label_prev"],
+                              method="init_motion_state")
+            fused, st1, aux = model.apply(params, feat_p, feat_c, st0,
+                                          score_cur,
+                                          method="predict_response")
+            loss_clf = lb_hinge_loss(fused, batch["label_cur"])
+            is_tgt = (batch["label_cur"] > 0.25).astype(fused.dtype)
+            loss_aux = optax.sigmoid_binary_cross_entropy(
+                aux["is_target_new"], is_tgt).mean()
+            loss = clf_weight * loss_clf + is_target_weight * loss_aux
+            return loss, {"Loss/total": loss, "Loss/test_clf": loss_clf,
+                          "Loss/is_target": loss_aux}
+
+        lg = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return _apply_update(state, tx, lg)
+
+    return train_step
+
+
+# ------------------------------------------------------------------- LWL
+
+def make_lwl_train_step(model, tx):
+    """LWL offline training (SegmSeqActor, keep_track_vot2021/ltr/actors/
+    segmentation.py:265-516, single-step form): learn the few-shot filter
+    on the train frames' masks, segment the test frames, Lovász hinge on
+    the decoded scores (lovasz_loss.py; use_lovasz_loss configurations).
+    The GN learner is differentiated THROUGH (meta-learning the label
+    encoder, residual weights and features), exactly like the reference's
+    create_graph=True double-grad.
+
+    Batch: train_images/test_images (B,S,S,3), train_masks/test_masks
+    (B,S,S) in {0,1}.
+    """
+    from mmtrack_tpu.ops.losses import lovasz_hinge_loss
+
+    def train_step(state, batch, rng):
+        def loss_fn(params):
+            seg = model.apply(params, batch["train_images"],
+                              batch["test_images"], batch["train_masks"])
+            loss = lovasz_hinge_loss(seg, batch["test_masks"])
+            acc = (((seg > 0) == (batch["test_masks"] > 0.5))
+                   .astype(jnp.float32).mean())
+            return loss, {"Loss/segm": loss, "Acc": acc}
+
+        lg = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return _apply_update(state, tx, lg)
+
+    return train_step
+
+
+# ----------------------------------------------------------- Alpha-Refine
+
+def make_ar_train_step(model, tx, corner_weight: float = 1.0,
+                       mask_weight: float = 10000.0):
+    """Alpha-Refine training (ARcm_Actor / ARmask_Actor, OSTrack/external/
+    AR_VOT22/ltr/actors/ARcm.py:5-51 + train_settings/ARcm_seg/*): corner
+    loss on the refined box (weight 1) + BCE on the sigmoid mask (weight
+    10000 — the shipped ARcm_coco_seg_only_mask recipe trains the mask
+    branch with nn.BCELoss). Samples without a mask annotation contribute
+    only the corner term (the actor's mask_flag gating), signalled by
+    batch['mask_valid'] in {0, 1}.
+
+    Batch: template (B,t,t,3), template_anno (B,4) crop-px xywh, search
+    (B,s,s,3), search_anno (B,4) [0,1]-normalized xywh, masks (B,s,s),
+    mask_valid (B,).
+    """
+    def train_step(state, batch, rng):
+        def loss_fn(params):
+            boxes, mask_logits = model.apply(
+                params, batch["template"], batch["template_anno"],
+                batch["search"])
+            # corner head outputs cxcywh in [0, 1]
+            gt = batch["search_anno"]
+            gt_xyxy = box_xywh_to_xyxy(gt)
+            pred_xyxy = box_cxcywh_to_xyxy(boxes)
+            loss_corner = jnp.abs(pred_xyxy - gt_xyxy).mean()
+
+            m = mask_logits[..., 0] if mask_logits.ndim == 4 else mask_logits
+            per_px = optax.sigmoid_binary_cross_entropy(m, batch["masks"])
+            valid = batch["mask_valid"].reshape(-1, 1, 1)
+            n_valid = jnp.maximum(batch["mask_valid"].sum(), 1.0)
+            loss_mask = (per_px * valid).mean(axis=(1, 2)).sum() / n_valid
+            loss = corner_weight * loss_corner + mask_weight * loss_mask
+            return loss, {"Loss/total": loss, "loss_corner": loss_corner,
+                          "loss_mask": loss_mask}
+
+        lg = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return _apply_update(state, tx, lg)
+
+    return train_step

@@ -237,3 +237,63 @@ def test_eco_backbone_converter_shapes():
     np.testing.assert_allclose(
         p["vggmconv1"]["kernel"],
         sd["vggmconv1.weight"].transpose(2, 3, 1, 0))
+
+
+def test_mosse_tracks_a_translating_pattern():
+    """MOSSE (mosse.py:10-139) is closed-form — on a rigid translating
+    texture it must actually FOLLOW the target, not just run."""
+    from mmtrack_tpu.trackers.mosse_tracker import MOSSERuntime, MOSSETracker
+
+    r = np.random.RandomState(0)
+    H, W = 120, 160
+    canvas = r.randint(0, 60, (H + 40, W + 40, 3)).astype(np.float32)
+    patch = r.randint(120, 255, (24, 30, 3)).astype(np.float32)
+
+    def frame(ox, oy):
+        f = canvas[20:20 + H, 20:20 + W].copy()
+        f[oy:oy + 24, ox:ox + 30] = patch
+        return f
+
+    rt = MOSSERuntime(min_image_sample_size=48 ** 2,
+                      max_image_sample_size=64 ** 2)
+    tr = MOSSETracker(rt)
+    tr.initialize(frame(40, 30), {"init_bbox": [40, 30, 30, 24]})
+    drift = []
+    for t in range(1, 6):
+        ox, oy = 40 + 3 * t, 30 + 2 * t
+        out = tr.track(frame(ox, oy))
+        b = out["target_bbox"]
+        cx, cy = b[0] + b[2] / 2, b[1] + b[3] / 2
+        drift.append(abs(cx - (ox + 15)) + abs(cy - (oy + 12)))
+    assert max(drift) < 4.0, drift
+
+
+def test_ccot_tracker_end_to_end():
+    """CCOT = unfactorized ECO + per-frame CG (ccot.py); full loop on the
+    shrunken geometry."""
+    from mmtrack_tpu.data.synthetic import make_synthetic_sequence
+    from mmtrack_tpu.models.backbones import resnet18_vggmconv1
+    from mmtrack_tpu.trackers.ccot_tracker import CCOTTracker, ccot_runtime
+
+    rt = ccot_runtime(min_image_sample_size=64 ** 2,
+                      max_image_sample_size=80 ** 2,
+                      sample_memory_size=6, init_cg_iter=8, cg_iter=2)
+    assert not rt.use_projection and rt.train_every_frame
+    model = resnet18_vggmconv1()
+    x = jnp.zeros((1, 80, 80, 3))
+    params = jax.jit(lambda r: model.init(r, x))(jax.random.PRNGKey(0))
+
+    frames, gt = make_synthetic_sequence(n_frames=4, height=140, width=180,
+                                         seed=3)
+    tr = CCOTTracker(model, params, rt)
+    tr.initialize(frames[0][..., :3], {"init_bbox": gt[0].tolist()})
+    assert int(tr.state["num_stored"]) == 1  # single unaugmented sample
+    for t in range(1, 4):
+        out = tr.track(frames[t][..., :3])
+        b = out["target_bbox"]
+        assert np.isfinite(b).all() and b[2] > 0 and b[3] > 0
+    # full-dimension filters: channel dim == feature dim (no projection)
+    assert tr.state["filters"][0].shape[0] == 96
+    assert tr.state["filters"][1].shape[0] == 256
+    for f in tr.state["filters"]:
+        assert np.isfinite(np.asarray(f)).all()

@@ -167,3 +167,137 @@ def test_apfnet_stage_masks_route_gradients():
                                                     attribute=0))
     m3 = flax.traverse_util.flatten_dict(stage_mask(params["params"], 3))
     assert sum(map(bool, m1.values())) < sum(map(bool, m3.values()))
+
+
+@pytest.mark.slow
+def test_kys_predictor_trains():
+    """KYS predictor training (MotionTrackerActor): loss decreases on a
+    fixed frame pair with the DiMP base frozen (stop_gradient + the
+    predictor's params the only moving part)."""
+    from mmtrack_tpu.models.kys import build_kysnet
+
+    model = build_kysnet()
+    S = 96
+    r = np.random.RandomState(0)
+    im = jnp.zeros((1, S, S, 3))
+    bb = jnp.asarray([[30.0, 30.0, 30.0, 30.0]])
+    props = jnp.asarray([[[30.0, 30.0, 30.0, 30.0]] * 2])
+    params = jax.jit(lambda k: model.init(k, im, im, bb, props,
+                                          method="init_forward"))(
+        jax.random.PRNGKey(0))
+
+    h = S // 16
+    yy, xx = np.mgrid[0:h, 0:h].astype(np.float32)
+    lab = np.exp(-0.5 * ((yy - 3.0) ** 2 + (xx - 2.0) ** 2))[None]
+    batch = {
+        "train_images": jnp.asarray(r.uniform(-1, 1, (1, S, S, 3)).astype(np.float32)),
+        "train_anno": jnp.asarray([[30.0, 30.0, 30.0, 30.0]]),
+        "test_prev": jnp.asarray(r.uniform(-1, 1, (1, S, S, 3)).astype(np.float32)),
+        "test_cur": jnp.asarray(r.uniform(-1, 1, (1, S, S, 3)).astype(np.float32)),
+        "label_prev": jnp.asarray(lab),
+        "label_cur": jnp.asarray(lab),
+    }
+    losses, stats = _overfit(
+        params,
+        lambda tx: zoo_actors.make_kys_train_step(model, tx,
+                                                  filter_optim_iter=2),
+        batch, steps=10)
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+@pytest.mark.slow
+def test_lwl_segmentation_overfits():
+    """LWL offline training (SegmSeqActor + Lovász hinge): segmentation
+    loss decreases, differentiating THROUGH the GN few-shot learner."""
+    from mmtrack_tpu.models.lwl import build_lwl
+
+    model = build_lwl(num_filters=2, label_encoder_dims=(4, 8, 8),
+                      decoder_mdim=16, optim_iter=2)
+    S = 96
+    r = np.random.RandomState(1)
+    mask = np.zeros((1, S, S), np.float32)
+    mask[:, 30:60, 40:80] = 1.0
+    batch = {
+        "train_images": jnp.asarray(r.uniform(-1, 1, (1, S, S, 3)).astype(np.float32)),
+        "test_images": jnp.asarray(r.uniform(-1, 1, (1, S, S, 3)).astype(np.float32)),
+        "train_masks": jnp.asarray(mask),
+        "test_masks": jnp.asarray(mask),
+    }
+    params = jax.jit(lambda k: model.init(k, batch["train_images"],
+                                          batch["test_images"],
+                                          batch["train_masks"]))(
+        jax.random.PRNGKey(0))
+
+    tx = build_optimizer(params, lr=1e-3, weight_decay=0.0,
+                         lr_drop_step=10_000, grad_clip_norm=1.0)
+    state = TrainState.create(params, tx)
+    step = jax.jit(zoo_actors.make_lwl_train_step(model, tx))
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for _ in range(10):
+        rng, k = jax.random.split(rng)
+        state, stats = step(state, batch, k)
+        losses.append(float(stats["Loss/segm"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_lovasz_hinge_loss_matches_reference():
+    """JAX Lovász hinge == the reference's torch implementation
+    (lovasz_loss.py:20-122, per_image=True)."""
+    torch = pytest.importorskip("torch")
+    from mmtrack_tpu.ops.losses import lovasz_hinge_loss
+
+    r = np.random.RandomState(3)
+    logits = r.randn(3, 8, 9).astype(np.float32)
+    labels = (r.rand(3, 8, 9) > 0.6).astype(np.float32)
+
+    def torch_lovasz(log, lab):
+        # reference lovasz_hinge_flat per image
+        losses = []
+        for lg, lb in zip(log, lab):
+            lg = torch.tensor(lg.reshape(-1))
+            lb = torch.tensor(lb.reshape(-1))
+            signs = 2.0 * lb - 1.0
+            errors = 1.0 - lg * signs
+            errors_sorted, perm = torch.sort(errors, 0, descending=True)
+            gt_sorted = lb[perm]
+            gts = gt_sorted.sum()
+            inter = gts - gt_sorted.cumsum(0)
+            union = gts + (1 - gt_sorted).cumsum(0)
+            jac = 1.0 - inter / union
+            jac[1:] = jac[1:] - jac[:-1]
+            losses.append(float(torch.dot(torch.relu(errors_sorted), jac)))
+        return np.mean(losses)
+
+    ours = float(lovasz_hinge_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    assert ours == pytest.approx(torch_lovasz(logits, labels), abs=1e-5)
+
+
+@pytest.mark.slow
+def test_alpha_refine_trains():
+    """AR training (ARcm_Actor: corner + 10000x mask BCE; mask_flag
+    gating): total loss decreases on a fixed batch."""
+    from mmtrack_tpu.models.alpha_refine import AlphaRefineNet
+
+    model = AlphaRefineNet(input_size=128)
+    r = np.random.RandomState(0)
+    t = jnp.asarray(r.uniform(-1, 1, (2, 128, 128, 3)).astype(np.float32))
+    s = jnp.asarray(r.uniform(-1, 1, (2, 128, 128, 3)).astype(np.float32))
+    t_box = jnp.asarray([[32.0, 32.0, 64.0, 64.0]] * 2)
+    mask = np.zeros((2, 128, 128), np.float32)
+    mask[:, 40:90, 30:100] = 1.0
+    batch = {
+        "template": t, "template_anno": t_box, "search": s,
+        "search_anno": jnp.asarray([[0.25, 0.3, 0.5, 0.4]] * 2),
+        "masks": jnp.asarray(mask),
+        "mask_valid": jnp.asarray([1.0, 0.0]),  # exercise the flag gating
+    }
+    params = jax.jit(lambda k: model.init(k, t, t_box, s))(
+        jax.random.PRNGKey(0))
+    losses, stats = _overfit(
+        params, lambda tx: zoo_actors.make_ar_train_step(model, tx), batch,
+        steps=10)
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
