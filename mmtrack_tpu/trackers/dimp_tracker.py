@@ -99,7 +99,9 @@ class DiMPRuntime:
 
 
 def _normalize(patch: jnp.ndarray) -> jnp.ndarray:
-    return (patch / 255.0 - jnp.asarray(MEAN_6CH)) / jnp.asarray(STD_6CH)
+    c = patch.shape[-1]  # 6-ch composed frames or plain RGB
+    return (patch / 255.0 - jnp.asarray(MEAN_6CH[:c])) \
+        / jnp.asarray(STD_6CH[:c])
 
 
 def _sample_geometry(rt: DiMPRuntime, pos_yx, target_scale,

@@ -130,6 +130,10 @@ def kys_init_state(rt: KYSRuntime, model: KYSNet, params, frame, init_box_xywh):
         "gru_valid": jnp.asarray(False),
         "prev_label": label,
         "prev_box_patch": box_patch,
+        # per-frame observability (confidence maps + parity harness)
+        "last_dimp": jnp.zeros((S, S), jnp.float32),
+        "last_fused": jnp.zeros((S, S), jnp.float32),
+        "last_flag": jnp.asarray(FLAG_NORMAL, jnp.int32),
     })
     return state
 
@@ -160,16 +164,31 @@ def kys_track_step(rt: KYSRuntime, model: KYSNet, params, state: dict,
                    frame: jnp.ndarray):
     """One tracked frame (dimp_motion.py:115-214). Returns
     (state, box_xywh, fused_score)."""
-    H_im, W_im = float(frame.shape[0]), float(frame.shape[1])
+    crop_sz, tl, sample_pos, sample_scale = _sample_geometry(
+        rt, state["pos"], state["target_scale"],
+        im_hw=(frame.shape[0], frame.shape[1]))
+    patch = crop_at(frame, state["pos"], crop_sz, rt.image_sample_size,
+                    origin_yx=tl)
+    return kys_step_from_patch(rt, model, params, state, patch,
+                               sample_pos, sample_scale,
+                               (float(frame.shape[0]),
+                                float(frame.shape[1])))
+
+
+def kys_step_from_patch(rt: KYSRuntime, model: KYSNet, params, state: dict,
+                        patch: jnp.ndarray, sample_pos, sample_scale,
+                        img_hw):
+    """The tracked-frame step from an already-extracted raw (0..255)
+    sample patch + its geometry (everything in dimp_motion.py:115-214
+    after extract_backbone_features). Shared by the fused device path and
+    the trajectory parity harness, which feeds the reference's own
+    crops."""
+    H_im, W_im = img_hw
     state = {**state, "frame_num": state["frame_num"] + 1}
     rng, rng_refine = jax.random.split(state["rng"])
     state = {**state, "rng": rng}
 
-    crop_sz, tl, sample_pos, sample_scale = _sample_geometry(
-        rt, state["pos"], state["target_scale"],
-        im_hw=(frame.shape[0], frame.shape[1]))
-    patch = _normalize(crop_at(frame, state["pos"], crop_sz,
-                               rt.image_sample_size, origin_yx=tl))
+    patch = _normalize(patch)
     bfeat = model.apply(params, patch[None], method=KYSNet.extract_backbone)
     clf_feat = model.apply(params, bfeat,
                            method=KYSNet.extract_classification_feat)
@@ -245,6 +264,8 @@ def kys_track_step(rt: KYSRuntime, model: KYSNet, params, state: dict,
     flag = jnp.where(not_found, FLAG_NOT_FOUND,
                      jnp.where(hard_neg, FLAG_HARD_NEG, FLAG_NORMAL))
     found = flag != FLAG_NOT_FOUND
+    state = {**state, "last_dimp": scores_dimp, "last_fused": scores_am,
+             "last_flag": flag}
 
     # ---- position / IoUNet scale update (dimp_motion.py:156-192) ----
     new_pos = sample_pos + translation
