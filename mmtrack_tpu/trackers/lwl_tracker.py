@@ -97,6 +97,21 @@ def _crop_geometry(rt: LWLRuntime, pos, target_scale):
     return szl, tl, sample_pos, sample_scale
 
 
+def _crop_mask_nearest(img: jnp.ndarray, tl, szl, out_sz: int) -> jnp.ndarray:
+    """Mask crop matching sample_patch(is_mask=True): integer tl/size crop
+    with ZERO padding, then F.interpolate(mode='nearest') — src index =
+    floor(dst * in/out) (preprocessing.py:133,145). img (H, W) -> (S, S)."""
+    H, W = img.shape
+    idx = jnp.floor(jnp.arange(out_sz, dtype=jnp.float32)
+                    * (szl / out_sz)).astype(jnp.int32)
+    ys = tl[0].astype(jnp.int32) + idx
+    xs = tl[1].astype(jnp.int32) + idx
+    vy = (ys >= 0) & (ys < H)
+    vx = (xs >= 0) & (xs < W)
+    g = img[jnp.clip(ys, 0, H - 1)][:, jnp.clip(xs, 0, W - 1)]
+    return jnp.where(vy[:, None] & vx[None, :], g, 0.0)
+
+
 def _seg_to_box(rt: LWLRuntime, prob_im: jnp.ndarray, pos, target_sz):
     """get_target_state 'var' mode (lwl.py:281-305); prob_im (H, W)."""
     H, W = prob_im.shape
@@ -151,8 +166,9 @@ def _paste_scores(rt: LWLRuntime, scores: jnp.ndarray, sample_pos,
 
 
 def _mask_to_box(mask: jnp.ndarray) -> jnp.ndarray:
-    """masks_to_bboxes(fmt='t'): tight box of the binary mask; zeros when
-    empty (bounding_box_utils.py)."""
+    """masks_to_bboxes(fmt='t') (bounding_box_utils.py:160-193): tight
+    (x, y, w, h) of the binary mask; an empty mask maps through the
+    reference's [0,0,0,0]-vertices path to (0, 0, 1, 1)."""
     H, W = mask.shape
     any_row = mask.any(axis=1)
     any_col = mask.any(axis=0)
@@ -164,7 +180,8 @@ def _mask_to_box(mask: jnp.ndarray) -> jnp.ndarray:
     x1 = jnp.max(jnp.where(any_col, xs, -1))
     nonempty = any_row.any()
     box = jnp.stack([x0, y0, x1 - x0 + 1, y1 - y0 + 1]).astype(jnp.float32)
-    return jnp.where(nonempty, box, jnp.zeros(4, jnp.float32))
+    return jnp.where(nonempty, box,
+                     jnp.asarray([0.0, 0.0, 1.0, 1.0], jnp.float32))
 
 
 def _update_memory(rt: LWLRuntime, state, feat, mask_crop, lr):
@@ -224,9 +241,8 @@ def lwl_init_state(rt: LWLRuntime, model: LWLNet, params, frame,
                                                        target_scale)
     patch = _normalize(crop_at(frame, init_sample_pos, szl,
                                rt.image_sample_size, origin_yx=tl))
-    mask_crop = crop_at(init_mask[..., None], init_sample_pos, szl,
-                        rt.image_sample_size, border="zeros",
-                        origin_yx=tl)[..., 0]
+    mask_crop = _crop_mask_nearest(init_mask, tl, szl,
+                                   rt.image_sample_size)
 
     bfeat = model.apply(params, patch[None], method="extract_backbone")
     feat = model.apply(params, bfeat,
@@ -275,9 +291,8 @@ def lwl_track_step(rt: LWLRuntime, model: LWLNet, params, state: dict,
     if rt.update_target_model:
         szl_p, tl_p, _, _ = _crop_geometry(rt, state["prev_pos"],
                                            state["prev_scale"])
-        prev_mask_crop = crop_at(prev_prob[..., None], state["prev_pos"],
-                                 szl_p, rt.image_sample_size,
-                                 border="zeros", origin_yx=tl_p)[..., 0]
+        prev_mask_crop = _crop_mask_nearest(prev_prob, tl_p, szl_p,
+                                            rt.image_sample_size)
         can_update = state["frame_num"] > 2
         updated = _update_memory(rt, state, state["prev_feat"],
                                  prev_mask_crop, rt.learning_rate)

@@ -89,8 +89,9 @@ def test_paste_scores_matches_interpolate_then_paste():
 def test_mask_to_box():
     m = jnp.zeros((20, 30), bool).at[5:9, 10:17].set(True)
     np.testing.assert_array_equal(np.asarray(_mask_to_box(m)), [10, 5, 7, 4])
+    # empty mask: the reference's [0,0,0,0]-vertices path gives (0,0,1,1)
     np.testing.assert_array_equal(
-        np.asarray(_mask_to_box(jnp.zeros((20, 30), bool))), [0, 0, 0, 0])
+        np.asarray(_mask_to_box(jnp.zeros((20, 30), bool))), [0, 0, 1, 1])
 
 
 def test_lwl_runtime_defaults():
