@@ -220,7 +220,10 @@ def run_vot_exp(tracker_factory, channels: str, dtype: str = "rgbcolormap",
     With mask=True the entry speaks the VOT2020+ mask protocol: the init
     region may arrive as a mask (bounding rect seeds the tracker,
     vot20_utils.rect_from_mask) and every state is reported as a
-    segmentation mask produced by the Alpha-Refine plug-in
+    segmentation mask. Trackers that natively predict masks
+    (tracker.predicts_segmentation_mask, e.g. LWL — the reference's
+    lwl.py:19-20 flag) report their own mask and receive the init mask
+    verbatim; others go through the Alpha-Refine plug-in
     (refine_factory() -> ARcmSeg; MIXFORMER_ALPHA_SEG pattern,
     promix_vot2022_rgbd.py:24-60)."""
     from mmtrack_tpu.data.composition import get_x_frame
@@ -242,9 +245,20 @@ def run_vot_exp(tracker_factory, channels: str, dtype: str = "rgbcolormap",
         rect = region
     init_box = [rect.x, rect.y, rect.width, rect.height]
     tracker = tracker_factory()
-    tracker.initialize(image, {"init_bbox": init_box})
+    native_mask = mask and getattr(tracker, "predicts_segmentation_mask",
+                                   False)
+    info = {"init_bbox": init_box}
+    if native_mask and isinstance(region, Mask):
+        import numpy as np
+
+        full = np.zeros(image.shape[:2], np.float32)
+        mh, mw = region.mask.shape
+        y0, x0 = int(region.y), int(region.x)
+        full[y0:y0 + mh, x0:x0 + mw] = region.mask
+        info["init_mask"] = full
+    tracker.initialize(image, info)
     refiner = None
-    if mask:
+    if mask and not native_mask:
         refiner = refine_factory()
         refiner.initialize(image[..., :3].astype("float32"), init_box)
     while True:
@@ -257,7 +271,12 @@ def run_vot_exp(tracker_factory, channels: str, dtype: str = "rgbcolormap",
                             dtype, depth_clip=depth_clip)
         out = tracker.track(image)
         b = out["target_bbox"]
-        if refiner is not None:
+        if native_mask:
+            import numpy as np
+
+            binary = np.asarray(out["segmentation"]).astype("uint8")
+            handle.report(Mask(0, 0, binary), out.get("best_score", 1.0))
+        elif refiner is not None:
             import numpy as np
 
             _, m = refiner.refine(image[..., :3].astype("float32"), b)

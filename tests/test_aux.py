@@ -163,6 +163,59 @@ def test_run_vot_exp_mask_protocol(tmp_path):
     assert rep.mask[10, 8] == 1 and rep.mask[0, 0] == 0
 
 
+class _MaskTracker:
+    """Natively mask-predicting tracker (the LWL interface)."""
+
+    predicts_segmentation_mask = True
+
+    def initialize(self, image, info):
+        self.box = info["init_bbox"]
+        # the native path must receive the full-image init mask
+        assert "init_mask" in info
+        assert info["init_mask"].shape == image.shape[:2]
+        self.init_mask_sum = float(info["init_mask"].sum())
+
+    def track(self, image):
+        m = np.zeros(image.shape[:2], bool)
+        x, y, w, h = [int(v) for v in self.box]
+        m[y:y + h, x:x + w] = True
+        return {"target_bbox": self.box, "segmentation": m,
+                "best_score": 0.8}
+
+
+def test_run_vot_exp_native_mask_tracker(tmp_path):
+    """A predicts_segmentation_mask tracker (LWL) reports its OWN mask and
+    consumes the init mask verbatim — no Alpha-Refine involved."""
+    import cv2
+    from mmtrack_tpu.eval.vot import Mask, _decode_region, _encode_region
+
+    rgbp = str(tmp_path / "c.jpg")
+    xp = str(tmp_path / "x.png")
+    cv2.imwrite(rgbp, np.zeros((40, 50, 3), np.uint8))
+    cv2.imwrite(xp, np.full((40, 50), 900, np.uint16))
+
+    init_mask = np.zeros((12, 10), np.uint8)
+    init_mask[2:10, 1:9] = 1
+    region = _encode_region(Mask(5, 6, init_mask))
+    fin, fout = _trax_dialog([
+        f'@@TRAX:initialize "file://{rgbp}" "file://{xp}" "{region}"',
+        f'@@TRAX:frame "file://{rgbp}" "file://{xp}"',
+        '@@TRAX:quit',
+    ])
+    run_vot_exp(_MaskTracker, channels="rgbd", dtype="rgbcolormap",
+                fin=fin, fout=fout, mask=True,
+                refine_factory=lambda: (_ for _ in ()).throw(
+                    AssertionError("refiner must not be built")))
+    out = fout.getvalue()
+    assert out.count("@@TRAX:state") == 2
+    state_line = [l for l in out.splitlines() if "@@TRAX:state" in l][-1]
+    enc = state_line.split('"')[1]
+    rep = _decode_region(enc)
+    assert rep.mask.shape == (40, 50)
+    # the tracker painted its init rect (6, 8, 8, 8)
+    assert rep.mask[10, 8] == 1 and rep.mask[0, 0] == 0
+
+
 # ---------------------------------------------------------------- analysis
 
 def _fake_results(tmp_path, n_seqs=2, n=10):
