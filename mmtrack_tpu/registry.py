@@ -198,6 +198,15 @@ def _mosse():
     return build
 
 
+def _scsrdcf():
+    """SCSRDCF (keep_track_vot2021/pytracking/tracker/scsrdcf): SRDCF-style
+    spatially-regularized DCF solved by frequency-domain SOR."""
+    def build(seed=0, params=None):
+        from mmtrack_tpu.trackers.scsrdcf_tracker import SCSRDCFTracker
+        return SCSRDCFTracker()
+    return build
+
+
 def _siamfc():
     def build(seed=0, params=None):
         from mmtrack_tpu.models.siamfc import SiamFC
@@ -359,6 +368,7 @@ TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
     "eco": TrackerRecipe(_eco(), "rgb", "eco", composition="color"),
     "ccot": TrackerRecipe(_ccot(), "rgb", "eco", composition="color"),
     "mosse": TrackerRecipe(_mosse(), "rgb", "eco", composition="color"),
+    "scsrdcf": TrackerRecipe(_scsrdcf(), "rgb", "eco", composition="color"),
     # classic zoo
     "siamfc": TrackerRecipe(_siamfc(), "rgbe", "siamfc"),
     "mdnet": TrackerRecipe(_mdnet("single"), "rgb", "mdnet"),

@@ -297,3 +297,34 @@ def test_ccot_tracker_end_to_end():
     assert tr.state["filters"][1].shape[0] == 256
     for f in tr.state["filters"]:
         assert np.isfinite(np.asarray(f)).all()
+
+
+def test_scsrdcf_tracks_a_translating_pattern():
+    """SCSRDCF (scsrdcf.py:11-274): the SOR-solved spatially-regularized
+    filter must follow a rigid translating texture."""
+    from mmtrack_tpu.trackers.scsrdcf_tracker import (SCSRDCFRuntime,
+                                                      SCSRDCFTracker)
+
+    r = np.random.RandomState(0)
+    H, W = 120, 160
+    canvas = r.randint(0, 60, (H + 40, W + 40, 3)).astype(np.float32)
+    patch = r.randint(120, 255, (24, 30, 3)).astype(np.float32)
+
+    def frame(ox, oy):
+        f = canvas[20:20 + H, 20:20 + W].copy()
+        f[oy:oy + 24, ox:ox + 30] = patch
+        return f
+
+    rt = SCSRDCFRuntime(min_image_sample_size=48 ** 2,
+                        max_image_sample_size=64 ** 2)
+    tr = SCSRDCFTracker(rt)
+    tr.initialize(frame(40, 30), {"init_bbox": [40, 30, 30, 24]})
+    drift = []
+    for t in range(1, 6):
+        ox, oy = 40 + 3 * t, 30 + 2 * t
+        out = tr.track(frame(ox, oy))
+        b = out["target_bbox"]
+        drift.append(abs(b[0] + b[2] / 2 - (ox + 15))
+                     + abs(b[1] + b[3] / 2 - (oy + 12)))
+    assert max(drift) < 4.0, drift
+    assert np.isfinite(np.asarray(tr.state["f"])).all()
