@@ -78,10 +78,15 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
-                 out_layers: Sequence[str] = ("layer2", "layer3")) -> dict:
+                 out_layers: Sequence[str] = ("layer2", "layer3"),
+                 conv1_add: jnp.ndarray | None = None) -> dict:
         out = {}
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
+        if conv1_add is not None:
+            # STM's mask encoder adds its mask/other-object conv outputs to
+            # conv1 BEFORE bn1 (stm/model.py:55)
+            y = y + conv1_add
         y = FrozenBatchNorm(name="bn1")(y)
         y = nn.relu(y)
         out["conv1"] = y

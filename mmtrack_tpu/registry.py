@@ -198,6 +198,22 @@ def _mosse():
     return build
 
 
+def _stm():
+    """STM (keep_track_vot2021/pytracking/tracker/stm): space-time memory
+    mask tracking (Oh et al. ICCV'19, the fork's vendored copy)."""
+    def build(seed=0, params=None):
+        from mmtrack_tpu.models.stm import build_stm
+        from mmtrack_tpu.trackers.stm_tracker import STMRuntime, STMTracker
+        model = build_stm()
+        if params is None:
+            f = jnp.zeros((1, 384, 384, 3))
+            m = jnp.zeros((1, 384, 384))
+            params = jax.jit(lambda r: model.init(r, f, m))(
+                jax.random.PRNGKey(seed))
+        return STMTracker(model, params, STMRuntime())
+    return build
+
+
 def _scsrdcf():
     """SCSRDCF (keep_track_vot2021/pytracking/tracker/scsrdcf): SRDCF-style
     spatially-regularized DCF solved by frequency-domain SOR."""
@@ -363,6 +379,8 @@ TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
     "kys": TrackerRecipe(_kys(), "rgb", "dimp"),
     # LWL: few-shot segmentation (VOS) tracker (keep_track fork)
     "lwl": TrackerRecipe(_lwl(), "rgb", "lwl"),
+    # STM: space-time memory mask tracking (keep_track fork, vendored)
+    "stm": TrackerRecipe(_stm(), "rgb", "lwl"),
     # ECO (the keep_track fork's DCF family; also shipped by every
     # AR-external fork, e.g. SPT/external/AR/pytracking/tracker/eco)
     "eco": TrackerRecipe(_eco(), "rgb", "eco", composition="color"),
