@@ -133,7 +133,11 @@ def test_keeptrack_learned_matcher_end_to_end():
                           peaks=PeakMatchConfig(num_peaks=4),
                           use_augmentation=False,
                           use_learned_matcher=True, descriptor_dim=32)
-    net = DiMPNet(merge_type=None)
+    # KeepTrack rides the super_dimp_hinge base since the round-3 reference
+    # configuration (keeptrack_init_state optimizes via the hinge residual
+    # from tracker-side Gaussian labels) — the net MUST carry the hinge
+    # optimizer, like tests/test_keeptrack_tracker.py
+    net = DiMPNet(merge_type=None, optimizer_type="hinge")
     im = jnp.zeros((1, 96, 96, 6))
     bb = jnp.asarray([[30.0, 30.0, 30.0, 30.0]])
     props = jnp.asarray([[[30.0, 30.0, 30.0, 30.0]] * 2])
