@@ -684,6 +684,66 @@ def convert_lwl_checkpoint(state_dict: dict) -> dict:
     return flax.traverse_util.unflatten_dict(out)
 
 
+def convert_stm_checkpoint(state_dict: dict) -> dict:
+    """torch STM (keep_track_vot2021/pytracking/tracker/stm/model.py, the
+    fork's vendored Oh et al. net; public STM.pth naming, DataParallel
+    'module.' prefix tolerated) -> flax params for models/stm.build_stm.
+
+    The encoders are torchvision ResNet-50 trunks with renamed stages
+    (res2/res3/res4 = layer1/layer2/layer3) — rename and reuse the shared
+    resnet converter; layer4/fc are unused by STM and stay at their
+    initialized values (expected `missing` on load)."""
+    out: dict[tuple, np.ndarray] = {}
+
+    def put(path, value):
+        out[tuple(path.split("/"))] = value
+
+    stage = {"res2": "layer1", "res3": "layer2", "res4": "layer3"}
+    for name, t in state_dict.items():
+        if name.startswith("module."):
+            name = name[len("module."):]
+        m = re.match(r"(Encoder_M|Encoder_Q)\.(.+)", name)
+        if m:
+            enc = "encoder_m" if m.group(1) == "Encoder_M" else "encoder_q"
+            sub = m.group(2)
+            if sub in ("mean", "std"):
+                continue
+            m2 = re.match(r"conv1_(m|o)\.weight", sub)
+            if m2:
+                put(f"conv1_{m2.group(1)}/kernel", _conv_kernel(t))
+                continue
+            m2 = re.match(r"(res\d)\.(.+)", sub)
+            if m2:
+                sub = f"{stage[m2.group(1)]}.{m2.group(2)}"
+            _convert_resnet("enc", enc, f"enc.{sub}", t, put)
+            continue
+        m = re.match(r"KV_(M|Q)_r4\.(Key|Value)\.(weight|bias)", name)
+        if m:
+            base = f"KV_{m.group(1)}_{m.group(2)}"
+            if m.group(3) == "weight":
+                put(f"{base}/kernel", _conv_kernel(t))
+            else:
+                put(f"{base}/bias", _np(t))
+            continue
+        m = re.match(r"Decoder\.(.+)", name)
+        if m:
+            sub = m.group(1)
+            sub = sub.replace("convFM", "dec_convFM") \
+                     .replace("ResMM", "ResMM") \
+                     .replace("pred2", "dec_pred2")
+            # map module paths onto the flax names
+            sub = re.sub(r"^ResMM\.", "dec_ResMM/", sub)
+            sub = re.sub(r"^RF(\d)\.", r"dec_RF\1/", sub)
+            sub = sub.replace(".", "/")
+            leaf = "kernel" if sub.endswith("/weight") else "bias"
+            base = sub.rsplit("/", 1)[0]
+            v = _conv_kernel(t) if leaf == "kernel" else _np(t)
+            put(f"{base}/{leaf}", v)
+            continue
+
+    return flax.traverse_util.unflatten_dict(out)
+
+
 def convert_eco_backbone_checkpoint(state_dict: dict) -> dict:
     """resnet18_vggmconv1.pth (ECO's feature net: keep_track_vot2021/ltr/
     models/backbone/resnet_vggm.py, loaded raw by resnet18_vggmconv1 and

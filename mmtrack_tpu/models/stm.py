@@ -11,9 +11,9 @@ a refinement decoder (ResBlock + two Refine stages + 2-class head,
 4x bilinear upsample).
 
 The tracker here is single-object (the fork's STM tracker runs K=2 =
-background + target; for that K the soft-aggregation round-trip
-log-odds -> softmax is the identity on the object probability, so the
-runtime carries the object probability directly). The memory is a
+background + target; the soft-aggregation + tracker-softmax round-trip
+SHARPENS the object probability to sigmoid(2 logit(p)) — reproduced
+exactly, clamp included, in segment()). The memory is a
 STATIC ring of `mem_slots` key/value frames with a validity mask folded
 into the attention softmax — the reference's unbounded concat +
 first-frame-protected truncation (stm.py:100-112) expressed with fixed
@@ -122,7 +122,7 @@ class STMNet(nn.Module):
     def segment(self, frame, mem_keys, mem_vals, mem_valid):
         """frame (1, H, W, 3); mem_keys (T, h, w, keydim), mem_vals
         (T, h, w, valdim), mem_valid (T,) in {0, 1}. Returns the object
-        probability (H, W) (Soft_aggregation is the identity at K=2)."""
+        AGGREGATED probability (H, W)."""
         r4, r3, r2 = self.query_features(frame)
         qk = self.kv_q_key(r4)[0]            # (h, w, kd)
         qv = self.kv_q_val(r4)[0]            # (h, w, vd)
@@ -145,7 +145,16 @@ class STMNet(nn.Module):
         logit = self.dec_pred(nn.relu(m2))
         H, W = frame.shape[1:3]
         logit = jax.image.resize(logit, (1, H, W, 2), method="bilinear")
-        return jax.nn.softmax(logit, axis=-1)[0, ..., 1]  # object prob
+        ps = jax.nn.softmax(logit, axis=-1)[0, ..., 1]
+        # Soft_aggregation + the tracker's softmax over K (model.py:212-219
+        # + stm.py:131): at K=2 em=[1-p, p] -> log-odds -> softmax is NOT
+        # the identity — it SHARPENS: p_out = sigmoid(2 logit(p)), with the
+        # reference's 1e-7 clamp reproduced
+        em1 = jnp.clip(ps, 1e-7, 1 - 1e-7)
+        em0 = jnp.clip(1.0 - ps, 1e-7, 1 - 1e-7)
+        l1 = jnp.log(em1 / (1.0 - em1))
+        l0 = jnp.log(em0 / (1.0 - em0))
+        return jnp.exp(l1 - jnp.logaddexp(l0, l1))  # aggregated object prob
 
     def __call__(self, frame, mask):
         """Init-time forward touching every submodule (B=1: the memorize

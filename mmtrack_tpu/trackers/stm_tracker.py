@@ -2,7 +2,9 @@
 
 Rebuild of the keep_track fork's STM tracker
 (RGBD/models/keep_track_vot2021/pytracking/tracker/stm/stm.py:17-354),
-single-object mode. Per tracked frame:
+single-object mode (probabilities carry the reference's K=2
+soft-aggregation sharpening — models/stm.py segment). Per tracked
+frame:
 
   - crop the search region around the current position (replicate
     border, the shared sample_patch geometry),

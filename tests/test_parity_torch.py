@@ -88,6 +88,16 @@ def test_lwl_reference_weight_parity():
     assert res["ok"], res
 
 
+def test_stm_reference_weight_parity():
+    """The reference's own vendored STM (torch) vs models/stm.py on
+    converted weights: memory key/value maps + the aggregated object
+    probability over a 2-frame memory."""
+    from tools.parity.check_stm import run
+
+    res = run()
+    assert res["ok"], res
+
+
 def test_mixformer_reference_weight_parity_small():
     """Structural parity at reduced dims (full published scale takes ~15 min
     on this 1-core host; run `python tools/parity/check_mixformer.py` for the

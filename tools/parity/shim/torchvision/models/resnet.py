@@ -2,6 +2,7 @@
 definitions (used by the reference's clf-feature builders) and the
 model_urls table (referenced only on pretrained=True paths)."""
 
+import torch
 import torch.nn as nn
 
 model_urls = {k: f"https://unavailable/{k}.pth" for k in
@@ -68,3 +69,55 @@ class Bottleneck(nn.Module):
         if self.downsample is not None:
             identity = self.downsample(x)
         return self.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """torchvision-faithful trunk (public API; STM's Encoder_M/Q consume
+    conv1/bn1/relu/maxpool/layer1-3 attributes)."""
+
+    def __init__(self, block, layers, num_classes=1000, norm_layer=None):
+        super().__init__()
+        norm_layer = norm_layer or nn.BatchNorm2d
+        self._norm_layer = norm_layer
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(3, 64, kernel_size=7, stride=2, padding=3,
+                               bias=False)
+        self.bn1 = norm_layer(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(kernel_size=3, stride=2, padding=1)
+        self.layer1 = self._make_layer(block, 64, layers[0])
+        self.layer2 = self._make_layer(block, 128, layers[1], stride=2)
+        self.layer3 = self._make_layer(block, 256, layers[2], stride=2)
+        self.layer4 = self._make_layer(block, 512, layers[3], stride=2)
+        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = nn.Linear(512 * block.expansion, num_classes)
+
+    def _make_layer(self, block, planes, blocks, stride=1):
+        norm_layer = self._norm_layer
+        downsample = None
+        if stride != 1 or self.inplanes != planes * block.expansion:
+            downsample = nn.Sequential(
+                conv1x1(self.inplanes, planes * block.expansion, stride),
+                norm_layer(planes * block.expansion))
+        layers = [block(self.inplanes, planes, stride, downsample,
+                        norm_layer=norm_layer)]
+        self.inplanes = planes * block.expansion
+        for _ in range(1, blocks):
+            layers.append(block(self.inplanes, planes, norm_layer=norm_layer))
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        x = torch.flatten(self.avgpool(x), 1)
+        return self.fc(x)
+
+
+def resnet50(pretrained=False, weights=None, **kwargs):
+    # shim: no egress, pretrained weights unavailable; random init is what
+    # the parity harness compares
+    return ResNet(Bottleneck, [3, 4, 6, 3], **kwargs)
+
+
+def resnet18(pretrained=False, weights=None, **kwargs):
+    return ResNet(BasicBlock, [2, 2, 2, 2], **kwargs)
