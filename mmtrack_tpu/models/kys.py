@@ -37,7 +37,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mmtrack_tpu.models.dimp import DiMPNet, build_dimp50
+from mmtrack_tpu.models.dimp import build_dimp50
 from mmtrack_tpu.models.heads import FrozenBatchNorm
 
 

@@ -18,7 +18,6 @@ reports after weight decay.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
 
 import jax

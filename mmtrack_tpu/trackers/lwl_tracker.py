@@ -37,7 +37,6 @@ defaults.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import partial
 

@@ -39,8 +39,7 @@ import numpy as np
 from mmtrack_tpu.models.stm import STMNet
 from mmtrack_tpu.ops.crop import crop_at
 from mmtrack_tpu.trackers.lwl_tracker import (_crop_geometry,
-                                              _crop_mask_nearest,
-                                              _mask_to_box)
+                                              _crop_mask_nearest)
 
 
 @dataclass(frozen=True)
