@@ -173,6 +173,48 @@ class LabelEncoder(nn.Module):
         return label, sw
 
 
+class BoxLabelEncoder(nn.Module):
+    """ResidualDS16FeatSWBoxCatMultiBlock (label_encoder.py:58-126): a box
+    rasterized as a Gaussian at IMAGE resolution (bbox_to_gauss with the
+    reference's int() truncations of x/y/w/h), bilinearly resized to the
+    feature grid, concatenated with the target-model features, then a
+    chain of stride-1 BasicBlocks + a final conv_block — the LWL-box
+    variant's learned box->mask-encoding (lwl_box_net.py).
+
+    layer_dims = (d0, ..., num_filters): residual chain feat_dim+1 -> d0
+    -> ... -> d_{n-2}, label head d_{n-2} -> num_filters."""
+    layer_dims: Sequence[int] = (64, 32, 16)
+    gauss_scale: float = 0.25
+    use_final_relu: bool = True
+    use_bn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, bb_xywh: jnp.ndarray, feat: jnp.ndarray,
+                 image_hw: tuple[int, int]) -> jnp.ndarray:
+        """bb (B, 4) image-coord xywh; feat (B, h, w, C) target-model
+        features -> (B, h, w, num_filters) mask encoding."""
+        H, W = image_hw
+        bb = jnp.trunc(bb_xywh)                       # list(map(int, bb))
+        cx = bb[:, 0] + bb[:, 2] / 2
+        cy = bb[:, 1] + bb[:, 3] / 2
+        xs = jnp.arange(W, dtype=jnp.float32)
+        ys = jnp.arange(H, dtype=jnp.float32)
+        dx = (xs[None, :] - cx[:, None]) / (self.gauss_scale * bb[:, 2:3])
+        dy = (ys[None, :] - cy[:, None]) / (self.gauss_scale * bb[:, 3:4])
+        gauss = jnp.exp(-0.5 * (dy[:, :, None] ** 2 + dx[:, None, :] ** 2))
+
+        h, w = feat.shape[1:3]
+        g = interpolate(gauss[..., None], (h, w))
+        x = jnp.concatenate([feat, g], axis=-1)
+        for i, d in enumerate(self.layer_dims[:-1]):
+            x = _EncBasicBlock(d, stride=1, use_bn=self.use_bn,
+                               dtype=self.dtype, name=f"res_{i}")(x)
+        return _ConvBN(self.layer_dims[-1], 3, batch_norm=self.use_bn,
+                       relu=self.use_final_relu, dtype=self.dtype,
+                       name="label_pred")(x)
+
+
 class TSE(nn.Module):
     """Target Scale Estimation block (decoder.py:17-32)."""
     oc: int
@@ -387,6 +429,11 @@ class LWLNet(nn.Module):
     target_model_input_layer: str = "layer3"
     decoder_input_layers: Sequence[str] = ("layer4", "layer3", "layer2",
                                            "layer1")
+    # LWL-box variant (lwl_box_net.py): a learned box->mask-encoding so the
+    # tracker can initialize from a bounding box alone; (d0, ..., dn) with
+    # num_filters appended like the mask label encoder
+    use_box_encoder: bool = False
+    box_label_encoder_dims: Sequence[int] = (64, 32)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -400,6 +447,10 @@ class LWLNet(nn.Module):
         self.decoder = LWTLDecoder(self.num_filters, self.decoder_mdim,
                                    self.decoder_input_layers,
                                    use_bn=True, dtype=self.dtype)
+        if self.use_box_encoder:
+            self.box_label_encoder = BoxLabelEncoder(
+                tuple(self.box_label_encoder_dims) + (self.num_filters,),
+                dtype=self.dtype)
         # LWTLResidual's learnable regularization (meta-learned)
         self.filter_reg = self.param("filter_reg",
                                      lambda k: jnp.full((1,),
@@ -437,6 +488,14 @@ class LWLNet(nn.Module):
     def segment(self, filt, tm_feat, bfeat, image_hw):
         """segment_target (lwl_net.py:118-128): mask encoding + decoder."""
         enc = apply_target_model(tm_feat, filt)
+        return self.decoder(enc, bfeat, image_hw)
+
+    def mask_from_box(self, bb_xywh, tm_feat, bfeat, image_hw):
+        """The LWL-box init path (lwl.py:59-71): learned box->mask-encoding
+        -> decoder. Returns RAW logits (B, H, W) — the tracker stores
+        these as its first-frame wire (out['segmentation_raw'], lwl.py:74)
+        and sigmoids them for the init mask."""
+        enc = self.box_label_encoder(bb_xywh, tm_feat, image_hw)
         return self.decoder(enc, bfeat, image_hw)
 
     def __call__(self, train_im, test_im, train_masks,

@@ -23,11 +23,11 @@ Per tracked frame, in ONE compiled step over static shapes:
   - output the binary mask, its bounding box, and the probability map
     that becomes the next frame's update signal.
 
-Box-only init builds a rectangle mask from the box (the reference's
-LWL-box variant learns a box-to-mask label encoder
-(lwl_box_net.py + label_encoder.ResidualDS16FeatSWBoxCatMultiBlock);
-the rectangle is the encoder-free stand-in and is how masks_to_bboxes
-inverts anyway).
+Box-only init: models with `use_box_encoder` run the LWL-box variant's
+learned box->mask encoder on the full frame (lwl_box_net.py +
+label_encoder.ResidualDS16FeatSWBoxCatMultiBlock, trained by
+make_lwl_box_train_step); plain models fall back to rasterizing the box
+as a rectangle mask.
 
 The reference ships NO parameter file for LWL (pytracking/parameter/
 holds only keep_track + alpha_refine); constants marked (*) below are
@@ -219,13 +219,23 @@ def _update_memory(rt: LWLRuntime, state, feat, mask_crop, lr):
 def lwl_init_state(rt: LWLRuntime, model: LWLNet, params, frame,
                    init_box_xywh, init_mask=None):
     """initialize (lwl.py:27-106). `init_mask` (H, W) float in [0, 1];
-    None builds the rectangle mask from the box."""
+    None uses the learned box->mask encoder on the FULL frame when the
+    model carries one (lwl.py:59-71, the LWL-box variant), else the
+    rectangle rasterization of the box."""
     H, W = frame.shape[0], frame.shape[1]
     x, y, w, h = init_box_xywh
     pos = jnp.stack([y + (h - 1) / 2, x + (w - 1) / 2])
     target_sz = jnp.stack([h, w])
 
-    if init_mask is None:
+    box_init_raw = None
+    if init_mask is None and model.use_box_encoder:
+        full = _normalize(frame)[None]
+        bf = model.apply(params, full, method="extract_backbone")
+        tm = model.apply(params, bf, method="extract_target_model_features")
+        box_init_raw = model.apply(params, init_box_xywh[None], tm, bf,
+                                   (H, W), method="mask_from_box")[0]
+        init_mask = jax.nn.sigmoid(box_init_raw)
+    elif init_mask is None:
         iy = jnp.arange(H, dtype=jnp.float32)[:, None]
         ix = jnp.arange(W, dtype=jnp.float32)[None, :]
         init_mask = (((iy >= y) & (iy < y + h)) &
@@ -259,7 +269,10 @@ def lwl_init_state(rt: LWLRuntime, model: LWLNet, params, frame,
     # seg-to-box sum is hugely negative and the min_mask_area gate keeps
     # the init box — reproduced verbatim (later frames store sigmoid
     # probabilities, lwl.py:194-196)
-    seg_raw = (init_mask - 0.5) * 200.0
+    # box-encoder init stores the decoder's RAW logits (lwl.py:74); mask
+    # init the reference's +-100 scaling (lwl.py:57)
+    seg_raw = box_init_raw if box_init_raw is not None \
+        else (init_mask - 0.5) * 200.0
 
     return {
         "pos": pos, "target_sz": target_sz,

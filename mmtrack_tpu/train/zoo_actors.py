@@ -382,3 +382,34 @@ def make_ar_train_step(model, tx, corner_weight: float = 1.0,
         return _apply_update(state, tx, lg)
 
     return train_step
+
+
+def make_lwl_box_train_step(model, tx):
+    """LWL box-encoder training (LWTLBoxActor, keep_track_vot2021/ltr/
+    actors/segm_box.py:61-113): the learned box->mask-encoding is trained
+    so its decoded mask matches the ground-truth mask (Lovász hinge, the
+    use_lovasz_loss objective); everything else is frozen in the
+    reference (pass tx masked to the box_label_encoder subtree).
+
+    Batch: train_images (B,S,S,3), train_anno (B,4) image-coord xywh,
+    train_masks (B,S,S) in {0,1}.
+    """
+    from mmtrack_tpu.ops.losses import lovasz_hinge_loss
+
+    def train_step(state, batch, rng):
+        def loss_fn(params):
+            im = batch["train_images"]
+            bf = model.apply(params, im, method="extract_backbone")
+            tm = model.apply(params, bf,
+                             method="extract_target_model_features")
+            raw = model.apply(params, batch["train_anno"], tm, bf,
+                              im.shape[1:3], method="mask_from_box")
+            loss = lovasz_hinge_loss(raw, batch["train_masks"])
+            acc = (((raw > 0) == (batch["train_masks"] > 0.5))
+                   .astype(jnp.float32).mean())
+            return loss, {"Loss/total": loss, "Stats/acc_box_train": acc}
+
+        lg = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return _apply_update(state, tx, lg)
+
+    return train_step

@@ -144,3 +144,58 @@ def test_lwl_tracker_accepts_init_mask():
     tracker.initialize(frame, {"init_bbox": [30, 20, 30, 20],
                                "init_mask": mask})
     assert tracker.state is not None
+
+
+def test_lwl_box_encoder_init_and_training():
+    """The LWL-box variant (lwl_box_net.py): box->mask-encoding init on
+    the full frame + LWTLBoxActor-style training step."""
+    from mmtrack_tpu.train.optim import build_optimizer
+    from mmtrack_tpu.train.train_step import TrainState
+    from mmtrack_tpu.train import zoo_actors
+
+    net = build_lwl(num_filters=2, label_encoder_dims=(4, 8, 8),
+                    decoder_mdim=16, optim_iter=2, use_box_encoder=True,
+                    box_label_encoder_dims=(8, 8))
+    S = 96
+    r = np.random.RandomState(0)
+    im = jnp.asarray(r.uniform(-1, 1, (1, S, S, 3)).astype(np.float32))
+    m = jnp.zeros((1, S, S))
+
+    def init_fn(mod):
+        out = mod(im, im, m)
+        bf = mod.extract_backbone(im)
+        tm = mod.extract_target_model_features(bf)
+        mod.mask_from_box(jnp.asarray([[20.0, 20.0, 40.0, 30.0]]), tm, bf,
+                          (S, S))
+        return out
+
+    params = jax.jit(lambda k: net.init(k, method=init_fn))(
+        jax.random.PRNGKey(0))
+    assert "box_label_encoder" in params["params"]
+
+    # box-init path in the tracker (no init_mask supplied)
+    frame = np.random.RandomState(1).randint(
+        0, 255, (96, 96, 3)).astype(np.float32)
+    tracker = LWLTracker(net, params, RT)
+    tracker.initialize(frame, {"init_bbox": [20, 20, 40, 30]})
+    # the wire holds the box decoder's raw logits, not the +-100 scaling
+    raw = np.asarray(tracker.state["seg_prob_im"])
+    assert not set(np.unique(raw)).issubset({-100.0, 100.0})
+    assert np.isfinite(raw).all()
+
+    mask = np.zeros((1, S, S), np.float32)
+    mask[:, 25:55, 22:60] = 1.0
+    batch = {"train_images": im,
+             "train_anno": jnp.asarray([[22.0, 25.0, 38.0, 30.0]]),
+             "train_masks": jnp.asarray(mask)}
+    tx = build_optimizer(params, lr=1e-3, weight_decay=0.0,
+                         lr_drop_step=10_000, grad_clip_norm=1.0)
+    st = TrainState.create(params, tx)
+    step = jax.jit(zoo_actors.make_lwl_box_train_step(net, tx))
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for _ in range(8):
+        rng, k = jax.random.split(rng)
+        st, stats = step(st, batch, k)
+        losses.append(float(stats["Loss/total"]))
+    assert losses[-1] < losses[0], losses
