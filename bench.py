@@ -303,8 +303,35 @@ class _StreamPipeline:
         return arrs
 
 
+def _relay_alive() -> bool:
+    """Fast liveness probe of the remote-TPU relay: its local forwarding
+    ports refuse connections when the tpu_init daemon is dead (observed
+    round 3 — see docs/PERF.md outage record), in which case even
+    jax.devices() hangs; bail out immediately with a clear artifact
+    instead of burning the watchdog deadline."""
+    import socket
+
+    for port in (8082, 8092, 8102):
+        try:
+            socket.create_connection(("127.0.0.1", port), timeout=3).close()
+            return True
+        except OSError:
+            continue
+    return False
+
+
 def main() -> None:
     _start_watchdog()
+    if not _relay_alive():
+        _emit({
+            "metric": "vipt_streamed_track_fps_per_chip",
+            "value": -1.0,
+            "unit": "bench aborted: TPU relay daemon dead "
+                    "(forwarding ports refuse connections; "
+                    "see docs/PERF.md outage record)",
+            "vs_baseline": -1.0,
+        })
+        return
     from mmtrack_tpu.config import vipt_experiment_config
     from mmtrack_tpu.data.synthetic import make_synthetic_sequence
     from mmtrack_tpu.models.vipt import build_viptrack
