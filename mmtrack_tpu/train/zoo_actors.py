@@ -413,3 +413,56 @@ def make_lwl_box_train_step(model, tx):
         return _apply_update(state, tx, lg)
 
     return train_step
+
+
+def kys_adapt_batch(batch, S: int, tf: float, feat_stride: int = 16):
+    """Map the standard sampler batch (template/search/search_anno) to the
+    KYS pair batch (tools/train.py --script kys): the target-centered
+    template doubles as the PREVIOUS test frame (its box is S/tf centered
+    by crop construction); the jittered search is the current frame."""
+    from mmtrack_tpu.train.dimp_actor import gaussian_label_map
+
+    hS = S // feat_stride
+    side = S / tf
+    c = (S - side) / 2.0
+    anno = jnp.tile(jnp.asarray([c, c, side, side]),
+                    (batch["template"].shape[0], 1))
+    cur_bb = batch["search_anno"] * S
+    return {
+        "train_images": batch["template"][..., :3],
+        "train_anno": anno,
+        "test_prev": batch["template"][..., :3],
+        "test_cur": batch["search"][..., :3],
+        "label_prev": gaussian_label_map(anno, hS, S, kernel_sz=4),
+        "label_cur": gaussian_label_map(cur_bb, hS, S, kernel_sz=4),
+    }
+
+
+def _rect_masks(anno_px, size: int):
+    ys = jnp.arange(size, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(size, dtype=jnp.float32)[None, None, :]
+    x0 = anno_px[:, 0][:, None, None]
+    y0 = anno_px[:, 1][:, None, None]
+    return (((ys >= y0) & (ys < y0 + anno_px[:, 3][:, None, None]))
+            & ((xs >= x0) & (xs < x0 + anno_px[:, 2][:, None, None]))
+            ).astype(jnp.float32)
+
+
+def lwl_adapt_batch(batch, S: int, tf: float, box_mode: bool):
+    """Map the sampler batch to LWL training batches (tools/train.py
+    --script lwl / lwl_box). VOS mask corpora (YouTube-VOS/DAVIS) are
+    outside the benchmark's dataset surface; boxes rasterize to masks —
+    exactly the supervision the lwl_box variant assumes."""
+    side = S / tf
+    c = (S - side) / 2.0
+    anno_t = jnp.tile(jnp.asarray([c, c, side, side]),
+                      (batch["template"].shape[0], 1))
+    anno_s = batch["search_anno"] * S
+    if box_mode:
+        return {"train_images": batch["search"][..., :3],
+                "train_anno": anno_s,
+                "train_masks": _rect_masks(anno_s, S)}
+    return {"train_images": batch["template"][..., :3],
+            "test_images": batch["search"][..., :3],
+            "train_masks": _rect_masks(anno_t, S),
+            "test_masks": _rect_masks(anno_s, S)}

@@ -301,3 +301,55 @@ def test_alpha_refine_trains():
         steps=10)
     assert losses[-1] < losses[0], losses
     assert np.isfinite(losses).all()
+
+
+@pytest.mark.slow
+def test_kys_lwl_cli_batch_adapters():
+    """tools/train.py --script {kys,lwl,lwl_box} route the standard
+    sampler batch through these adapters; run one real step of each at
+    small geometry (the 288/256 CLI defaults only change shapes)."""
+    from mmtrack_tpu.models.kys import build_kysnet
+    from mmtrack_tpu.models.lwl import build_lwl
+
+    S = 96
+    r = np.random.RandomState(0)
+    batch = {
+        "template": jnp.asarray(r.uniform(-1, 1, (1, S, S, 6)).astype(np.float32)),
+        "search": jnp.asarray(r.uniform(-1, 1, (1, S, S, 6)).astype(np.float32)),
+        "search_anno": jnp.asarray([[0.3, 0.3, 0.3, 0.3]]),
+    }
+
+    kb = zoo_actors.kys_adapt_batch(batch, S, 5.0)
+    assert kb["label_cur"].shape == (1, S // 16, S // 16)
+    assert kb["train_images"].shape == (1, S, S, 3)
+    kys = build_kysnet()
+    im = jnp.zeros((1, S, S, 3))
+    bb = jnp.asarray([[30.0, 30.0, 30.0, 30.0]])
+    props = jnp.asarray([[[30.0, 30.0, 30.0, 30.0]] * 2])
+    kparams = jax.jit(lambda k: kys.init(k, im, im, bb, props,
+                                         method="init_forward"))(
+        jax.random.PRNGKey(0))
+    tx = build_optimizer(kparams, lr=1e-3, weight_decay=0.0,
+                         lr_drop_step=10_000, grad_clip_norm=1.0)
+    st = TrainState.create(kparams, tx)
+    step = jax.jit(zoo_actors.make_kys_train_step(kys, tx,
+                                                  filter_optim_iter=2))
+    st, stats = step(st, kb, jax.random.PRNGKey(1))
+    assert np.isfinite(float(stats["Loss/total"]))
+
+    lb = zoo_actors.lwl_adapt_batch(batch, S, 6.0, box_mode=False)
+    assert lb["train_masks"].shape == (1, S, S)
+    assert float(lb["test_masks"].sum()) > 0
+    lwl = build_lwl(num_filters=2, label_encoder_dims=(4, 8, 8),
+                    decoder_mdim=16, optim_iter=2)
+    lparams = jax.jit(lambda k: lwl.init(k, im, im, jnp.zeros((1, S, S))))(
+        jax.random.PRNGKey(0))
+    tx2 = build_optimizer(lparams, lr=1e-3, weight_decay=0.0,
+                          lr_drop_step=10_000, grad_clip_norm=1.0)
+    st2 = TrainState.create(lparams, tx2)
+    step2 = jax.jit(zoo_actors.make_lwl_train_step(lwl, tx2))
+    st2, stats2 = step2(st2, lb, jax.random.PRNGKey(1))
+    assert np.isfinite(float(stats2["Loss/segm"]))
+
+    lb_box = zoo_actors.lwl_adapt_batch(batch, S, 6.0, box_mode=True)
+    assert set(lb_box) == {"train_images", "train_anno", "train_masks"}

@@ -26,7 +26,8 @@ def main():
     p = argparse.ArgumentParser(description="Train a tracker (TPU-native)")
     p.add_argument("--script", default="vipt",
                    choices=["vipt", "ostrack", "dimp", "det_dimp", "stark",
-                            "mixformer", "siamfc", "mdnet", "apfnet"])
+                            "mixformer", "siamfc", "mdnet", "apfnet",
+                            "kys", "lwl", "lwl_box"])
     p.add_argument("--stage", default=None,
                    help="stark/mixformer: bbox|score; apfnet: 1|2|3 "
                         "(train_stage{1,2,3}.py)")
@@ -94,7 +95,8 @@ def main():
     dtype = jnp.bfloat16 if cfg.TRAIN.AMP else jnp.float32
     if args.script in ("dimp", "det_dimp"):
         return _train_dimp(args, cfg, dtype)
-    if args.script in ("stark", "mixformer", "siamfc", "mdnet", "apfnet"):
+    if args.script in ("stark", "mixformer", "siamfc", "mdnet", "apfnet",
+                       "kys", "lwl", "lwl_box"):
         return _train_zoo(args, cfg, dtype)
 
     logger = MetricLogger(os.path.join(save_dir, "logs"))
@@ -246,6 +248,12 @@ def _train_zoo(args, cfg, dtype):
         "siamfc": dict(template=127, search=255, tf=2.0, sf=4.0),
         "mdnet": dict(template=107, search=320, tf=1.2, sf=3.0),
         "apfnet": dict(template=107, search=320, tf=1.2, sf=3.0),
+        # kys: the target-centered template doubles as the PREVIOUS test
+        # frame (same 288 geometry as the tracker); lwl: equal-size pair
+        # for the few-shot learn-then-segment forward
+        "kys": dict(template=288, search=288, tf=5.0, sf=5.0),
+        "lwl": dict(template=256, search=256, tf=6.0, sf=6.0),
+        "lwl_box": dict(template=256, search=256, tf=6.0, sf=6.0),
     }[args.script]
     search_jitter = 0.5 if args.script == "siamfc" else 3.0
     proc = ViPTProcessing(
@@ -303,6 +311,63 @@ def _train_zoo(args, cfg, dtype):
         z = jnp.zeros((1, 127, 127, 6)); x = jnp.zeros((1, 255, 255, 6))
         params = jax.jit(lambda r: model.init(r, z, x))(jax.random.PRNGKey(args.seed))
         step_builder = lambda tx: zoo_actors.make_siamfc_train_step(model, tx)
+    elif args.script == "kys":
+        from mmtrack_tpu.models.kys import build_kysnet
+        import flax
+        model = build_kysnet(dtype=dtype)
+        im = jnp.zeros((1, 288, 288, 3))
+        bb = jnp.asarray([[100.0, 100.0, 80.0, 80.0]])
+        props = jnp.asarray([[[100.0, 100.0, 80.0, 80.0]] * 2])
+        params = jax.jit(lambda r: model.init(r, im, im, bb, props,
+                                              method="init_forward"))(
+            jax.random.PRNGKey(args.seed))
+        # the reference trains ONLY the predictor (KYSNet.train freezes
+        # the DiMP base)
+        flat = flax.traverse_util.flatten_dict(params["params"])
+        trainable_mask = {"params": flax.traverse_util.unflatten_dict(
+            {k: k[0] == "predictor" for k in flat})}
+
+        def step_builder(tx):
+            inner = zoo_actors.make_kys_train_step(model, tx)
+
+            def step(state, batch, rng):
+                return inner(state, zoo_actors.kys_adapt_batch(
+                    batch, sizes["search"], sizes["tf"]), rng)
+            return step
+    elif args.script in ("lwl", "lwl_box"):
+        from mmtrack_tpu.models.lwl import LWLNet
+        import flax
+        box_mode = args.script == "lwl_box"
+        model = LWLNet(filter_size=3, num_filters=16,
+                       label_encoder_dims=(16, 32, 64), optim_iter=5,
+                       use_box_encoder=box_mode, dtype=dtype)
+        S = sizes["search"]
+        imz = jnp.zeros((1, S, S, 3))
+        mz = jnp.zeros((1, S, S))
+        if box_mode:
+            def init_fn(m):
+                out = m(imz, imz, mz)
+                bf = m.extract_backbone(imz)
+                tm = m.extract_target_model_features(bf)
+                m.mask_from_box(jnp.zeros((1, 4)), tm, bf, (S, S))
+                return out
+            params = jax.jit(lambda r: model.init(r, method=init_fn))(
+                jax.random.PRNGKey(args.seed))
+            flat = flax.traverse_util.flatten_dict(params["params"])
+            trainable_mask = {"params": flax.traverse_util.unflatten_dict(
+                {k: k[0] == "box_label_encoder" for k in flat})}
+        else:
+            params = jax.jit(lambda r: model.init(r, imz, imz, mz))(
+                jax.random.PRNGKey(args.seed))
+
+        def step_builder(tx):
+            inner = (zoo_actors.make_lwl_box_train_step(model, tx)
+                     if box_mode else zoo_actors.make_lwl_train_step(model, tx))
+
+            def step(state, batch, rng):
+                return inner(state, zoo_actors.lwl_adapt_batch(
+                    batch, S, sizes["tf"], box_mode), rng)
+            return step
     else:  # mdnet / apfnet
         if args.script == "apfnet":
             from mmtrack_tpu.models.apfnet import APFNet, stage_mask
