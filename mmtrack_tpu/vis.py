@@ -26,6 +26,17 @@ def draw_box(frame: np.ndarray, box_xywh, color=(0, 0, 255), label: str | None =
     return im
 
 
+def overlay_mask(frame: np.ndarray, mask: np.ndarray,
+                 color=(0, 0, 255), alpha: float = 0.4) -> np.ndarray:
+    """Blend a binary segmentation mask over the frame (the mask-tracker
+    analog of draw_box; LWL/STM `segmentation` outputs)."""
+    im = np.ascontiguousarray(frame[..., :3][..., ::-1].copy())
+    m = np.asarray(mask, bool)
+    overlay = im.copy()
+    overlay[m] = color
+    return (im * (1 - alpha) + overlay * alpha).astype(np.uint8)
+
+
 def score_map_heatmap(score_map: np.ndarray, size: tuple[int, int] | None = None) -> np.ndarray:
     """(S, S) score map -> JET heatmap image (visdom 'heatmap' pane analog)."""
     s = np.asarray(score_map, np.float32)
@@ -57,11 +68,17 @@ class TrackingVisualizer:
 
     def add_frame(self, idx: int, frame: np.ndarray, box_xywh,
                   score_map: np.ndarray | None = None,
-                  gt_box=None, score: float | None = None) -> None:
+                  gt_box=None, score: float | None = None,
+                  mask: np.ndarray | None = None) -> None:
         if idx % self.every:
             return
-        im = draw_box(frame, box_xywh,
-                      label=None if score is None else f"{score:.3f}")
+        if mask is not None:
+            blended = overlay_mask(frame, mask)
+            im = draw_box(blended[..., ::-1], box_xywh,
+                          label=None if score is None else f"{score:.3f}")
+        else:
+            im = draw_box(frame, box_xywh,
+                          label=None if score is None else f"{score:.3f}")
         if gt_box is not None:
             im = cv2.rectangle(im, (int(gt_box[0]), int(gt_box[1])),
                                (int(gt_box[0] + gt_box[2]), int(gt_box[1] + gt_box[3])),

@@ -61,7 +61,8 @@ def main():
         out = tracker.track(frames[t])
         vis.add_frame(t, frames[t], out["target_bbox"],
                       gt_box=None if gt is None else gt[t],
-                      score=out.get("best_score"))
+                      score=out.get("best_score"),
+                      mask=out.get("segmentation"))
         print(f"frame {t}: box={['%.1f' % v for v in out['target_bbox']]} "
               f"score={out.get('best_score', 0):.3f}")
     print("visualization:", vis.write_index())
