@@ -159,3 +159,31 @@ def test_batched_tracker_matches_single():
 def test_process_local_slice_single_host():
     s = process_local_slice(10)
     assert s == slice(0, 10)
+
+
+def test_train_cli_script_surface():
+    """tools/train.py exposes every family's training entry (reference
+    run_training parity); catches dispatch/sizes wiring typos without
+    running the heavy pipelines."""
+    import ast
+    import os
+
+    src = open(os.path.join(os.path.dirname(__file__), "..", "tools",
+                            "train.py")).read()
+    tree = ast.parse(src)
+    choices = None
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.keyword) and node.arg == "choices"
+                and isinstance(node.value, ast.List)):
+            vals = [c.value for c in node.value.elts
+                    if isinstance(c, ast.Constant)]
+            if "vipt" in vals:
+                choices = vals
+    assert choices is not None
+    for script in ("vipt", "ostrack", "dimp", "det_dimp", "stark",
+                   "mixformer", "siamfc", "mdnet", "apfnet",
+                   "kys", "lwl", "lwl_box"):
+        assert script in choices, script
+    # the per-family geometry table must cover every zoo script
+    for script in ("kys", "lwl", "lwl_box"):
+        assert f'"{script}": dict(' in src, script
