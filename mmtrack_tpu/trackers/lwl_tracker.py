@@ -146,7 +146,10 @@ def _paste_scores(rt: LWLRuntime, scores: jnp.ndarray, sample_pos,
     def axis_coords(n, origin):
         u = jnp.arange(n, dtype=jnp.float32) - origin
         inside = (u >= 0) & (u < out_sz)
-        src = (u + 0.5) * (S / out_sz) - 0.5
+        # F.interpolate(scale_factor=s) maps with s ITSELF (torch does not
+        # recompute the scale from the floor-truncated output size):
+        # src = (dst + 0.5)/s - 0.5
+        src = (u + 0.5) / sample_scale - 0.5
         return jnp.clip(src, 0.0, S - 1.0), inside
 
     ys, in_y = axis_coords(H, r1)

@@ -101,7 +101,9 @@ def _paste_prob(rt: STMRuntime, prob, sample_pos, sample_scale, im_hw):
     def axis(n, origin):
         u = jnp.arange(n, dtype=jnp.float32) - origin
         inside = (u >= 0) & (u < out_sz)
-        src = jnp.clip((u + 0.5) * (S / out_sz) - 0.5, 0.0, S - 1.0)
+        # torch F.interpolate(scale_factor=s): src = (dst + 0.5)/s - 0.5
+        # (the scale is NOT recomputed from the floored output size)
+        src = jnp.clip((u + 0.5) / sample_scale - 0.5, 0.0, S - 1.0)
         return src, inside
 
     ys, in_y = axis(H, r1)
@@ -163,13 +165,25 @@ def stm_track_step(rt: STMRuntime, model: STMNet, params, state: dict,
                    frame: jnp.ndarray):
     """One tracked frame (stm.py:96-177). Returns
     (state, box_xywh, mask (H, W) bool, max_prob)."""
-    H, W = frame.shape[0], frame.shape[1]
-    state = {**state, "frame_num": state["frame_num"] + 1}
     S = rt.image_sample_size
-
     szl, tl, sample_pos, sample_scale = _crop_geometry(
         rt, state["pos"], state["target_scale"])
     patch = _to_unit(crop_at(frame, state["pos"], szl, S, origin_yx=tl))
+    return stm_step_from_patch(rt, model, params, state, patch,
+                               sample_pos, sample_scale,
+                               (float(frame.shape[0]),
+                                float(frame.shape[1])))
+
+
+def stm_step_from_patch(rt: STMRuntime, model: STMNet, params, state: dict,
+                        patch: jnp.ndarray, sample_pos, sample_scale,
+                        img_hw):
+    """The tracked-frame step from an already-extracted [0, 1] crop + its
+    geometry (everything in stm.py:96-177 after sample_patch_multiscale);
+    shared by the device path and the trajectory parity harness."""
+    H, W = int(img_hw[0]), int(img_hw[1])  # static: the paste's grids
+    state = {**state, "frame_num": state["frame_num"] + 1}
+    S = rt.image_sample_size
 
     # attention bank = static ring + the previous frame appended
     keys = jnp.concatenate([state["mem_keys"], state["prev_key"][None]], 0)
