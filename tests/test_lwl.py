@@ -199,3 +199,25 @@ def test_lwl_box_encoder_init_and_training():
         st, stats = step(st, batch, k)
         losses.append(float(stats["Loss/total"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_crop_mask_nearest_matches_torch_is_mask_path():
+    """_crop_mask_nearest == sample_patch(is_mask=True): zero-pad crop +
+    F.interpolate(mode='nearest') with the floor(dst*in/out) index rule
+    (preprocessing.py:133,145)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from mmtrack_tpu.trackers.lwl_tracker import _crop_mask_nearest
+
+    r = np.random.RandomState(0)
+    img = (r.rand(40, 50) > 0.5).astype(np.float32)
+    S = 24
+    for tl_y, tl_x, szl in [(-5, 3, 31), (10, 20, 37), (25, 40, 19)]:
+        t = torch.tensor(img)[None, None]
+        pad = (-tl_x, tl_x + szl - 50, -tl_y, tl_y + szl - 40)
+        patch = F.pad(t, tuple(int(v) for v in pad))  # zero fill
+        ref = F.interpolate(patch, (S, S), mode="nearest")[0, 0].numpy()
+        ours = np.asarray(_crop_mask_nearest(
+            jnp.asarray(img), jnp.asarray([float(tl_y), float(tl_x)]),
+            jnp.asarray(float(szl)), S))
+        np.testing.assert_array_equal(ours, ref, err_msg=str((tl_y, tl_x, szl)))
