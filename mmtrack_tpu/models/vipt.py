@@ -306,20 +306,31 @@ class ViPTrack(nn.Module):
             offset_map = jnp.zeros((B, S, S, 2), self.dtype)
             max_score = jnp.sqrt(p_tl.max(axis=1) * p_br.max(axis=1))
         elif self.head_type == "MLP":
-            # per-token box regression, averaged (head.py MLP branch: the
-            # STARK lineage applies it to a single decoder token; the
-            # one-stream case pools the search tokens first). No spatial
-            # distribution exists to derive a confidence from, so
-            # max_score stays constant — F-score threshold sweeps over an
-            # MLP-head recipe degenerate to a single operating point by
-            # construction (documented protocol caveat).
+            # box regression from pooled search tokens (head.py MLP branch:
+            # the STARK lineage applies it to a single decoder token; the
+            # one-stream case pools the search tokens first). The MLP head
+            # itself produces no spatial distribution, so the confidence is
+            # a peak-sharpness analog OF THE BACKBONE (our design; the
+            # reference's MLP recipes report no confidence at all): a
+            # template->search feature correlation map — softmax over
+            # search positions of <search_token, mean template token>. The
+            # one-stream training objective aligns template and search
+            # target features through joint attention, so a sharp
+            # correlation peak means a confident localization, giving the
+            # F-score threshold sweep a real, monotone signal instead of a
+            # constant (round-3 caveat closed; see docs/SCORECARD.md).
             pred_boxes = nn.sigmoid(MLPHead(self.embed_dim, dtype=self.dtype,
                                             name="box_head")(feat.mean(axis=(1, 2))))
             B = feat.shape[0]
-            score_map = jnp.full((B, S, S), 1.0 / (S * S), self.dtype)
+            z_tok = tokens[:, :tokens.shape[1] - lens_x].astype(jnp.float32)
+            x_tok = feat.reshape(B, lens_x, -1).astype(jnp.float32)
+            corr = jnp.einsum("bnc,bc->bn", x_tok, z_tok.mean(axis=1))
+            corr = corr / math.sqrt(x_tok.shape[-1])
+            prob = jax.nn.softmax(corr, axis=1)
+            score_map = prob.reshape(B, S, S).astype(self.dtype)
             size_map = jnp.zeros((B, S, S, 2), self.dtype)
             offset_map = jnp.zeros((B, S, S, 2), self.dtype)
-            max_score = jnp.ones((B,), jnp.float32)
+            max_score = prob.max(axis=1)
         else:
             head = CenterPredictor(self.head_channel, S, dtype=self.dtype,
                                    name="box_head")

@@ -163,6 +163,23 @@ def test_vipt_head_type_variants():
         # a degenerate decode gives w=h=0 at the crop center
         assert not np.allclose(box1[2:], 0.0, atol=1e-3)
 
+        if head_type == "MLP":
+            # round-4: MLP recipes report a real confidence — the
+            # template->search correlation peak — not a constant. It must
+            # be a probability over the 16 search tokens and must vary
+            # with input content (F-score threshold sweeps need a
+            # monotone, non-degenerate signal).
+            n_tok = (64 // 16) ** 2
+            rng2 = np.random.RandomState(2)
+            xs = jnp.asarray(rng2.rand(2, 64, 64, 3), jnp.float32)
+            zs = jnp.asarray(rng2.rand(2, 32, 32, 3), jnp.float32)
+            out2 = model.apply(params, zs, xs, None, None)
+            s = np.asarray(out2["max_score"], np.float64)
+            assert (s > 1.0 / n_tok - 1e-6).all() and (s <= 1.0 + 1e-6).all()
+            assert abs(s[0] - s[1]) > 1e-9, "confidence is constant"
+            sm = np.asarray(out2["score_map"], np.float64)
+            assert np.allclose(sm.reshape(2, -1).sum(1), 1.0, atol=2e-2)
+
 
 def test_steepest_descent_gn_solves_least_squares():
     # residual(x) = A x - b: GN-SD must drive the quadratic loss down and
