@@ -77,7 +77,7 @@ class Trainer:
                  rng_seed: int = 0, print_interval: int = 50,
                  log_fn=print, val_loader=None, val_step=None,
                  val_epoch_interval: int = 0,
-                 step_for_epoch=None):
+                 step_for_epoch=None, tb_writer=None):
         """step_for_epoch(epoch) -> train_step lets the caller swap the
         compiled step on schedule boundaries (the CE keep-rate anneal changes
         static token counts; quantized to a few recompiles —
@@ -93,6 +93,9 @@ class Trainer:
         self.val_step = val_step
         self.val_epoch_interval = val_epoch_interval
         self.step_for_epoch = step_for_epoch
+        # optional utils/tb.TensorboardWriter (ltr_trainer.py:214-218
+        # write_epoch analog); JSONL logging stays primary
+        self.tb_writer = tb_writer
         self.epoch = 0
         self.stats_history: list[dict] = []
         self.val_history: list[dict] = []
@@ -164,9 +167,15 @@ class Trainer:
                         self.train_step = self.step_for_epoch(self.epoch)
                     epoch_stats = self.train_epoch()
                     self.stats_history.append(epoch_stats)
+                    if self.tb_writer is not None:
+                        self.tb_writer.write_epoch({"train": epoch_stats},
+                                                   self.epoch)
                     if (self.val_loader is not None and self.val_epoch_interval
                             and self.epoch % self.val_epoch_interval == 0):
                         self.val_history.append(self.validate())
+                        if self.tb_writer is not None:
+                            self.tb_writer.write_epoch(
+                                {"val": self.val_history[-1]}, self.epoch)
                     if (self.checkpoints is not None
                             and self.checkpoints.should_save(self.epoch, max_epochs)):
                         self.checkpoints.save(self.epoch, self.state)
