@@ -20,11 +20,16 @@ from mmtrack_tpu.data.composition import get_x_frame
 from mmtrack_tpu.eval.datasets import EvalSequence
 
 
-def run_sequence(tracker, seq: EvalSequence, frame_loader=None) -> dict:
+def run_sequence(tracker, seq: EvalSequence, frame_loader=None,
+                 dashboard=None) -> dict:
     """Track one sequence. Returns dict with boxes (N,4), confidences (N-1,),
     fps, elapsed.
 
     frame_loader(i) -> (H, W, 6) overrides disk loading (tests/synthetic).
+    dashboard: an optional mmtrack_tpu.vis_server.DebugDashboard — per
+    frame the tracking overlay, score map / segmentation (when the
+    tracker reports them) and a status dict are registered and the loop
+    honors pause/step (basetracker.py:59-83 debug-loop equivalent).
     """
     n = len(seq)
 
@@ -41,9 +46,22 @@ def run_sequence(tracker, seq: EvalSequence, frame_loader=None) -> dict:
     t0 = time.perf_counter()
     tracker.initialize(load(0), {"init_bbox": list(map(float, seq.gt[0]))})
     for i in range(1, n):
-        out = tracker.track(load(i))
+        frame = load(i)
+        out = tracker.track(frame)
         boxes[i] = out["target_bbox"]
         confidences[i - 1] = out.get("best_score", 1.0)
+        if dashboard is not None:
+            dashboard.register((frame, out["target_bbox"],
+                                out.get("segmentation")), "tracking", 1,
+                               "Tracking")
+            if out.get("score_map") is not None:
+                dashboard.register(out["score_map"], "heatmap", 1,
+                                   "Score Map")
+            dashboard.register({"frame": i, "sequence": seq.name,
+                                "best_score": round(float(
+                                    confidences[i - 1]), 4)},
+                               "info_dict", 1, "Status")
+            dashboard.wait_if_paused()
     elapsed = time.perf_counter() - t0
     return {
         "name": seq.name,

@@ -29,6 +29,11 @@ def main():
     p.add_argument("--x_dir", default=None, help="directory of X-modality frames")
     p.add_argument("--init_box", default=None, help="x,y,w,h for real sequences")
     p.add_argument("--dtype", default="rgbrgb")
+    p.add_argument("--dashboard", action="store_true",
+                   help="serve the live interactive debug UI "
+                        "(pause/step, score-map heatmaps) on localhost")
+    p.add_argument("--pause", action="store_true",
+                   help="start the dashboard paused (step frame-by-frame)")
     args = p.parse_args()
 
     from mmtrack_tpu.utils.env import enable_compile_cache
@@ -54,6 +59,11 @@ def main():
 
     tracker = build_tracker(args.tracker)
     vis = TrackingVisualizer(args.out)
+    dash = None
+    if args.dashboard:
+        from mmtrack_tpu.vis_server import DebugDashboard
+
+        dash = DebugDashboard(pause_mode=args.pause)
     tracker.initialize(frames[0], {"init_bbox": init_box})
     vis.add_frame(0, frames[0], init_box,
                   gt_box=None if gt is None else gt[0])
@@ -63,6 +73,16 @@ def main():
                       gt_box=None if gt is None else gt[t],
                       score=out.get("best_score"),
                       mask=out.get("segmentation"))
+        if dash is not None:
+            dash.register((frames[t], out["target_bbox"],
+                           out.get("segmentation")), "tracking", 1,
+                          "Tracking")
+            if out.get("score_map") is not None:
+                dash.register(out["score_map"], "heatmap", 1, "Score Map")
+            dash.register({"frame": t,
+                           "score": round(float(out.get("best_score", 0)), 4)},
+                          "info_dict", 1, "Status")
+            dash.wait_if_paused()
         print(f"frame {t}: box={['%.1f' % v for v in out['target_bbox']]} "
               f"score={out.get('best_score', 0):.3f}")
     print("visualization:", vis.write_index())
