@@ -55,6 +55,86 @@ def conjugate_gradient(A, b, x0, num_iter: int, eps: float = 1e-10,
     return x
 
 
+def cg_state_init(x):
+    """Empty carried-direction state for conjugate_gradient_stateful:
+    (p, rho, r_prev, has_p) — the reference's ConjugateGradientBase
+    reset_state (optimization.py:117-122: p=None, rho=1, r_prev=None),
+    expressed as fixed-shape pytrees so it can live in a jitted tracker
+    state."""
+    zeros = jax.tree.map(jnp.zeros_like, x)
+    return (zeros, jnp.ones((), jnp.float32), zeros,
+            jnp.zeros((), jnp.bool_))
+
+
+def conjugate_gradient_stateful(A, b, x0, num_iter: int, state,
+                                precond=None, fletcher_reeves: bool = True,
+                                direction_forget_factor: float = 0.0,
+                                eps: float = 1e-10):
+    """CG with the reference's cross-run carried direction
+    (ConjugateGradientBase.run_CG, optimization.py:125-216).
+
+    Unlike `conjugate_gradient` this mirrors the reference's loop order
+    and supports:
+      - Polak-Ribiere beta (fletcher_reeves=False):
+        beta = (rho - <r_prev, z>) / rho1, clamped at 0 (:170-176);
+      - a conjugate direction `p` and its `rho` persisting across calls,
+        decayed on entry by rho /= direction_forget_factor (:135-138) —
+        ECO's online FilterOptim runs with
+        dff = (1 - learning_rate)**CG_forgetting_rate (eco.py:93-95), so
+        each periodic re-optimization warm-starts from the previous
+        frame's search direction.
+
+    state: (p, rho, r_prev, has_p) from cg_state_init / a previous call.
+    Returns (x, new_state). With direction_forget_factor == 0 the state
+    is reset on entry (reference :135-136) and the iteration equals the
+    fresh-start form.
+    """
+    M1 = precond or (lambda t: t)
+    p0, rho0, rprev0, has_p0 = state
+    if direction_forget_factor == 0.0:
+        p0, rho0, rprev0, has_p0 = cg_state_init(x0)
+    else:
+        rho0 = jnp.where(has_p0, rho0 / direction_forget_factor, rho0)
+
+    r0 = jax.tree.map(lambda bb, ax: bb - ax, b, A(x0))
+
+    def body(_, carry):
+        x, r, p, rho, r_prev, has_p = carry
+        z = M1(r)
+        rho1 = rho
+        rho_new = jnp.real(_tree_vdot(r, z)).astype(jnp.float32)
+        # check_zero (:160-166): rho == 0 -> the iteration has converged;
+        # freeze by zeroing alpha/beta below
+        alive = jnp.abs(rho_new) > eps
+        safe_rho1 = jnp.where(jnp.abs(rho1) > eps, rho1, 1.0)
+        if fletcher_reeves:
+            beta = rho_new / safe_rho1
+        else:
+            rr = jnp.real(_tree_vdot(r_prev, z)).astype(jnp.float32)
+            beta = (rho_new - rr) / safe_rho1
+        beta = jnp.maximum(beta, 0.0)                    # clamp(0) (:176)
+        beta = jnp.where(has_p & alive & (jnp.abs(rho1) > eps), beta, 0.0)
+        # the reference RETURNS on rho == 0 (:160-166), leaving p/rho/
+        # r_prev at their last live values for the next carried run —
+        # emulate by freezing the whole carry on dead iterations
+        p_live = _tree_axpy(beta, p, z)                  # p = z + beta p
+        p = jax.tree.map(lambda a, bb: jnp.where(alive, a, bb), p_live, p)
+        q = A(p)
+        pq = jnp.real(_tree_vdot(p, q))
+        alpha = jnp.where(alive & (jnp.abs(pq) > eps), rho_new / pq, 0.0)
+        if not fletcher_reeves:
+            r_prev = jax.tree.map(lambda a, bb: jnp.where(alive, a, bb),
+                                  r, r_prev)
+        x = _tree_axpy(alpha, p, x)
+        r = _tree_axpy(-alpha, q, r)
+        rho_out = jnp.where(alive, rho_new, rho1)
+        return x, r, p, rho_out, r_prev, has_p | alive
+
+    carry = (x0, r0, p0, rho0, rprev0, has_p0)
+    x, r, p, rho, r_prev, has_p = jax.lax.fori_loop(0, num_iter, body, carry)
+    return x, (p, rho, r_prev, has_p)
+
+
 def gauss_newton_cg(residual_fn, x, num_gn_iter: int, num_cg_iter: int,
                     precond=None):
     """Minimize ||residual_fn(x)||^2 by Gauss-Newton steps, each solved with

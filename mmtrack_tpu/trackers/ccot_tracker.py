@@ -26,7 +26,10 @@ import numpy as np
 
 from mmtrack_tpu.models.backbones import ResNetVGGm1
 from mmtrack_tpu.ops.fourier import conj_symmetrize, shift_spectrum
-from mmtrack_tpu.ops.optimization import gauss_newton_cg
+from mmtrack_tpu.ops.optimization import (
+    cg_state_init,
+    conjugate_gradient_stateful,
+)
 from mmtrack_tpu.trackers.eco_tracker import (ECOGeom, ECORuntime, _cplx,
                                               _crop, _extract_features,
                                               _filter_precond,
@@ -76,10 +79,21 @@ def ccot_init_state(rt: ECORuntime, model, st: ECOGeom, params,
     def precond(hh):
         return tuple(x / d for x, d in zip(hh, diags))
 
-    hs = gauss_newton_cg(
-        partial(_filter_residuals, rt, mem=tuple(memory),
-                yf=consts["yf"], sws=tuple(sws), reg_k=consts["reg"]),
-        hs, 1, rt.init_cg_iter, precond=precond)
+    # the reference's init filter solve is the SAME FilterOptim instance
+    # used online (run(init_CG_iter)), so its final conjugate direction
+    # seeds the online carry — run the stateful CG and keep its state
+    res_fn = partial(_filter_residuals, rt, mem=tuple(memory),
+                     yf=consts["yf"], sws=tuple(sws), reg_k=consts["reg"])
+    r0, jvp_fn = jax.linearize(res_fn, hs)
+    _, vjp_fn = jax.vjp(res_fn, hs)
+    b_rhs = jax.tree.map(lambda g: -g, vjp_fn(r0)[0])
+    dx, cg_state = conjugate_gradient_stateful(
+        lambda u: vjp_fn(jvp_fn(u))[0], b_rhs,
+        jax.tree.map(jnp.zeros_like, hs), rt.init_cg_iter,
+        cg_state_init(hs), precond=precond,
+        fletcher_reeves=rt.fletcher_reeves,
+        direction_forget_factor=rt.direction_forget_factor)
+    hs = jax.tree.map(jnp.add, hs, dx)
     filters = tuple(_ri(conj_symmetrize(_cplx(x))) for x in hs)
 
     return {
@@ -94,6 +108,7 @@ def ccot_init_state(rt: ECORuntime, model, st: ECOGeom, params,
         "num_stored": jnp.asarray(1, jnp.int32),
         "sample_energy": tuple(se),
         "frame_num": jnp.asarray(1, jnp.int32),
+        "cg_state": cg_state,
     }
 
 

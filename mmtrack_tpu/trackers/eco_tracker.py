@@ -19,15 +19,16 @@ and correlated in the Fourier domain against per-block filters:
     train_skipping=10 frames (FilterOptim, optim.py:121-208).
 
 Spectra are full centered complex series (see ops/fourier.py for why this
-is exactly the reference's half-spectrum math); the joint/online solves
-reuse ops/optimization.gauss_newton_cg on real-pair filter variables, so
-the whole per-frame update is ONE jitted step. Known deviations (shared
-with the ATOM rebuild): CG restarts each optimization run fresh instead
-of carrying the direction_forget_factor-decayed previous direction; the
-beta formula is Fletcher-Reeves (== Polak-Ribiere on these re-linearized
-quadratics in exact arithmetic); and init augmentations are windowed from
-one expanded 2x crop (ops/augment.py) instead of zero-rolled inside a
-single crop — the hann window zeroes the affected 6 px borders anyway.
+is exactly the reference's half-spectrum math); the joint init solve
+reuses ops/optimization.gauss_newton_cg and the online FilterOptim runs
+ops/optimization.conjugate_gradient_stateful with the reference's exact
+iteration — Polak-Ribiere beta (default.py:28) and the previous conjugate
+direction carried across periodic optimizations, decayed by
+(1 - max(lr))**CG_forgetting_rate (eco.py:93-95; "cg_state" in the
+tracker state) — so the whole per-frame update is ONE jitted step.
+Remaining deviation: init augmentations are windowed from one expanded 2x
+crop (ops/augment.py) instead of zero-rolled inside a single crop — the
+hann window zeroes the affected 6 px borders anyway.
 """
 
 from __future__ import annotations
@@ -52,7 +53,11 @@ from mmtrack_tpu.ops.fourier import (
     sample_scores,
     shift_spectrum,
 )
-from mmtrack_tpu.ops.optimization import gauss_newton_cg
+from mmtrack_tpu.ops.optimization import (
+    cg_state_init,
+    conjugate_gradient_stateful,
+    gauss_newton_cg,
+)
 from mmtrack_tpu.ops.window import hann2d
 
 # ImageNet statistics (features/deep.py:10-11)
@@ -102,6 +107,16 @@ class ECORuntime:
     # unconditionally; ECO's schedule gates on train_skipping)
     use_projection: bool = True
     train_every_frame: bool = False
+    # online CG beta/carry (default.py:28,30): Polak-Ribiere with the
+    # previous conjugate direction persisted across periodic
+    # optimizations, decayed by (1 - max(lr))**CG_forgetting_rate
+    # (eco.py:93-95)
+    fletcher_reeves: bool = False           # :28
+    cg_forgetting_rate: int = 75            # :30
+
+    @property
+    def direction_forget_factor(self) -> float:
+        return (1.0 - max(self.learning_rates)) ** self.cg_forgetting_rate
 
     @property
     def scale_factors(self) -> np.ndarray:
@@ -394,6 +409,10 @@ def eco_init_state(rt: ECORuntime, model, st: ECOGeom, params, consts: dict,
         "num_stored": jnp.int32(N),
         "sample_energy": sample_energy,
         "frame_num": jnp.int32(1),
+        # carried conjugate direction of the ONLINE FilterOptim; fresh at
+        # init: with update_projection_matrix the reference runs no
+        # filter-only CG in initialize (post_init_CG_iter=0, eco.py:170-175)
+        "cg_state": cg_state_init(hs),
     }
 
 
@@ -494,23 +513,40 @@ def eco_track_step(rt: ECORuntime, model, st: ECOGeom, params, consts: dict,
         else (state["frame_num"] % rt.train_skipping) == 1
 
     def run_cg(operand):
-        hs, se = operand
+        hs, se, cgs = operand
         diags = _filter_precond(rt, se, consts["reg_energy"])
 
         def precond(hh):
             return tuple(x / d for x, d in zip(hh, diags))
 
-        hs = gauss_newton_cg(
-            partial(_filter_residuals, rt, mem=state["memory"],
-                    yf=consts["yf"], sws=state["sample_weights"],
-                    reg_k=consts["reg"]),
-            hs, 1, rt.cg_iter, precond=precond)
-        return tuple(_ri(conj_symmetrize(_cplx(x))) for x in hs), se
+        # FilterOptim (optim.py:144-208): the residuals are linear in the
+        # filter, so one linearization gives the exact normal equations;
+        # CG runs with Polak-Ribiere beta and the conjugate direction
+        # carried from the previous optimization, decayed by the
+        # direction forget factor (run_CG entry, optimization.py:135-138)
+        res_fn = partial(_filter_residuals, rt, mem=state["memory"],
+                         yf=consts["yf"], sws=state["sample_weights"],
+                         reg_k=consts["reg"])
+        r0, jvp_fn = jax.linearize(res_fn, hs)
+        _, vjp_fn = jax.vjp(res_fn, hs)
 
-    new_filters, new_se = jax.lax.cond(
+        def A(u):
+            return vjp_fn(jvp_fn(u))[0]
+
+        b = jax.tree.map(lambda g: -g, vjp_fn(r0)[0])
+        zero = jax.tree.map(jnp.zeros_like, hs)
+        dx, cgs = conjugate_gradient_stateful(
+            A, b, zero, rt.cg_iter, cgs, precond=precond,
+            fletcher_reeves=rt.fletcher_reeves,
+            direction_forget_factor=rt.direction_forget_factor)
+        hs = jax.tree.map(jnp.add, hs, dx)
+        return (tuple(_ri(conj_symmetrize(_cplx(x))) for x in hs), se, cgs)
+
+    new_filters, new_se, new_cgs = jax.lax.cond(
         do_train, run_cg, lambda op: op,
-        (state["filters"], tuple(se_new)))
-    state = {**state, "filters": new_filters, "sample_energy": new_se}
+        (state["filters"], tuple(se_new), state["cg_state"]))
+    state = {**state, "filters": new_filters, "sample_energy": new_se,
+             "cg_state": new_cgs}
 
     box = jnp.concatenate([
         (state["pos"] - (state["target_sz"] - 1) / 2)[::-1],
