@@ -33,7 +33,7 @@ from mmtrack_tpu.ops.optimization import (
 from mmtrack_tpu.trackers.eco_tracker import (ECOGeom, ECORuntime, _cplx,
                                               _crop, _extract_features,
                                               _filter_precond,
-                                              _filter_residuals, _ri,
+                                              _filter_residuals_block, _ri,
                                               _to_spectrum, eco_geometry,
                                               eco_track_step)
 
@@ -76,25 +76,30 @@ def ccot_init_state(rt: ECORuntime, model, st: ECOGeom, params,
     hs = tuple(_ri(jnp.zeros_like(X[b])) for b in range(2))
     diags = _filter_precond(rt, tuple(se), consts["reg_energy"])
 
-    def precond(hh):
-        return tuple(x / d for x, d in zip(hh, diags))
-
     # the reference's init filter solve is the SAME FilterOptim instance
     # used online (run(init_CG_iter)), so its final conjugate direction
-    # seeds the online carry — run the stateful CG and keep its state
-    res_fn = partial(_filter_residuals, rt, mem=tuple(memory),
-                     yf=consts["yf"], sws=tuple(sws), reg_k=consts["reg"])
-    r0, jvp_fn = jax.linearize(res_fn, hs)
-    _, vjp_fn = jax.vjp(res_fn, hs)
-    b_rhs = jax.tree.map(lambda g: -g, vjp_fn(r0)[0])
-    dx, cg_state = conjugate_gradient_stateful(
-        lambda u: vjp_fn(jvp_fn(u))[0], b_rhs,
-        jax.tree.map(jnp.zeros_like, hs), rt.init_cg_iter,
-        cg_state_init(hs), precond=precond,
-        fletcher_reeves=rt.fletcher_reeves,
-        direction_forget_factor=rt.direction_forget_factor)
-    hs = jax.tree.map(jnp.add, hs, dx)
-    filters = tuple(_ri(conj_symmetrize(_cplx(x))) for x in hs)
+    # seeds the online carry — run the stateful CG per block (the
+    # reference's per-TensorList-entry scalars make the two blocks
+    # independent CG problems) and keep each block's state
+    filters, cg_state = [], []
+    for b in range(2):
+        res_fn = partial(_filter_residuals_block, rt, mem=memory[b],
+                         yf=consts["yf"][b], sw=sws[b],
+                         reg_k=consts["reg"][b])
+        r0, jvp_fn = jax.linearize(res_fn, hs[b])
+        _, vjp_fn = jax.vjp(res_fn, hs[b])
+        b_rhs = jax.tree.map(lambda g: -g, vjp_fn(r0)[0])
+        diag = diags[b]
+        dx, cg_b = conjugate_gradient_stateful(
+            lambda u: vjp_fn(jvp_fn(u))[0], b_rhs,
+            jnp.zeros_like(hs[b]), rt.init_cg_iter,
+            cg_state_init(hs[b]), precond=lambda x: x / diag,
+            fletcher_reeves=rt.fletcher_reeves,
+            direction_forget_factor=rt.direction_forget_factor)
+        filters.append(_ri(conj_symmetrize(_cplx(hs[b] + dx))))
+        cg_state.append(cg_b)
+    filters = tuple(filters)
+    cg_state = tuple(cg_state)
 
     return {
         "pos": pos, "target_scale": target_scale,

@@ -257,30 +257,29 @@ def _apply_filter_spectrum(X, h_ri):
     return jnp.einsum("ncyx,cyx->nyx", X, _cplx(h_ri))
 
 
-def _joint_residuals(rt: ECORuntime, hp, X_full, yf, sw, reg_k):
-    """FactorizedConvProblem residuals (optim.py:34-74): data terms per
-    block + filter spatial regularization + projection regularization,
-    all real-valued so ops/optimization's GN-CG drives them directly."""
-    hs, Ps = hp
-    out = {}
-    for b in range(2):
-        comp = jnp.einsum("ndyx,dc->ncyx", X_full[b], Ps[b].astype(jnp.complex64))
-        r = _apply_filter_spectrum(comp, hs[b]) - yf[b][None]
-        out[f"data{b}"] = _ri(jnp.sqrt(sw)[:, None, None] * r)
-        out[f"reg{b}"] = _reg_residual(hs[b], reg_k[b])
-        out[f"proj{b}"] = np.sqrt(rt.projection_reg) * Ps[b]
-    return out
+def _joint_residuals_block(rt: ECORuntime, hp, X, yf, sw, reg_k):
+    """FactorizedConvProblem residuals for ONE block (optim.py:34-74):
+    data term + filter spatial regularization + projection regularization,
+    all real-valued so ops/optimization's GN-CG drives them directly. The
+    reference's ip_input pairs (filter_b, P_b) under one per-block scalar
+    (optim.py:77-91 concat structure) and never couples the blocks, so
+    the joint solve is two independent GN-CG problems."""
+    h, P = hp
+    comp = jnp.einsum("ndyx,dc->ncyx", X, P.astype(jnp.complex64))
+    r = _apply_filter_spectrum(comp, h) - yf[None]
+    return {"data": _ri(jnp.sqrt(sw)[:, None, None] * r),
+            "reg": _reg_residual(h, reg_k),
+            "proj": np.sqrt(rt.projection_reg) * P}
 
 
-def _filter_residuals(rt: ECORuntime, hs, mem, yf, sws, reg_k):
-    """FilterOptim's quadratic (optim.py:142-200): data over the
-    compressed sample memory + spatial regularization, filter-only."""
-    out = {}
-    for b in range(2):
-        r = _apply_filter_spectrum(mem[b], hs[b]) - yf[b][None]
-        out[f"data{b}"] = _ri(jnp.sqrt(sws[b])[:, None, None] * r)
-        out[f"reg{b}"] = _reg_residual(hs[b], reg_k[b])
-    return out
+def _filter_residuals_block(rt: ECORuntime, h, mem, yf, sw, reg_k):
+    """FilterOptim's quadratic for ONE feature block (optim.py:142-200):
+    data over the compressed sample memory + spatial regularization. The
+    blocks never couple (per-entry TensorList scalars in the reference's
+    CG), so each is its own least-squares problem."""
+    r = _apply_filter_spectrum(mem, h) - yf[None]
+    return {"data": _ri(jnp.sqrt(sw)[:, None, None] * r),
+            "reg": _reg_residual(h, reg_k)}
 
 
 def _filter_precond(rt: ECORuntime, sample_energy, reg_energy):
@@ -376,17 +375,19 @@ def eco_init_state(rt: ECORuntime, model, st: ECOGeom, params, consts: dict,
          + rt.projection_reg)
         for b in range(2))
 
-    def precond(hp):
-        hs, Ps = hp
-        return (tuple(hh / d for hh, d in zip(hs, diags)),
-                tuple(pp / d for pp, d in zip(Ps, proj_diag)))
-
     cg_per_gn = max(rt.init_cg_iter // max(rt.init_gn_iter, 1), 1)
-    hs, Ps = gauss_newton_cg(
-        partial(_joint_residuals, rt, X_full=X_full, yf=consts["yf"], sw=sw,
-                reg_k=consts["reg"]),
-        (h0, P_init), rt.init_gn_iter, cg_per_gn, precond=precond)
+    hs, Ps = [], []
+    for b in range(2):
+        diag, pdiag = diags[b], proj_diag[b]
+        h_b, P_b = gauss_newton_cg(
+            partial(_joint_residuals_block, rt, X=X_full[b],
+                    yf=consts["yf"][b], sw=sw, reg_k=consts["reg"][b]),
+            (h0[b], P_init[b]), rt.init_gn_iter, cg_per_gn,
+            precond=lambda hp: (hp[0] / diag, hp[1] / pdiag))
+        hs.append(h_b)
+        Ps.append(P_b)
     hs = tuple(_ri(conj_symmetrize(_cplx(hh))) for hh in hs)
+    Ps = tuple(Ps)
 
     # compressed sample memory with the OPTIMIZED projection (eco.py:160-163)
     M = rt.sample_memory_size
@@ -411,8 +412,9 @@ def eco_init_state(rt: ECORuntime, model, st: ECOGeom, params, consts: dict,
         "frame_num": jnp.int32(1),
         # carried conjugate direction of the ONLINE FilterOptim; fresh at
         # init: with update_projection_matrix the reference runs no
-        # filter-only CG in initialize (post_init_CG_iter=0, eco.py:170-175)
-        "cg_state": cg_state_init(hs),
+        # filter-only CG in initialize (post_init_CG_iter=0, eco.py:170-175).
+        # One state PER BLOCK (the reference's TensorList-entry scalars)
+        "cg_state": tuple(cg_state_init(h) for h in hs),
     }
 
 
@@ -436,16 +438,28 @@ def eco_track_step(rt: ECORuntime, model, st: ECOGeom, params, consts: dict,
                    state: dict, frame: jnp.ndarray):
     """One tracked frame (eco.py track())."""
     S = st.sample_sz
-    H, W = frame.shape[0], frame.shape[1]
+    sample_scales = state["target_scale"] * jnp.asarray(rt.scale_factors)
+    patches = jnp.stack([
+        _crop(frame, state["pos"], sample_scales[i] * S, S)
+        for i in range(rt.num_scales)])
+    return eco_step_from_patches(rt, model, st, params, consts, state,
+                                 patches, (frame.shape[0], frame.shape[1]))
+
+
+def eco_step_from_patches(rt: ECORuntime, model, st: ECOGeom, params,
+                          consts: dict, state: dict, patches: jnp.ndarray,
+                          img_hw):
+    """The post-crop step body, on (num_scales, S, S, 3) patches in
+    [0, 255]. Split out so the trajectory A/B can feed the reference's own
+    sample_patch outputs (tools/parity/check_trajectory_eco.py)."""
+    S = st.sample_sz
+    H, W = img_hw
     state = {**state, "frame_num": state["frame_num"] + 1}
 
     sample_pos = jnp.round(state["pos"])
     sfac = jnp.asarray(rt.scale_factors)
     sample_scales = state["target_scale"] * sfac
 
-    patches = jnp.stack([
-        _crop(frame, state["pos"], sample_scales[i] * S, S)
-        for i in range(rt.num_scales)])
     feats = _extract_features(model, params, patches)
 
     # project spatially, then window/fft/interp (eco.py:293-309);
@@ -516,34 +530,41 @@ def eco_track_step(rt: ECORuntime, model, st: ECOGeom, params, consts: dict,
         hs, se, cgs = operand
         diags = _filter_precond(rt, se, consts["reg_energy"])
 
-        def precond(hh):
-            return tuple(x / d for x, d in zip(hh, diags))
-
         # FilterOptim (optim.py:144-208): the residuals are linear in the
         # filter, so one linearization gives the exact normal equations;
         # CG runs with Polak-Ribiere beta and the conjugate direction
         # carried from the previous optimization, decayed by the
-        # direction forget factor (run_CG entry, optimization.py:135-138)
-        res_fn = partial(_filter_residuals, rt, mem=state["memory"],
-                         yf=consts["yf"], sws=state["sample_weights"],
-                         reg_k=consts["reg"])
-        r0, jvp_fn = jax.linearize(res_fn, hs)
-        _, vjp_fn = jax.vjp(res_fn, hs)
-
-        def A(u):
-            return vjp_fn(jvp_fn(u))[0]
-
-        b = jax.tree.map(lambda g: -g, vjp_fn(r0)[0])
-        zero = jax.tree.map(jnp.zeros_like, hs)
-        dx, cgs = conjugate_gradient_stateful(
-            A, b, zero, rt.cg_iter, cgs, precond=precond,
-            fletcher_reeves=rt.fletcher_reeves,
-            direction_forget_factor=rt.direction_forget_factor)
-        hs = jax.tree.map(jnp.add, hs, dx)
-        return (tuple(_ri(conj_symmetrize(_cplx(x))) for x in hs), se, cgs)
+        # direction forget factor (run_CG entry, optimization.py:135-138).
+        # The reference's ip is the per-TensorList-entry inner_prod_fs, so
+        # rho/alpha/beta are SEPARATE scalars per feature block — the two
+        # blocks are independent CG problems solved in lockstep, not one
+        # joint Krylov space; mirror that with a per-block solve.
+        new_hs, new_cgs = [], []
+        for b in range(2):
+            res_fn = partial(_filter_residuals_block, rt,
+                             mem=state["memory"][b], yf=consts["yf"][b],
+                             sw=state["sample_weights"][b],
+                             reg_k=consts["reg"][b])
+            r0, jvp_fn = jax.linearize(res_fn, hs[b])
+            _, vjp_fn = jax.vjp(res_fn, hs[b])
+            rhs = jax.tree.map(lambda g: -g, vjp_fn(r0)[0])
+            diag = diags[b]
+            dx, cg_b = conjugate_gradient_stateful(
+                lambda u: vjp_fn(jvp_fn(u))[0], rhs,
+                jnp.zeros_like(hs[b]), rt.cg_iter, cgs[b],
+                precond=lambda x: x / diag,
+                fletcher_reeves=rt.fletcher_reeves,
+                direction_forget_factor=rt.direction_forget_factor)
+            new_hs.append(_ri(conj_symmetrize(_cplx(hs[b] + dx))))
+            new_cgs.append(cg_b)
+        return (tuple(new_hs), se, tuple(new_cgs))
 
     new_filters, new_se, new_cgs = jax.lax.cond(
-        do_train, run_cg, lambda op: op,
+        do_train, run_cg,
+        # the EMA only advances when FilterOptim.run actually executes
+        # with a new sample (optim.py:146-151) — on skipped frames the
+        # stored energy is untouched
+        lambda op: (op[0], state["sample_energy"], op[2]),
         (state["filters"], tuple(se_new), state["cg_state"]))
     state = {**state, "filters": new_filters, "sample_energy": new_se,
              "cg_state": new_cgs}

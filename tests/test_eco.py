@@ -113,7 +113,8 @@ def test_joint_gn_learns_localizing_filter():
     from mmtrack_tpu.ops.optimization import gauss_newton_cg
     from mmtrack_tpu.ops.fourier import cfft2
     from mmtrack_tpu.trackers.eco_tracker import (
-        ECORuntime, _apply_filter_spectrum, _joint_residuals, _to_spectrum)
+        ECORuntime, _apply_filter_spectrum, _joint_residuals_block,
+        _to_spectrum)
     from mmtrack_tpu.ops.window import hann2d
     from functools import partial
 
@@ -141,10 +142,9 @@ def test_joint_gn_learns_localizing_filter():
 
     h0 = jnp.zeros((c, hsz, hsz, 2), jnp.float32)
     P0 = jnp.asarray(rng.randn(d, c).astype(np.float32)) / np.sqrt(d)
-    res = partial(_joint_residuals, rt, X_full=(X, X), yf=(yf, yf), sw=sw,
-                  reg_k=(reg_k, reg_k))
-    (h, _), (P, _) = jax.jit(
-        lambda v: gauss_newton_cg(res, v, 3, 10))(((h0, h0), (P0, P0)))
+    res = partial(_joint_residuals_block, rt, X=X, yf=yf, sw=sw,
+                  reg_k=reg_k)
+    h, P = jax.jit(lambda v: gauss_newton_cg(res, v, 3, 10))((h0, P0))
 
     # response on a shifted target peaks at the shift (wraparound grid)
     test = jnp.asarray(make_feat((mid + 3, mid - 2)))[None]

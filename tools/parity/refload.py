@@ -39,6 +39,39 @@ def patch_cuda_to_cpu():
     torch.nn.Module.cuda = lambda self, *a, **k: self
 
 
+def patch_legacy_fft():
+    """torch>=1.8 removed the old torch.rfft/irfft (real tensors with a
+    trailing real/imag pair, onesided half spectra) that pytracking's
+    fourier/dcf libs are written against (keep_track_vot2021/pytracking/
+    libs/fourier.py:24,31, dcf.py:134,139). Recreate them on torch.fft
+    with the legacy call signatures used there."""
+    import torch
+
+    if hasattr(torch, "rfft"):
+        return
+    import torch.fft as tfft
+
+    def rfft(input, signal_ndim, normalized=False, onesided=True):
+        norm = "ortho" if normalized else "backward"
+        dims = tuple(range(-signal_ndim, 0))
+        c = (tfft.rfftn if onesided else tfft.fftn)(input, dim=dims,
+                                                    norm=norm)
+        return torch.view_as_real(c)
+
+    def irfft(input, signal_ndim, normalized=False, onesided=True,
+              signal_sizes=None):
+        norm = "ortho" if normalized else "backward"
+        dims = tuple(range(-signal_ndim, 0))
+        c = torch.view_as_complex(input.contiguous())
+        if onesided:
+            s = None if signal_sizes is None else tuple(signal_sizes)
+            return tfft.irfftn(c, s=s, dim=dims, norm=norm)
+        return tfft.ifftn(c, dim=dims, norm=norm).real
+
+    torch.rfft = rfft
+    torch.irfft = irfft
+
+
 @contextlib.contextmanager
 def reference_path(subdir: str):
     """Temporarily put the shim + one reference project root on sys.path.
