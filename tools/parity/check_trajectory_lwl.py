@@ -29,7 +29,16 @@ LWLRuntime's documented constants. Init uses the box->rectangle-mask
 fallback on BOTH sides (the reference's box_label_encoder variant is a
 separate net).
 
-Run: python tools/parity/check_trajectory_lwl.py [--frames 10]
+By default the donor's DECODER is first overfit on tracking-geometry
+crops of the synthetic sequence (tools/parity/overfit_donors.py) so both
+sides produce real (non-empty) masks: the seg->box 'var' estimation, the
+min_mask_area gate, and the mask-driven memory update then run on a
+SEGMENTING network instead of comparing the round-3 constant-fallback
+boxes. Non-degeneracy of the reference's own output is asserted, and the
+binary pasted masks are compared directly. --overfit 0 restores the
+random-weight mode.
+
+Run: python tools/parity/check_trajectory_lwl.py [--frames 10] [--overfit N]
 """
 
 from __future__ import annotations
@@ -85,7 +94,7 @@ def rect_mask(gt_box, H, W):
     return m
 
 
-def run_reference(frames, gt, seed: int = 0):
+def run_reference(frames, gt, seed: int = 0, overfit_steps: int = 0):
     import torch
 
     patch_cuda_to_cpu()
@@ -133,6 +142,15 @@ def run_reference(frames, gt, seed: int = 0):
                              **kw)
 
         torch.autograd.grad = compat_grad
+
+        if overfit_steps:
+            from tools.parity.overfit_donors import overfit_lwl_decoder
+
+            bce = overfit_lwl_decoder(donor, frames, gt, steps=overfit_steps,
+                                      S=S_IM, search_area_scale=6.0,
+                                      net_opt_iter=20)
+            print(f"overfit lwl decoder ({overfit_steps} steps): "
+                  f"final bce {bce:.4f}", file=sys.stderr)
 
         class InMemoryNet(nw_mod.NetWithBackbone):
             def __init__(self, net):
@@ -207,14 +225,15 @@ def run_reference(frames, gt, seed: int = 0):
             }
 
             prev_out = {"segmentation_raw": init["seg_raw"]}
-            boxes, seg_im, filters, weights, num_stored = [], [], [], [], []
-            prev_wire, mem_after = [], []
+            boxes, seg_im, masks, filters, weights = [], [], [], [], []
+            num_stored, prev_wire, mem_after = [], [], []
             for t in range(1, len(frames)):
                 out = tracker.track(frames[t],
                                     {"previous_output": prev_out})
                 prev_out = {"segmentation_raw": out["segmentation_raw"]}
                 boxes.append(out["target_bbox"])
                 seg_im.append(out["segmentation_raw"].copy())
+                masks.append(out["segmentation"].copy())
                 filters.append(
                     tracker.target_filter.detach().numpy().copy())
                 weights.append(tracker.sample_weights[0].numpy().copy())
@@ -240,7 +259,7 @@ def run_reference(frames, gt, seed: int = 0):
             "patches": cap["patches"], "coords": cap["coords"],
             "seg_crop": np.concatenate(cap["seg_crop"], 0),
             "boxes": np.asarray(boxes, np.float64),
-            "seg_im": seg_im, "filters": filters,
+            "seg_im": seg_im, "masks": masks, "filters": filters,
             "weights": np.asarray(weights), "num_stored": num_stored,
             "prev_wire": prev_wire, "mem_after": mem_after,
         }
@@ -300,11 +319,12 @@ def run_ours(sd_np, init, ref, frames, gt):
              "base_target_sz": jnp.asarray(init["base_target_sz"])}
 
     step = jax.jit(partial(lwl_track_step, rt, net))
-    out = {"boxes": [], "seg_im": [], "filters": []}
+    out = {"boxes": [], "seg_im": [], "masks": [], "filters": []}
     for t in range(1, len(frames)):
         state, box, mask_im, _ = step(P, state, jnp.asarray(frames[t]))
         out["boxes"].append(np.asarray(box, np.float64))
         out["seg_im"].append(np.asarray(state["seg_prob_im"]))
+        out["masks"].append(np.asarray(mask_im))
         out["filters"].append(np.asarray(state["filter"]))
 
         # resync from the reference's post-frame state
@@ -332,13 +352,17 @@ def run_ours(sd_np, init, ref, frames, gt):
 
     return {"init_filter_dev": init_filter_dev,
             "boxes": np.asarray(out["boxes"]),
-            "seg_im": out["seg_im"], "filters": out["filters"]}
+            "seg_im": out["seg_im"], "masks": out["masks"],
+            "filters": out["filters"]}
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--overfit", type=int, default=150,
+                    help="decoder overfit steps (0 = round-3 random-weight "
+                         "degenerate-mask mode)")
     args = ap.parse_args(argv)
 
     if not reference_available():
@@ -346,12 +370,22 @@ def main(argv=None):
         return 0
 
     frames, gt = make_sequence(args.frames, args.seed)
-    sd, init, ref = run_reference(frames, gt, args.seed)
+    sd, init, ref = run_reference(frames, gt, args.seed,
+                                  overfit_steps=args.overfit)
     ours = run_ours(sd, init, ref, frames, gt)
 
     n = len(ref["boxes"])
     seg_dev = np.asarray([
         np.abs(ours["seg_im"][t] - ref["seg_im"][t]).max()
+        for t in range(n)])
+    # with a SEGMENTING donor the probability field saturates to 0/1 and
+    # any sub-pixel sampling difference between our inverse-map gather and
+    # the reference's interpolate-then-paste flips border pixels by O(1) —
+    # max-abs is the wrong field metric there; the mean tracks the real
+    # agreement and the binary-mismatch fraction counts exactly those
+    # border pixels
+    seg_dev_mean = np.asarray([
+        np.abs(ours["seg_im"][t] - ref["seg_im"][t]).mean()
         for t in range(n)])
     box_dev = np.abs(ref["boxes"] - ours["boxes"]).max(axis=1)
     filt_dev = np.asarray([
@@ -359,14 +393,44 @@ def main(argv=None):
                - ref["filters"][t][0].transpose(0, 2, 3, 1)).max()
         for t in range(n)])
 
-    ok = (float(seg_dev.max()) <= TOL_SEG_IM
+    # binary pasted-mask agreement: with an overfit (segmenting) donor the
+    # 0-threshold of the logit field sits far from ambiguity almost
+    # everywhere; report the worst per-frame fraction of differing pixels
+    mask_mismatch = np.asarray([
+        float((np.asarray(ours["masks"][t]) != ref["masks"][t]).mean())
+        for t in range(n)])
+
+    # non-degeneracy: the reference's own masks must clear the
+    # min_mask_area gate (100 px, params above) and its boxes must move —
+    # otherwise box agreement is the round-3 constant-fallback comparison
+    mask_areas = np.asarray([float(ref["masks"][t].sum()) for t in range(n)])
+    boxes_move = bool(np.abs(np.diff(ref["boxes"], axis=0)).max() > 0.5)
+    nondegenerate = bool(mask_areas.min() > 100.0 and boxes_move)
+
+    if args.overfit == 0:
+        seg_ok = float(seg_dev.max()) <= TOL_SEG_IM
+        extra_ok = True
+    else:
+        # the mean field deviation IS the border-mismatch population in
+        # disguise (mismatch_frac x O(1) saturated flips), so both gates
+        # carry the same 2e-3 bound
+        seg_ok = float(seg_dev_mean.max()) <= 2e-3
+        extra_ok = (nondegenerate
+                    and float(mask_mismatch.max()) <= 2e-3)
+    ok = (seg_ok and extra_ok
           and float(box_dev.max()) <= TOL_PX
           and float(filt_dev.max()) <= TOL_FILTER)
     print(json.dumps({
         "ok": ok,
         "frames": n,
+        "overfit_steps": args.overfit,
+        "nondegenerate": nondegenerate,
+        "ref_mask_area_min": float(mask_areas.min()),
+        "ref_mask_area_mean": float(mask_areas.mean()),
+        "max_mask_mismatch_frac": float(mask_mismatch.max()),
         "init_filter_dev": ours["init_filter_dev"],
         "max_seg_im_dev": float(seg_dev.max()),
+        "mean_seg_im_dev": float(seg_dev_mean.max()),
         "max_box_dev": float(box_dev.max()),
         "max_filter_dev": float(filt_dev.max()),
         "boxes_ref_last": list(ref["boxes"][-1]),
