@@ -76,6 +76,13 @@ def vipt_default_config() -> ConfigNode:
             "RETURN_STAGES": [],
             "BACKBONE": {
                 "TYPE": "vit_base_patch16_224",
+                # ViT-B geometry by default; overridable so demo/CI
+                # configs can train CPU-sized models through the same
+                # tools/train.py path (the reference selects variants via
+                # TYPE only, config.py:23)
+                "EMBED_DIM": 768,
+                "DEPTH": 12,
+                "NUM_HEADS": 12,
                 "STRIDE": 16,
                 "MID_PE": False,
                 "SEP_SEG": False,

@@ -168,13 +168,20 @@ class SyntheticVideoDataset(VideoDataset):
     name = "Synthetic"
 
     def __init__(self, n_sequences: int = 4, n_frames: int = 30,
-                 height: int = 120, width: int = 160):
+                 height: int = 120, width: int = 160,
+                 modality: str = "both"):
+        # "both" (default): target salient in RGB and aux; "rgb_only":
+        # aux channels are pure background (an RGB foundation corpus, the
+        # OSTrack-pretrain analog); "aux_only": target invisible in RGB —
+        # the ViPT new-modality setting (depth/thermal/event carries it)
+        kw = {"both": {}, "rgb_only": {"target_aux": None},
+              "aux_only": {"target_rgb": None}}[modality]
         self._seqs = []
         for i in range(n_sequences):
             frames, gt = make_synthetic_sequence(
                 n_frames=n_frames, height=height, width=width,
                 box0=(20.0 + 10 * i, 15.0 + 5 * i, 30.0, 24.0),
-                velocity=(2.0 + i, 1.5), seed=i)
+                velocity=(2.0 + i, 1.5), seed=i, **kw)
             self._seqs.append((frames, gt))
 
     def num_sequences(self) -> int:

@@ -13,13 +13,18 @@ import numpy as np
 
 def make_synthetic_sequence(n_frames: int = 20, height: int = 240, width: int = 320,
                             box0=(120.0, 90.0, 48.0, 36.0), velocity=(3.0, 2.0),
-                            seed: int = 0, channels: int = 6):
+                            seed: int = 0, channels: int = 6,
+                            target_rgb: float | None = 220,
+                            target_aux: float | None = 180):
     """A bright square target moving over textured background.
 
     Returns (frames (N, H, W, C) uint8, gt_boxes (N, 4) float xywh).
-    The target is salient in both modality triplets so even a weakly-trained
-    model has signal; ground truth follows the analytic motion.
-    """
+    By default the target is salient in both modality triplets so even a
+    weakly-trained model has signal; ground truth follows the analytic
+    motion. `target_rgb=None` / `target_aux=None` leaves the target
+    UNDRAWN in that triplet (pure background there) — the aux-only form
+    models the ViPT new-modality setting where only the prompt modality
+    carries the object (depth_utils.py:71-132's X channels)."""
     rng = np.random.RandomState(seed)
     bg = rng.randint(0, 80, (height, width, channels), np.uint8)
     frames = np.empty((n_frames, height, width, channels), np.uint8)
@@ -32,12 +37,21 @@ def make_synthetic_sequence(n_frames: int = 20, height: int = 240, width: int = 
         xi, yi = int(round(x)), int(round(y))
         x2, y2 = min(xi + int(w), width), min(yi + int(h), height)
         xi, yi = max(xi, 0), max(yi, 0)
-        f[yi:y2, xi:x2, :3] = 220
-        f[yi:y2, xi:x2, 3:] = 180
-        # light texture inside the target
+        if target_rgb is not None:
+            f[yi:y2, xi:x2, :3] = target_rgb
+        if target_aux is not None:
+            f[yi:y2, xi:x2, 3:] = target_aux
+        # light texture inside the target; the draw always covers the full
+        # box so the RNG stream — and every golden fixture generated with
+        # the defaults — is unchanged, but it is only APPLIED to triplets
+        # that carry the target (texture would otherwise reveal it)
+        tex = rng.randint(-20, 20, f[yi:y2, xi:x2].shape)
+        if target_rgb is None:
+            tex[..., :3] = 0
+        if target_aux is None:
+            tex[..., 3:] = 0
         f[yi:y2, xi:x2] = np.clip(
-            f[yi:y2, xi:x2].astype(np.int16)
-            + rng.randint(-20, 20, f[yi:y2, xi:x2].shape), 0, 255).astype(np.uint8)
+            f[yi:y2, xi:x2].astype(np.int16) + tex, 0, 255).astype(np.uint8)
         frames[t] = f
         gt[t] = (x, y, w, h)
         x += vx

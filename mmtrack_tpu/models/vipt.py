@@ -416,6 +416,9 @@ def build_viptrack(cfg, dtype=jnp.float32) -> ViPTrack:
         template_size=cfg.DATA.TEMPLATE.SIZE,
         search_size=cfg.DATA.SEARCH.SIZE,
         patch_size=cfg.MODEL.BACKBONE.STRIDE,
+        embed_dim=cfg.MODEL.BACKBONE.EMBED_DIM,
+        depth=cfg.MODEL.BACKBONE.DEPTH,
+        num_heads=cfg.MODEL.BACKBONE.NUM_HEADS,
         ce_loc=tuple(cfg.MODEL.BACKBONE.CE_LOC),
         prompt_type=cfg.TRAIN.PROMPT.TYPE,
         head_channel=cfg.MODEL.HEAD.NUM_CHANNELS,
@@ -440,6 +443,9 @@ def build_ostrack(cfg=None, dtype=jnp.float32, **overrides) -> ViPTrack:
             template_size=cfg.DATA.TEMPLATE.SIZE,
             search_size=cfg.DATA.SEARCH.SIZE,
             patch_size=cfg.MODEL.BACKBONE.STRIDE,
+            embed_dim=cfg.MODEL.BACKBONE.EMBED_DIM,
+            depth=cfg.MODEL.BACKBONE.DEPTH,
+            num_heads=cfg.MODEL.BACKBONE.NUM_HEADS,
             ce_loc=tuple(cfg.MODEL.BACKBONE.CE_LOC),
             head_channel=cfg.MODEL.HEAD.NUM_CHANNELS,
             drop_path_rate=cfg.TRAIN.DROP_PATH_RATE,

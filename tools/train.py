@@ -47,6 +47,15 @@ def main():
                         "reference ST2/TRAIN_SCORE loads stage 1 first)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic data (no dataset roots needed)")
+    p.add_argument("--synthetic_modality", default="both",
+                   choices=["both", "rgb_only", "aux_only"],
+                   help="which modality triplet carries the synthetic "
+                        "target (rgb_only = RGB-foundation corpus, "
+                        "aux_only = ViPT new-modality corpus)")
+    p.add_argument("--full_tune", action="store_true",
+                   help="vipt: train ALL parameters instead of prompt-only "
+                        "(foundation training, e.g. the learning demo; the "
+                        "reference's OSTrack pretrain stage analog)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: call jax.distributed.initialize()")
     args = p.parse_args()
@@ -104,7 +113,8 @@ def main():
     # data
     proc = processing_from_config(cfg, train_mode=True)
     if args.synthetic:
-        datasets = [SyntheticVideoDataset(n_sequences=8, n_frames=60)]
+        datasets = [SyntheticVideoDataset(n_sequences=8, n_frames=60,
+                                          modality=args.synthetic_modality)]
         ratios = None
     else:
         roots = {n: env.dataset_root(n) for n in cfg.DATA.TRAIN.DATASETS_NAME}
@@ -133,9 +143,11 @@ def main():
     params = jax.jit(lambda r: model.init(r, z, x, mask_z, keep))(
         jax.random.PRNGKey(args.seed))
 
+    params = _maybe_init_params(args, params)
+
     steps_per_epoch = len(loader)
     trainable = ({"params": prompt_only_mask(params["params"])}
-                 if args.script == "vipt" else None)
+                 if args.script == "vipt" and not args.full_tune else None)
     if trainable is not None:
         n = count_trainable(params["params"], trainable["params"])
         print(f"prompt-only tuning: {n / 1e6:.2f}M trainable parameters")
@@ -262,7 +274,8 @@ def _train_zoo(args, cfg, dtype):
         center_jitter_factor={"template": 0.0, "search": search_jitter},
         scale_jitter_factor={"template": 0.0, "search": 0.25})
     if args.synthetic:
-        datasets, ratios = [SyntheticVideoDataset(8, 60)], None
+        datasets, ratios = [SyntheticVideoDataset(
+            8, 60, modality=args.synthetic_modality)], None
     else:
         env = load_env_settings()
         roots = {n: env.dataset_root(n) for n in cfg.DATA.TRAIN.DATASETS_NAME}
@@ -434,7 +447,8 @@ def _train_dimp(args, cfg, dtype):
         center_jitter_factor={"template": 0.25, "search": 3.0},
         scale_jitter_factor={"template": 0.0, "search": 0.25})
     if args.synthetic:
-        datasets, ratios = [SyntheticVideoDataset(8, 60)], None
+        datasets, ratios = [SyntheticVideoDataset(
+            8, 60, modality=args.synthetic_modality)], None
     else:
         env = load_env_settings()
         roots = {n: env.dataset_root(n) for n in cfg.DATA.TRAIN.DATASETS_NAME}
