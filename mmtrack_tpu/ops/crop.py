@@ -14,6 +14,7 @@ bit-for-bit for parity evaluation and testing.
 from __future__ import annotations
 
 import math
+import os
 
 import cv2
 import jax
@@ -136,8 +137,23 @@ def crop_resize_normalized(image: jnp.ndarray, box_xywh: jnp.ndarray,
     Replaces sample_target + PreprocessorMM
     (ViPT/lib/test/tracker/data_utils.py:15-24) as a single device op; XLA
     fuses the normalization into the gather epilogue.
+
+    MMTRACK_CROP selects the lowering (read at trace time; all three share
+    the exact crop geometry and border convention):
+      gather (default) — 4-tap bilinear gather, bit-parity with the host
+        cv2 twin (tests/test_crop.py);
+      mxu — separable hat-weight contractions on the MXU
+        (crop_resize_mxu), f32-exact match to the gather path;
+      pallas — the fused ops/pallas_preproc.py kernel (per-channel MXU
+        contractions, normalize in-epilogue), ~1e-6 of the gather path.
     """
-    crop, rf = crop_resize(image, box_xywh, search_area_factor, out_size)
+    impl = os.environ.get("MMTRACK_CROP", "gather")
+    if impl == "pallas":
+        from mmtrack_tpu.ops.pallas_preproc import crop_resize_normalize_pallas
+        return crop_resize_normalize_pallas(
+            image, box_xywh, search_area_factor, out_size, mean, std)
+    fn = crop_resize_mxu if impl == "mxu" else crop_resize
+    crop, rf = fn(image, box_xywh, search_area_factor, out_size)
     return (crop / 255.0 - mean) / std, rf
 
 

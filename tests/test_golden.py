@@ -137,6 +137,25 @@ def test_pallas_preproc_matches_reference():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_mmtrack_crop_env_switch(monkeypatch):
+    """MMTRACK_CROP selects the crop lowering inside crop_resize_normalized
+    (the serving knob A/B'd by tools/ab_kernels.py crop); every impl must
+    agree on the default geometry."""
+    from mmtrack_tpu.ops.crop import crop_resize_normalized
+    from mmtrack_tpu.trackers.vipt_tracker import MEAN_6CH, STD_6CH
+
+    rng = np.random.RandomState(3)
+    im = jnp.asarray(rng.randint(0, 255, (120, 160, 6), np.uint8))
+    b = jnp.asarray([40.0, 30.0, 30.0, 20.0])
+    mean, std = jnp.asarray(MEAN_6CH), jnp.asarray(STD_6CH)
+    monkeypatch.delenv("MMTRACK_CROP", raising=False)
+    want, rf_w = crop_resize_normalized(im, b, 4.0, 64, mean, std)
+    monkeypatch.setenv("MMTRACK_CROP", "mxu")
+    got, rf_g = crop_resize_normalized(im, b, 4.0, 64, mean, std)
+    assert float(rf_w) == float(rf_g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-6)
+
+
 def test_mxu_crop_matches_gather_crop():
     rng = np.random.RandomState(0)
     im = jnp.asarray(rng.randint(0, 255, (120, 160, 6), np.uint8))

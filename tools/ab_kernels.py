@@ -11,6 +11,7 @@ readback-synced:
 Usage:
   python tools/ab_kernels.py fwd fused|xla [B] [T]
   python tools/ab_kernels.py loop fused|xla
+  python tools/ab_kernels.py crop gather|mxu|pallas   # full loop, crop impl A/B
 
 Round-4 on-hardware results (v5e-1): fwd 10.55 -> 7.92 ms (B=16);
 loop 1190 -> 1355 fps. See docs/PERF.md "Round 4" section.
@@ -68,8 +69,10 @@ def run_fwd(mode: str, B: int = 16, T: int = 32) -> None:
           f"fwd-fps {B / (med / 1e3):.0f}")
 
 
-def run_loop(mode: str, reps: int = 3) -> None:
+def run_loop(mode: str, reps: int = 3, crop_mode: str | None = None) -> None:
     _setup(mode)
+    if crop_mode:
+        os.environ["MMTRACK_CROP"] = crop_mode
     from functools import partial
 
     import jax
@@ -115,8 +118,10 @@ def run_loop(mode: str, reps: int = 3) -> None:
         np.asarray(boxes)
         el = time.perf_counter() - t0
         best = min(best, el)
-        print(f"loop mode={mode} rep{rep}: {B * T * CHUNKS / el:.1f} fps")
-    print(f"loop mode={mode} best: {B * T * CHUNKS / best:.1f} fps "
+        tag = f"{mode}" + (f"/crop={crop_mode}" if crop_mode else "")
+        print(f"loop mode={tag} rep{rep}: {B * T * CHUNKS / el:.1f} fps")
+    tag = f"{mode}" + (f"/crop={crop_mode}" if crop_mode else "")
+    print(f"loop mode={tag} best: {B * T * CHUNKS / best:.1f} fps "
           f"({best * 1e3 / (T * CHUNKS):.2f} ms/step)")
 
 
@@ -126,5 +131,7 @@ if __name__ == "__main__":
     if which == "fwd":
         run_fwd(mode, int(sys.argv[3]) if len(sys.argv) > 3 else 16,
                 int(sys.argv[4]) if len(sys.argv) > 4 else 32)
+    elif which == "crop":
+        run_loop("fused", crop_mode=mode if mode != "fused" else "gather")
     else:
         run_loop(mode)
