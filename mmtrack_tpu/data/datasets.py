@@ -169,11 +169,13 @@ class SyntheticVideoDataset(VideoDataset):
 
     def __init__(self, n_sequences: int = 4, n_frames: int = 30,
                  height: int = 120, width: int = 160,
-                 modality: str = "both"):
+                 modality: str = "both", distractor: bool = False):
         # "both" (default): target salient in RGB and aux; "rgb_only":
         # aux channels are pure background (an RGB foundation corpus, the
         # OSTrack-pretrain analog); "aux_only": target invisible in RGB —
-        # the ViPT new-modality setting (depth/thermal/event carries it)
+        # the ViPT new-modality setting (depth/thermal/event carries it).
+        # distractor: every sequence carries an identical-looking second
+        # object crossing the target (the KYS/KeepTrack training setting)
         kw = {"both": {}, "rgb_only": {"target_aux": None},
               "aux_only": {"target_rgb": None}}[modality]
         self._seqs = []
@@ -181,7 +183,7 @@ class SyntheticVideoDataset(VideoDataset):
             frames, gt = make_synthetic_sequence(
                 n_frames=n_frames, height=height, width=width,
                 box0=(20.0 + 10 * i, 15.0 + 5 * i, 30.0, 24.0),
-                velocity=(2.0 + i, 1.5), seed=i, **kw)
+                velocity=(2.0 + i, 1.5), seed=i, distractor=distractor, **kw)
             self._seqs.append((frames, gt))
 
     def num_sequences(self) -> int:

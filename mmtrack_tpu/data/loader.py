@@ -27,11 +27,23 @@ def collate(samples: list[dict]) -> dict:
     }
 
 
+def collate_pair(samples: list[dict]) -> dict:
+    """collate + the previous-search-frame pair emitted by
+    KYSPairProcessing (search_prev/search share one crop geometry)."""
+    out = collate(samples)
+    out["search_prev"] = np.stack([s["search_prev_images"][0]
+                                   for s in samples])
+    out["search_prev_anno"] = np.stack([s["search_prev_anno"][0]
+                                        for s in samples])
+    return out
+
+
 class BatchLoader:
     """Iterates `batches_per_epoch` batches of size `batch_size`."""
 
     def __init__(self, sampler: TrackingSampler, batch_size: int,
-                 batches_per_epoch: int | None = None, prefetch: int = 2):
+                 batches_per_epoch: int | None = None, prefetch: int = 2,
+                 collate_fn=collate):
         from mmtrack_tpu.utils.hostmem import tune_host_allocator
 
         tune_host_allocator()  # image decode/copy is 10-20x slower without it
@@ -40,14 +52,15 @@ class BatchLoader:
         self.batches_per_epoch = (batches_per_epoch if batches_per_epoch is not None
                                   else max(1, len(sampler) // batch_size))
         self.prefetch = prefetch
+        self.collate_fn = collate_fn
 
     def _produce(self, q: queue.Queue, n: int):
         # sampling errors must surface in the consumer, not truncate the
         # epoch silently (torch DataLoader re-raises worker exceptions)
         try:
             for _ in range(n):
-                q.put(collate([self.sampler.sample()
-                               for _ in range(self.batch_size)]))
+                q.put(self.collate_fn([self.sampler.sample()
+                                       for _ in range(self.batch_size)]))
             q.put(None)
         except BaseException as e:  # noqa: BLE001 - relayed to consumer
             q.put(e)

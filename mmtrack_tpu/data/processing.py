@@ -129,6 +129,78 @@ class ViPTProcessing:
         return data
 
 
+class KYSPairProcessing:
+    """Serve-geometry processing for KYS propagation training.
+
+    The KYS actor consumes PAIRS of test frames — the GRU state is seeded
+    from the previous frame's label and the current frame's fused response
+    is supervised (MotionTrackerActor, keep_track_vot2021/ltr/actors/
+    tracking_motion.py:51-78). At serve time the current search crop is
+    taken at the position predicted from the previous frame, so prev/cur
+    crops share one geometry and the target's in-crop displacement is the
+    true inter-frame motion. Reproduce exactly that: crop BOTH search
+    frames with the crop box jittered around the PREV frame's target; no
+    per-crop flips (independent flips would scramble the prev->cur cost
+    volume the propagation module learns from).
+
+    Expects data with 1 template frame and 2 (ordered) search frames;
+    emits template/search crops in the ViPTProcessing layout plus
+    search_prev_images/search_prev_anno.
+    """
+
+    def __init__(self, search_area_factor: float = 5.0, output_sz: int = 288,
+                 template_jitter=(0.25, 0.0), prev_jitter=(0.25, 0.05),
+                 brightness_jitter: float = 0.2, train_mode: bool = True):
+        self.search_area_factor = search_area_factor
+        self.output_sz = output_sz
+        self.template_jitter = template_jitter
+        self.prev_jitter = prev_jitter
+        self.brightness_jitter = brightness_jitter
+        self.train_mode = train_mode
+
+    def _crop(self, frame, crop_box, gt, rng):
+        crop, rf, _ = sample_target_np(frame, crop_box,
+                                       self.search_area_factor,
+                                       output_sz=self.output_sz)
+        box = transform_box_to_crop_np(gt, crop_box, rf, self.output_sz,
+                                       normalize=True)
+        crop = crop.astype(np.float32) / 255.0
+        if self.train_mode:
+            factor = rng.uniform(max(0.0, 1 - self.brightness_jitter),
+                                 1 + self.brightness_jitter)
+            crop = np.clip(crop * factor, 0.0, 1.0)
+        c = crop.shape[-1]
+        return (crop - MEAN_6[:c]) / STD_6[:c], box
+
+    def __call__(self, data: dict, rng: np.random.Generator) -> dict:
+        t_img = data["template_images"][0]
+        t_box = np.asarray(data["template_anno"][0], np.float32)
+        p_img, c_img = data["search_images"][0], data["search_images"][1]
+        p_box = np.asarray(data["search_anno"][0], np.float32)
+        c_box = np.asarray(data["search_anno"][1], np.float32)
+
+        jt = jitter_box(t_box, *self.template_jitter, rng)
+        jp = jitter_box(p_box, *self.prev_jitter, rng)
+        for jb in (jt, jp):
+            if math.ceil(math.sqrt(max(jb[2] * jb[3], 0.0))
+                         * self.search_area_factor) < 1:
+                data["valid"] = False
+                return data
+
+        crop_t, anno_t = self._crop(t_img, jt, t_box, rng)
+        crop_p, anno_p = self._crop(p_img, jp, p_box, rng)
+        crop_c, anno_c = self._crop(c_img, jp, c_box, rng)  # SAME crop box
+
+        data["template_images"] = np.stack([crop_t])
+        data["template_anno"] = np.stack([anno_t])
+        data["search_prev_images"] = np.stack([crop_p])
+        data["search_prev_anno"] = np.stack([anno_p])
+        data["search_images"] = np.stack([crop_c])
+        data["search_anno"] = np.stack([anno_c])
+        data["valid"] = True
+        return data
+
+
 def from_config(cfg, train_mode: bool = True) -> ViPTProcessing:
     return ViPTProcessing(
         search_area_factor={"template": cfg.DATA.TEMPLATE.FACTOR,

@@ -87,6 +87,10 @@ class TrackingSampler:
             search_ids = self._sample_visible_ids(
                 visible, self.num_search_frames, template_ids[0] + 1,
                 template_ids[0] + self.max_gap + gap)
+            if search_ids is not None and self.num_search_frames > 1:
+                # multi-search consumers (the KYS prev/cur pair) need the
+                # frames time-ordered; a no-op for the single-frame mode
+                search_ids = sorted(search_ids)
             gap += 5
             if gap > 100 * self.max_gap:  # bail on degenerate sequences
                 return None, None

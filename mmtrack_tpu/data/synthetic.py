@@ -15,7 +15,8 @@ def make_synthetic_sequence(n_frames: int = 20, height: int = 240, width: int = 
                             box0=(120.0, 90.0, 48.0, 36.0), velocity=(3.0, 2.0),
                             seed: int = 0, channels: int = 6,
                             target_rgb: float | None = 220,
-                            target_aux: float | None = 180):
+                            target_aux: float | None = 180,
+                            distractor: bool = False):
     """A bright square target moving over textured background.
 
     Returns (frames (N, H, W, C) uint8, gt_boxes (N, 4) float xywh).
@@ -24,7 +25,15 @@ def make_synthetic_sequence(n_frames: int = 20, height: int = 240, width: int = 
     motion. `target_rgb=None` / `target_aux=None` leaves the target
     UNDRAWN in that triplet (pure background there) — the aux-only form
     models the ViPT new-modality setting where only the prompt modality
-    carries the object (depth_utils.py:71-132's X channels)."""
+    carries the object (depth_utils.py:71-132's X channels).
+
+    `distractor=True` adds a SECOND square with identical size and
+    appearance on the mirrored trajectory (start reflected through the
+    image center, velocity negated), so the two objects cross
+    mid-sequence — the distractor-suppression setting KYS/KeepTrack exist
+    for. The target is drawn second and wins overlaps; ground truth stays
+    the target's. Drawn from an independent RNG so the default frames and
+    every golden fixture are bit-unchanged."""
     rng = np.random.RandomState(seed)
     bg = rng.randint(0, 80, (height, width, channels), np.uint8)
     frames = np.empty((n_frames, height, width, channels), np.uint8)
@@ -32,8 +41,37 @@ def make_synthetic_sequence(n_frames: int = 20, height: int = 240, width: int = 
 
     x, y, w, h = box0
     vx, vy = velocity
+    if distractor:
+        drng = np.random.RandomState(seed + 7777)
+        dx, dy = width - x - w, height - y - h
+        dvx, dvy = -vx, -vy
+
+    def _draw(f, bx, by, tex_rng):
+        xi, yi = int(round(bx)), int(round(by))
+        x2, y2 = min(xi + int(w), width), min(yi + int(h), height)
+        xi, yi = max(xi, 0), max(yi, 0)
+        if target_rgb is not None:
+            f[yi:y2, xi:x2, :3] = target_rgb
+        if target_aux is not None:
+            f[yi:y2, xi:x2, 3:] = target_aux
+        tex = tex_rng.randint(-20, 20, f[yi:y2, xi:x2].shape)
+        if target_rgb is None:
+            tex[..., :3] = 0
+        if target_aux is None:
+            tex[..., 3:] = 0
+        f[yi:y2, xi:x2] = np.clip(
+            f[yi:y2, xi:x2].astype(np.int16) + tex, 0, 255).astype(np.uint8)
+
     for t in range(n_frames):
         f = bg.copy()
+        if distractor:
+            _draw(f, dx, dy, drng)
+            dx += dvx
+            dy += dvy
+            if not (0 <= dx <= width - w):
+                dvx = -dvx
+            if not (0 <= dy <= height - h):
+                dvy = -dvy
         xi, yi = int(round(x)), int(round(y))
         x2, y2 = min(xi + int(w), width), min(yi + int(h), height)
         xi, yi = max(xi, 0), max(yi, 0)

@@ -79,6 +79,29 @@ def make_dimp_train_step(model, tx, *, image_sz: int = 288,
     return train_step
 
 
+def per_sequence_scores(model, params, train_clf, test_clf, train_bb,
+                        num_iter=None):
+    """Per-sequence filter init + optimization + classification.
+
+    The reference keeps (num_images, num_sequences) axes separate and
+    learns ONE filter per sequence from its own train frames
+    (linear_filter.py LinearFilter.forward; initializer pools per
+    sequence). Our FilterInitializer/optimizer implement exactly the
+    single-sequence form (mean over that sequence's samples) — so a
+    multi-SEQUENCE batch must vmap over the batch axis, not feed it as
+    samples (which would average one filter across different targets).
+
+    train_clf/test_clf (B, H, W, C), train_bb (B, 4) -> scores (B, s, s).
+    """
+    def one(tc, te, bb):
+        w0 = model.apply(params, tc[None], bb[None], method="get_filter")
+        w = model.apply(params, w0, tc[None], bb[None], None, num_iter,
+                        method="optimize_filter")
+        return model.apply(params, w, te[None], method="classify")[0]
+
+    return jax.vmap(one)(train_clf, test_clf, train_bb)
+
+
 def dimp_forward_and_loss(model, params, batch: dict, rng, *,
                           image_sz: int = 288,
                           loss_weights=(1.0, 100.0)) -> tuple[jnp.ndarray, dict]:
@@ -86,8 +109,22 @@ def dimp_forward_and_loss(model, params, batch: dict, rng, *,
     coords. Returns (loss, stats); weights = (iou_w, clf_w) per the LTR
     train settings (DeT_DiMP50_Max.py objective weights)."""
     proposals, gt_iou = make_proposals(rng, batch["test_bb"])
-    out = model.apply(params, batch["train_im"], batch["test_im"],
-                      batch["train_bb"], proposals)
+
+    def fwd(m, train_im, test_im, train_bb, props):
+        train_feat = m.extract_backbone(train_im)
+        test_feat = m.extract_backbone(test_im)
+        iou_pred = m.bb_regressor(
+            [train_feat["layer2"], train_feat["layer3"]],
+            [test_feat["layer2"], test_feat["layer3"]], train_bb, props)
+        return (m.extract_classification_feat(train_feat),
+                m.extract_classification_feat(test_feat), iou_pred)
+
+    train_clf, test_clf, iou_pred = model.apply(
+        params, batch["train_im"], batch["test_im"], batch["train_bb"],
+        proposals, method=fwd)
+    scores = per_sequence_scores(model, params, train_clf, test_clf,
+                                 batch["train_bb"])
+    out = {"target_scores": scores, "iou_pred": iou_pred}
 
     iou_w, clf_w = loss_weights
     # the reference regresses IoUs mapped to [-1, 1] (ltr processing.py:

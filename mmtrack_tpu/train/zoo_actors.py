@@ -273,22 +273,24 @@ def make_kys_train_step(model, tx, clf_weight: float = 1.0,
                 return bf, cf
 
             bf_tr, cf_tr = dimp_pass(batch["train_images"])
-            w0 = model.apply(params, cf_tr, batch["train_anno"],
-                             method="get_filter")
-            filt = model.apply(params, w0, cf_tr, batch["train_anno"], None,
-                               filter_optim_iter,
-                               method="optimize_filter")
             bf_p, _ = dimp_pass(batch["test_prev"])
-            bf_c, _ = dimp_pass(batch["test_cur"])
+            bf_c, cf_c = dimp_pass(batch["test_cur"])
             S = batch["label_cur"].shape[-1]
 
-            def score_of(bf):
-                cf = model.apply(params, bf,
-                                 method="extract_classification_feat")
-                return model.apply(params, filt, cf,
-                                   method="classify")[:, :S, :S]
+            # one filter PER SEQUENCE from its own train frame (the
+            # reference's (num_images, num_sequences) semantics — see
+            # dimp_actor.per_sequence_scores), so the dimp score the
+            # predictor learns to fuse is as sharp as at serve time
+            def one(tc, te, bb):
+                w0 = model.apply(params, tc[None], bb[None],
+                                 method="get_filter")
+                w = model.apply(params, w0, tc[None], bb[None], None,
+                                filter_optim_iter, method="optimize_filter")
+                return model.apply(params, w, te[None],
+                                   method="classify")[0, :S, :S]
 
-            score_cur = stop(score_of(bf_c))
+            score_cur = stop(jax.vmap(one)(cf_tr, cf_c,
+                                           batch["train_anno"]))
             feat_p = stop(model.apply(params, bf_p, method="motion_feat"))
             feat_c = stop(model.apply(params, bf_c, method="motion_feat"))
 
@@ -334,7 +336,9 @@ def make_lwl_train_step(model, tx):
             loss = lovasz_hinge_loss(seg, batch["test_masks"])
             acc = (((seg > 0) == (batch["test_masks"] > 0.5))
                    .astype(jnp.float32).mean())
-            return loss, {"Loss/segm": loss, "Acc": acc}
+            # Loss/total is the Trainer's sync/telemetry key
+            # (trainer.py::train_epoch) — its absence crashed the lwl CLI
+            return loss, {"Loss/total": loss, "Loss/segm": loss, "Acc": acc}
 
         lg = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         return _apply_update(state, tx, lg)
@@ -415,11 +419,38 @@ def make_lwl_box_train_step(model, tx):
     return train_step
 
 
-def kys_adapt_batch(batch, S: int, tf: float, feat_stride: int = 16):
+def kys_pair_adapt_batch(batch, S: int, tf: float, feat_stride: int = 16,
+                         channels: int = 3):
+    """Map a collate_pair batch (KYSPairProcessing: real prev/cur search
+    frames sharing one serve-geometry crop) to the KYS train batch. This
+    is the faithful form of the reference actor's data
+    (tracking_motion.py:51-78: test_images split into [prev, cur], state
+    seeded from prev's label): the cost volume sees the TRUE inter-frame
+    displacement, and the template stays what it is at serve time — the
+    filter source."""
+    from mmtrack_tpu.train.dimp_actor import gaussian_label_map
+
+    hS = S // feat_stride
+    return {
+        "train_images": batch["template"][..., :channels],
+        "train_anno": batch["template_anno"] * S,
+        "test_prev": batch["search_prev"][..., :channels],
+        "test_cur": batch["search"][..., :channels],
+        "label_prev": gaussian_label_map(batch["search_prev_anno"] * S, hS,
+                                         S, kernel_sz=4),
+        "label_cur": gaussian_label_map(batch["search_anno"] * S, hS, S,
+                                        kernel_sz=4),
+    }
+
+
+def kys_adapt_batch(batch, S: int, tf: float, feat_stride: int = 16,
+                    channels: int = 3):
     """Map the standard sampler batch (template/search/search_anno) to the
     KYS pair batch (tools/train.py --script kys): the target-centered
     template doubles as the PREVIOUS test frame (its box is S/tf centered
-    by crop construction); the jittered search is the current frame."""
+    by crop construction); the jittered search is the current frame.
+    `channels=6` keeps the full multi-modal stack (a 6-ch DiMP base, e.g.
+    grafted from the learning demo's trained DiMPNet)."""
     from mmtrack_tpu.train.dimp_actor import gaussian_label_map
 
     hS = S // feat_stride
@@ -429,10 +460,10 @@ def kys_adapt_batch(batch, S: int, tf: float, feat_stride: int = 16):
                     (batch["template"].shape[0], 1))
     cur_bb = batch["search_anno"] * S
     return {
-        "train_images": batch["template"][..., :3],
+        "train_images": batch["template"][..., :channels],
         "train_anno": anno,
-        "test_prev": batch["template"][..., :3],
-        "test_cur": batch["search"][..., :3],
+        "test_prev": batch["template"][..., :channels],
+        "test_cur": batch["search"][..., :channels],
         "label_prev": gaussian_label_map(anno, hS, S, kernel_sz=4),
         "label_cur": gaussian_label_map(cur_bb, hS, S, kernel_sz=4),
     }
@@ -448,7 +479,8 @@ def _rect_masks(anno_px, size: int):
             ).astype(jnp.float32)
 
 
-def lwl_adapt_batch(batch, S: int, tf: float, box_mode: bool):
+def lwl_adapt_batch(batch, S: int, tf: float, box_mode: bool,
+                    channels: int = 3):
     """Map the sampler batch to LWL training batches (tools/train.py
     --script lwl / lwl_box). VOS mask corpora (YouTube-VOS/DAVIS) are
     outside the benchmark's dataset surface; boxes rasterize to masks —
@@ -459,10 +491,10 @@ def lwl_adapt_batch(batch, S: int, tf: float, box_mode: bool):
                       (batch["template"].shape[0], 1))
     anno_s = batch["search_anno"] * S
     if box_mode:
-        return {"train_images": batch["search"][..., :3],
+        return {"train_images": batch["search"][..., :channels],
                 "train_anno": anno_s,
                 "train_masks": _rect_masks(anno_s, S)}
-    return {"train_images": batch["template"][..., :3],
-            "test_images": batch["search"][..., :3],
+    return {"train_images": batch["template"][..., :channels],
+            "test_images": batch["search"][..., :channels],
             "train_masks": _rect_masks(anno_t, S),
             "test_masks": _rect_masks(anno_s, S)}

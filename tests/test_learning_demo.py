@@ -47,6 +47,34 @@ def test_synthetic_modality_split():
     assert frames_both[inside][..., 3:].mean() > 120
 
 
+def test_synthetic_distractor():
+    """distractor=True adds an identical-looking square on the mirrored
+    trajectory (the KYS propagation setting) without touching the default
+    RNG stream: the base frames and ground truth are bit-identical, and
+    the extra pixels form a second bright region away from the target."""
+    from mmtrack_tpu.data.synthetic import make_synthetic_sequence
+
+    kw = dict(n_frames=5, height=120, width=160,
+              box0=(20.0, 15.0, 24.0, 18.0), velocity=(2.0, 1.0), seed=5)
+    base, gt = make_synthetic_sequence(**kw)
+    dist, gt_d = make_synthetic_sequence(**kw, distractor=True)
+    np.testing.assert_array_equal(gt, gt_d)
+
+    x, y, w, h = (int(round(v)) for v in gt[0])
+    # target untouched (drawn last, wins overlaps)
+    np.testing.assert_array_equal(dist[0, y:y + h, x:x + w],
+                                  base[0, y:y + h, x:x + w])
+    # mirrored start: a second bright square where base has background
+    mx, my = 160 - 20 - 24, 120 - 15 - 18
+    assert base[0, my:my + h, mx:mx + w, :3].max() < 80
+    assert dist[0, my:my + h, mx:mx + w, :3].mean() > 150
+    # everything outside the two squares is the same background
+    mask = np.ones((120, 160), bool)
+    mask[y:y + h, x:x + w] = False
+    mask[my:my + h, mx:mx + w] = False
+    np.testing.assert_array_equal(dist[0][mask], base[0][mask])
+
+
 def test_synthetic_dataset_modality_plumbs_through():
     from mmtrack_tpu.data.datasets import SyntheticVideoDataset
 
@@ -93,6 +121,32 @@ def test_train_cli_full_tune_and_modality_args():
     assert "--full_tune" in out
     assert "--synthetic_modality" in out
     assert "rgb_only" in out and "aux_only" in out
+    assert "--channels" in out  # kys/lwl 3-ch fork recipe vs 6-ch graft
+
+
+def test_evaluate_factory_init_mask():
+    """with_init_mask hands the tracker an exact rectangle mask (the
+    LWL/STM init protocol; the synthetic target IS a rectangle)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import learning_demo as ld
+
+    seen = []
+
+    class Probe:
+        def initialize(self, frame, info):
+            seen.append(info)
+            self._b = list(info["init_bbox"])
+
+        def track(self, frame):
+            return {"target_bbox": self._b}
+
+    ld.evaluate_factory(Probe, with_init_mask=True)
+    assert len(seen) == len(ld.HELDOUT)
+    for info, spec in zip(seen, ld.HELDOUT):
+        m = info["init_mask"]
+        x, y, w, h = (int(round(v)) for v in spec["box0"])
+        assert m.shape == (120, 160)
+        assert m.sum() == m[max(y, 0):y + h, max(x, 0):x + w].sum() > 0
 
 
 # --------------------------------------------------------- demo evaluator

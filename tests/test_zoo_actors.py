@@ -319,9 +319,24 @@ def test_kys_lwl_cli_batch_adapters():
         "search_anno": jnp.asarray([[0.3, 0.3, 0.3, 0.3]]),
     }
 
-    kb = zoo_actors.kys_adapt_batch(batch, S, 5.0)
+    # the kys CLI routes collate_pair batches (real prev/cur search pair
+    # in shared serve geometry) through kys_pair_adapt_batch
+    pair_batch = dict(batch, search_prev=batch["template"],
+                      search_prev_anno=batch["search_anno"],
+                      template_anno=jnp.asarray([[0.4, 0.4, 0.2, 0.2]]))
+    kb = zoo_actors.kys_pair_adapt_batch(pair_batch, S, 5.0)
     assert kb["label_cur"].shape == (1, S // 16, S // 16)
+    assert kb["label_prev"].shape == (1, S // 16, S // 16)
     assert kb["train_images"].shape == (1, S, S, 3)
+    # --channels 6 keeps the full multi-modal stack (the learning demo's
+    # grafted 6-ch DiMP base) without changing labels/geometry
+    kb6 = zoo_actors.kys_pair_adapt_batch(pair_batch, S, 5.0, channels=6)
+    assert kb6["train_images"].shape == (1, S, S, 6)
+    np.testing.assert_array_equal(np.asarray(kb6["label_cur"]),
+                                  np.asarray(kb["label_cur"]))
+    assert zoo_actors.lwl_adapt_batch(
+        batch, S, 6.0, box_mode=False, channels=6)[
+        "test_images"].shape == (1, S, S, 6)
     kys = build_kysnet()
     im = jnp.zeros((1, S, S, 3))
     bb = jnp.asarray([[30.0, 30.0, 30.0, 30.0]])
@@ -350,6 +365,9 @@ def test_kys_lwl_cli_batch_adapters():
     step2 = jax.jit(zoo_actors.make_lwl_train_step(lwl, tx2))
     st2, stats2 = step2(st2, lb, jax.random.PRNGKey(1))
     assert np.isfinite(float(stats2["Loss/segm"]))
+    # the Trainer syncs on Loss/total every step (trainer.py:123) — its
+    # absence crashed the --script lwl CLI (caught by the learning demo)
+    assert "Loss/total" in stats2
 
     lb_box = zoo_actors.lwl_adapt_batch(batch, S, 6.0, box_mode=True)
     assert set(lb_box) == {"train_images", "train_anno", "train_masks"}

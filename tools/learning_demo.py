@@ -26,6 +26,20 @@ synthetic sequences the sampler never saw:
       attributable to the prompt parameters alone, since nothing else
       trains.
 
+Further opt-in phases (each trains through tools/train.py and evaluates
+the COMPLETE online tracker on the held-out sequences):
+
+  --dimp: the online family — offline-train a full DiMPNet (ResNet-50 +
+      meta-learned filter init/optimizer + IoUNet), eval the online
+      tracker (init augmentation, steepest-descent solve, IoUNet
+      refinement, memory updates) before/after.
+  --kys: the propagation family — graft the DiMP phase's trained base
+      into KYSNet, train ONLY the scene-propagation predictor (the
+      reference protocol), eval the KYS tracker before/after.
+  --lwl: the segmentation family — train LWL on rasterized-box masks
+      (exact on the synthetic rectangle target), eval the mask tracker
+      (few-shot learn, segment, seg->box, memory) before/after.
+
 Run:  python tools/learning_demo.py [--epochs 8] [--out docs/artifacts/learning_demo.json]
 CPU: ~10-20 min single core. TPU chip: ~1-2 min.
 """
@@ -84,8 +98,16 @@ def _build(cfg):
     return model, rt, init
 
 
-def evaluate_factory(make_tracker, modality: str = "both") -> dict:
-    """OPE over the held-out sequences: mean IoU, success AUC, SR@0.5."""
+def evaluate_factory(make_tracker, modality: str = "both",
+                     with_init_mask: bool = False,
+                     distractor: bool = False) -> dict:
+    """OPE over the held-out sequences: mean IoU, success AUC, SR@0.5.
+
+    with_init_mask: also hand the tracker a first-frame segmentation mask
+    (the synthetic target is an axis-aligned rectangle, so the rasterized
+    init box IS the exact mask) — the LWL/STM init protocol.
+    distractor: an identical-looking second object crosses the target
+    (the KYS propagation setting)."""
     from mmtrack_tpu.data.synthetic import make_synthetic_sequence
     from mmtrack_tpu.eval.metrics import iou_xywh, success_auc
 
@@ -94,9 +116,16 @@ def evaluate_factory(make_tracker, modality: str = "both") -> dict:
     ious = []
     for spec in HELDOUT:
         frames, gt = make_synthetic_sequence(
-            n_frames=N_FRAMES, height=120, width=160, **spec, **kw)
+            n_frames=N_FRAMES, height=120, width=160,
+            distractor=distractor, **spec, **kw)
         tr = make_tracker()
-        tr.initialize(frames[0], {"init_bbox": gt[0].tolist()})
+        info = {"init_bbox": gt[0].tolist()}
+        if with_init_mask:
+            x, y, w, h = (int(round(v)) for v in gt[0])
+            m = np.zeros(frames[0].shape[:2], np.float32)
+            m[max(y, 0):y + h, max(x, 0):x + w] = 1.0
+            info["init_mask"] = m
+        tr.initialize(frames[0], info)
         pred = [gt[0]]
         for t in range(1, len(frames)):
             pred.append(tr.track(frames[t])["target_bbox"])
@@ -125,9 +154,7 @@ def _run_train(save_dir: str, epochs: int, extra: list[str]) -> None:
     subprocess.run(cmd, check=True, cwd=REPO)
 
 
-def _latest_ckpt(save_dir: str) -> str:
-    cfg_name = os.path.splitext(os.path.basename(CFG_PATH))[0]
-    root = os.path.join(save_dir, f"vipt-{cfg_name}", "checkpoints")
+def _latest_step_dir(root: str) -> str:
     steps = sorted(int(os.path.basename(p)) for p in glob.glob(
         os.path.join(root, "[0-9]*")) if os.path.basename(p).isdigit())
     if not steps:
@@ -135,6 +162,12 @@ def _latest_ckpt(save_dir: str) -> str:
     d = os.path.join(root, str(steps[-1]))
     return os.path.join(d, "default") if os.path.isdir(
         os.path.join(d, "default")) else d
+
+
+def _latest_ckpt(save_dir: str) -> str:
+    cfg_name = os.path.splitext(os.path.basename(CFG_PATH))[0]
+    return _latest_step_dir(
+        os.path.join(save_dir, f"vipt-{cfg_name}", "checkpoints"))
 
 
 def _restore_params(ckpt_path: str, template_params):
@@ -192,18 +225,263 @@ def run_dimp_phase(args, workdir: str) -> dict:
     print("+", " ".join(cmd), flush=True)
     subprocess.run(cmd, check=True, cwd=REPO)
 
-    root = os.path.join(d, "dimp", "checkpoints")
-    steps = sorted(int(os.path.basename(p)) for p in glob.glob(
-        os.path.join(root, "[0-9]*")) if os.path.basename(p).isdigit())
-    ck = os.path.join(root, str(steps[-1]))
-    if os.path.isdir(os.path.join(ck, "default")):
-        ck = os.path.join(ck, "default")
-    params1 = _restore_params(ck, params0)
+    params1 = _restore_params(
+        _latest_step_dir(os.path.join(d, "dimp", "checkpoints")), params0)
 
     print("== dimp eval: after offline training", flush=True)
     after = evaluate_factory(lambda: DiMPTracker(model, params1))
     print(json.dumps(after), flush=True)
     return {"epochs": args.dimp_epochs, "before": before, "after": after,
+            "improved": bool(after["auc"] > before["auc"] + 0.02)}
+
+
+def _kys_transition_metric(model, params, n_frames: int = N_FRAMES) -> dict:
+    """Held-out PREDICTOR metric: over serve-geometry transitions of the
+    held-out distractor sequences, the fraction where the fused
+    propagation response peaks within 1.5 feature cells of the true
+    target (vs the raw DiMP score as a reference line).
+
+    This isolates what the KYS recipe actually trains. The tracker-level
+    A/B on the same sequences is confounded: the frozen DiMP base +
+    online filter adaptation + the localization fallback heuristics are
+    already near ceiling, and the mirror-trajectory distractor COINCIDES
+    with the target mid-sequence (identity momentarily ill-posed), so
+    small fused-response gains don't move box AUC."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmtrack_tpu.data.processing import MEAN_6, STD_6
+    from mmtrack_tpu.data.synthetic import make_synthetic_sequence
+    from mmtrack_tpu.ops.crop import sample_target_np
+    from mmtrack_tpu.train.dimp_actor import gaussian_label_map
+
+    S, tf = 288, 5.0
+    hS = S // 16
+
+    def crop_at_box(frame, box):
+        crop, rf, _ = sample_target_np(frame, box, tf, output_sz=S)
+        return (crop.astype(np.float32) / 255.0 - MEAN_6) / STD_6, rf
+
+    @jax.jit
+    def run_seq(params, tpl, tpl_anno, prev, cur, label_prev):
+        cf_tpl = model.apply(params, model.apply(
+            params, tpl, method="extract_backbone"),
+            method="extract_classification_feat")
+        w0 = model.apply(params, cf_tpl, tpl_anno, method="get_filter")
+        filt = model.apply(params, w0, cf_tpl, tpl_anno, None, 5,
+                           method="optimize_filter")
+        bf_p = model.apply(params, prev, method="extract_backbone")
+        bf_c = model.apply(params, cur, method="extract_backbone")
+        cf_c = model.apply(params, bf_c,
+                           method="extract_classification_feat")
+        # one sequence -> one filter; classify applies it to all T frames
+        score_cur = model.apply(params, filt, cf_c,
+                                method="classify")[:, :hS, :hS]
+        feat_p = model.apply(params, bf_p, method="motion_feat")
+        feat_c = model.apply(params, bf_c, method="motion_feat")
+        st0 = model.apply(params, label_prev, method="init_motion_state")
+        fused, _, _ = model.apply(params, feat_p, feat_c, st0, score_cur,
+                                  method="predict_response")
+        return fused, score_cur
+
+    hits_fused, hits_dimp, total = 0, 0, 0
+    for spec in HELDOUT:
+        frames, gt = make_synthetic_sequence(
+            n_frames=n_frames, height=120, width=160, distractor=True,
+            **spec)
+        tpl_np, rf0 = crop_at_box(frames[0], gt[0])
+        side0 = float(np.sqrt(gt[0, 2] * gt[0, 3]) * rf0)
+        c0 = (S - side0) / 2.0
+        tpl_anno = jnp.asarray([[c0, c0, side0, side0]], jnp.float32)
+
+        prevs, curs, lp, anno_cur = [], [], [], []
+        for t in range(1, n_frames):
+            p_crop, rf = crop_at_box(frames[t - 1], gt[t - 1])
+            # serve geometry: the current crop is taken at the PREV box
+            c_crop, _ = crop_at_box(frames[t], gt[t - 1])
+            prevs.append(p_crop)
+            curs.append(c_crop)
+            # prev target is centered in its own crop by construction
+            side = np.sqrt(gt[t - 1, 2] * gt[t - 1, 3]) * rf
+            c = (S - side) / 2.0
+            lp.append([c, c, side, side])
+            # true current box in the shared crop coordinates
+            d = (gt[t, :2] + gt[t, 2:] / 2) - (gt[t - 1, :2] + gt[t - 1, 2:] / 2)
+            ctr = (S - 1) / 2 + d * rf
+            wh = gt[t, 2:] * rf
+            anno_cur.append(np.concatenate([ctr - wh / 2, wh]))
+        fused, dimp = run_seq(
+            params, jnp.asarray(tpl_np)[None], tpl_anno,
+            jnp.asarray(np.stack(prevs)), jnp.asarray(np.stack(curs)),
+            gaussian_label_map(jnp.asarray(lp, jnp.float32), hS, S,
+                               kernel_sz=4))
+        # truth cell = argmax of the label built with the SAME convention
+        # the recipe supervises with (gaussian_label_map)
+        label_cur = np.asarray(gaussian_label_map(
+            jnp.asarray(anno_cur, jnp.float32), hS, S, kernel_sz=4))
+        tr = np.stack(np.unravel_index(
+            label_cur.reshape(label_cur.shape[0], -1).argmax(1),
+            label_cur.shape[1:]), 1)
+        for m, which in ((np.asarray(fused), "f"), (np.asarray(dimp), "d")):
+            pk = np.stack(np.unravel_index(
+                m.reshape(m.shape[0], -1).argmax(1), m.shape[1:]), 1)
+            ok = int((np.linalg.norm(pk - tr, axis=1) <= 1.5).sum())
+            if which == "f":
+                hits_fused += ok
+            else:
+                hits_dimp += ok
+        total += n_frames - 1
+    return {"fused_peak_acc": round(hits_fused / total, 4),
+            "dimp_peak_acc_reference": round(hits_dimp / total, 4),
+            "transitions": total}
+
+
+def run_kys_phase(args, workdir: str) -> dict:
+    """KYS (the propagation family): the recipe trains ONLY the
+    scene-propagation response predictor on a frozen DiMP base, exactly
+    the reference protocol (KYSNet.train freezes the base,
+    keep_track_vot2021/ltr/models/tracking/kysnet.py). Mirrored end to
+    end: graft the DiMP phase's TRAINED 6-ch DiMPNet into KYSNet.dimp,
+    eval the full KYS tracker (cost volume, ConvGRU propagation,
+    fused-score localization) with the predictor still RANDOM, train the
+    predictor through tools/train.py --script kys --channels 6, eval
+    again — any improvement is attributable to the propagation module
+    alone, since nothing else trains.
+
+    Both the training corpus and the held-out eval carry an
+    identical-looking CROSSING DISTRACTOR (--synthetic_distractor): on
+    distractor-free sequences the trained DiMP base is already at
+    ceiling, so there is nothing for scene propagation to add —
+    suppressing same-appearance distractors by propagating scene
+    information is precisely the capability KYS trains
+    (keep_track_vot2021/ltr/models/tracking/kysnet.py; the paper's
+    distractor-dense setting)."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from mmtrack_tpu.models.kys import build_kysnet
+    from mmtrack_tpu.trackers.kys_tracker import KYSTracker
+
+    model = build_kysnet()
+    im = jnp.zeros((1, 288, 288, 6))
+    bb = jnp.asarray([[100.0, 100.0, 80.0, 80.0]])
+    props = jnp.asarray([[[100.0, 100.0, 80.0, 80.0]] * 2])
+    params0 = jax.jit(lambda r: model.init(r, im, im, bb, props,
+                                           method="init_forward"))(
+        jax.random.PRNGKey(7))
+
+    # the trained 6-ch DiMP base from the DiMP phase (train it if absent)
+    dimp_root = os.path.join(workdir, "dimp", "dimp", "checkpoints")
+    if not glob.glob(os.path.join(dimp_root, "[0-9]*")):
+        cmd = [sys.executable, os.path.join(REPO, "tools", "train.py"),
+               "--script", "dimp", "--config", CFG_PATH, "--synthetic",
+               "--save_dir", os.path.join(workdir, "dimp"),
+               "--epochs", str(args.dimp_epochs),
+               "--batch", "8", "--samples", "64", "--seed", "7"]
+        print("+", " ".join(cmd), flush=True)
+        subprocess.run(cmd, check=True, cwd=REPO)
+    kp = flax.core.unfreeze(params0)
+    restored = _restore_params(_latest_step_dir(dimp_root),
+                               {"params": kp["params"]["dimp"]})
+    kp["params"]["dimp"] = restored["params"]
+
+    print("== kys eval (crossing distractor): trained DiMP base + RANDOM "
+          "propagation predictor", flush=True)
+    before = evaluate_factory(lambda: KYSTracker(model, kp), distractor=True)
+    print(json.dumps(before), flush=True)
+    before_pred = _kys_transition_metric(model, kp)
+    print("predictor metric (random):", json.dumps(before_pred), flush=True)
+
+    graft = os.path.abspath(os.path.join(workdir, "kys_graft"))
+    if not os.path.exists(graft):
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(graft, kp)
+    d = os.path.join(workdir, "kys")
+    cmd = [sys.executable, os.path.join(REPO, "tools", "train.py"),
+           "--script", "kys", "--config", CFG_PATH, "--synthetic",
+           "--synthetic_distractor",
+           "--save_dir", d, "--epochs", str(args.kys_epochs),
+           "--batch", "8", "--samples", "64", "--seed", "7",
+           "--channels", "6", "--init", graft]
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO)
+
+    params1 = _restore_params(
+        _latest_step_dir(os.path.join(d, "kys-base", "checkpoints")), kp)
+
+    print("== kys eval (crossing distractor): after predictor-only training",
+          flush=True)
+    after = evaluate_factory(lambda: KYSTracker(model, params1),
+                             distractor=True)
+    print(json.dumps(after), flush=True)
+    after_pred = _kys_transition_metric(model, params1)
+    print("predictor metric (trained):", json.dumps(after_pred), flush=True)
+    return {"epochs": args.kys_epochs,
+            "base": "DiMP-phase checkpoint (frozen, reference protocol)",
+            "trains": "propagation predictor only",
+            "eval": "held-out sequences with an identical crossing "
+                    "distractor",
+            "tracker_before": before, "tracker_after": after,
+            "predictor_before": before_pred, "predictor_after": after_pred,
+            # pass/fail gates on what the recipe trains: the fused
+            # propagation response localizing the true target on held-out
+            # transitions (see _kys_transition_metric docstring for why
+            # the tracker-level A/B is confounded here)
+            "improved": bool(after_pred["fused_peak_acc"]
+                             > before_pred["fused_peak_acc"] + 0.1)}
+
+
+def run_lwl_phase(args, workdir: str) -> dict:
+    """LWL (the segmentation family): the offline recipe rasterizes boxes
+    into masks (VOS corpora are outside the benchmark's dataset surface,
+    tools/train.py) — on the synthetic corpus that supervision is EXACT,
+    because the target is an axis-aligned rectangle. So the recipe can be
+    shown to train the label encoder + few-shot target model + decoder to
+    a useful segmenter: eval the full LWL tracker (few-shot learn on the
+    init mask, per-frame segment -> 'var' seg-to-box, memory update) on
+    held-out sequences before and after training."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmtrack_tpu.models.lwl import LWLNet
+    from mmtrack_tpu.trackers.lwl_tracker import LWLTracker
+
+    # identical init protocol to tools/train.py --script lwl
+    model = LWLNet(filter_size=3, num_filters=16,
+                   label_encoder_dims=(16, 32, 64), optim_iter=5,
+                   use_box_encoder=False)
+    S = 256
+    imz = jnp.zeros((1, S, S, 3))
+    mz = jnp.zeros((1, S, S))
+    params0 = jax.jit(lambda r: model.init(r, imz, imz, mz))(
+        jax.random.PRNGKey(7))
+
+    print("== lwl eval: random init", flush=True)
+    before = evaluate_factory(lambda: LWLTracker(model, params0),
+                              with_init_mask=True)
+    print(json.dumps(before), flush=True)
+
+    d = os.path.join(workdir, "lwl")
+    cmd = [sys.executable, os.path.join(REPO, "tools", "train.py"),
+           "--script", "lwl", "--config", CFG_PATH, "--synthetic",
+           "--save_dir", d, "--epochs", str(args.lwl_epochs),
+           "--batch", "8", "--samples", "64", "--seed", "7"]
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO)
+    params1 = _restore_params(
+        _latest_step_dir(os.path.join(d, "lwl-base", "checkpoints")),
+        params0)
+
+    print("== lwl eval: after training", flush=True)
+    after = evaluate_factory(lambda: LWLTracker(model, params1),
+                             with_init_mask=True)
+    print(json.dumps(after), flush=True)
+    return {"epochs": args.lwl_epochs,
+            "supervision": "rasterized boxes (exact: the synthetic "
+                           "target is a rectangle)",
+            "before": before, "after": after,
             "improved": bool(after["auc"] > before["auc"] + 0.02)}
 
 
@@ -219,6 +497,19 @@ def main(argv=None):
                     help="run ONLY the DiMP phase, merging into an existing "
                          "--out artifact (stage 1/2 results kept)")
     ap.add_argument("--dimp_epochs", type=int, default=4)
+    ap.add_argument("--kys", action="store_true",
+                    help="also run the KYS propagation phase (predictor-only "
+                         "training on the frozen DiMP-phase base)")
+    ap.add_argument("--kys_only", action="store_true",
+                    help="run ONLY the KYS phase, merging into --out "
+                         "(reuses the DiMP-phase checkpoint in --workdir, "
+                         "training one if absent)")
+    ap.add_argument("--kys_epochs", type=int, default=6)
+    ap.add_argument("--lwl", action="store_true",
+                    help="also run the LWL segmentation phase")
+    ap.add_argument("--lwl_only", action="store_true",
+                    help="run ONLY the LWL phase, merging into --out")
+    ap.add_argument("--lwl_epochs", type=int, default=4)
     ap.add_argument("--out", default=os.path.join(
         REPO, "docs", "artifacts", "learning_demo.json"))
     ap.add_argument("--workdir", default=None,
@@ -229,18 +520,26 @@ def main(argv=None):
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="mmtrack_demo_")
 
-    if args.dimp_only:
+    only = [("dimp_online_family", run_dimp_phase, args.dimp_only),
+            ("kys_propagation", run_kys_phase, args.kys_only),
+            ("lwl_segmentation", run_lwl_phase, args.lwl_only)]
+    if any(flag for _, _, flag in only):
         result = {}
         if os.path.exists(args.out):
             with open(args.out) as f:
                 result = json.load(f)
-        result["dimp_online_family"] = run_dimp_phase(args, workdir)
+        ok = True
+        for key, fn, flag in only:
+            if not flag:
+                continue
+            result[key] = fn(args, workdir)
+            print(json.dumps(result[key], indent=2))
+            ok = ok and result[key]["improved"]
+            print(f"{key.upper()} PHASE:", "PASS" if result[key]["improved"]
+                  else "FAIL")
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(result, f, indent=2)
-        print(json.dumps(result["dimp_online_family"], indent=2))
-        ok = result["dimp_online_family"]["improved"]
-        print("DIMP PHASE:", "PASS" if ok else "FAIL")
         return 0 if ok else 1
 
     cfg = _load_cfg()
@@ -297,6 +596,10 @@ def main(argv=None):
     }
     if args.dimp:
         result["dimp_online_family"] = run_dimp_phase(args, workdir)
+    if args.kys:
+        result["kys_propagation"] = run_kys_phase(args, workdir)
+    if args.lwl:
+        result["lwl_segmentation"] = run_lwl_phase(args, workdir)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)

@@ -52,6 +52,14 @@ def main():
                    help="which modality triplet carries the synthetic "
                         "target (rgb_only = RGB-foundation corpus, "
                         "aux_only = ViPT new-modality corpus)")
+    p.add_argument("--synthetic_distractor", action="store_true",
+                   help="synthetic corpus: add an identical-looking "
+                        "crossing distractor per sequence (the KYS "
+                        "propagation / KeepTrack association setting)")
+    p.add_argument("--channels", type=int, default=3, choices=[3, 6],
+                   help="kys/lwl/lwl_box: input channel count (3 = the "
+                        "canonical RGB fork recipe; 6 = multi-modal stack, "
+                        "e.g. a KYS base grafted from a trained 6-ch DiMP)")
     p.add_argument("--full_tune", action="store_true",
                    help="vipt: train ALL parameters instead of prompt-only "
                         "(foundation training, e.g. the learning demo; the "
@@ -113,8 +121,9 @@ def main():
     # data
     proc = processing_from_config(cfg, train_mode=True)
     if args.synthetic:
-        datasets = [SyntheticVideoDataset(n_sequences=8, n_frames=60,
-                                          modality=args.synthetic_modality)]
+        datasets = [SyntheticVideoDataset(
+            n_sequences=8, n_frames=60, modality=args.synthetic_modality,
+            distractor=args.synthetic_distractor)]
         ratios = None
     else:
         roots = {n: env.dataset_root(n) for n in cfg.DATA.TRAIN.DATASETS_NAME}
@@ -268,14 +277,29 @@ def _train_zoo(args, cfg, dtype):
         "lwl_box": dict(template=256, search=256, tf=6.0, sf=6.0),
     }[args.script]
     search_jitter = 0.5 if args.script == "siamfc" else 3.0
-    proc = ViPTProcessing(
-        search_area_factor={"template": sizes["tf"], "search": sizes["sf"]},
-        output_sz={"template": sizes["template"], "search": sizes["search"]},
-        center_jitter_factor={"template": 0.0, "search": search_jitter},
-        scale_jitter_factor={"template": 0.0, "search": 0.25})
+    n_search, collate_fn, max_gap = 1, None, cfg.DATA.MAX_SAMPLE_INTERVAL
+    if args.script == "kys":
+        # the propagation predictor trains on REAL prev/cur search pairs
+        # in serve geometry (both crops at the prev frame's jittered box,
+        # no per-crop flips) — tracking_motion.py:51-78 semantics; small
+        # gap so the pair's displacement matches consecutive-frame motion
+        from mmtrack_tpu.data.loader import collate_pair
+        from mmtrack_tpu.data.processing import KYSPairProcessing
+        proc = KYSPairProcessing(search_area_factor=sizes["sf"],
+                                 output_sz=sizes["search"])
+        n_search, collate_fn, max_gap = 2, collate_pair, min(max_gap, 5)
+    else:
+        proc = ViPTProcessing(
+            search_area_factor={"template": sizes["tf"],
+                                "search": sizes["sf"]},
+            output_sz={"template": sizes["template"],
+                       "search": sizes["search"]},
+            center_jitter_factor={"template": 0.0, "search": search_jitter},
+            scale_jitter_factor={"template": 0.0, "search": 0.25})
     if args.synthetic:
         datasets, ratios = [SyntheticVideoDataset(
-            8, 60, modality=args.synthetic_modality)], None
+            8, 60, modality=args.synthetic_modality,
+            distractor=args.synthetic_distractor)], None
     else:
         env = load_env_settings()
         roots = {n: env.dataset_root(n) for n in cfg.DATA.TRAIN.DATASETS_NAME}
@@ -283,9 +307,12 @@ def _train_zoo(args, cfg, dtype):
         ratios = cfg.DATA.TRAIN.DATASETS_RATIO
     sampler = TrackingSampler(datasets, ratios,
                               samples_per_epoch=cfg.DATA.TRAIN.SAMPLE_PER_EPOCH,
-                              max_gap=cfg.DATA.MAX_SAMPLE_INTERVAL,
+                              max_gap=max_gap, num_search_frames=n_search,
                               processing=proc, seed=args.seed)
-    loader = BatchLoader(sampler, cfg.TRAIN.BATCH_SIZE)
+    loader = (BatchLoader(sampler, cfg.TRAIN.BATCH_SIZE)
+              if collate_fn is None else
+              BatchLoader(sampler, cfg.TRAIN.BATCH_SIZE,
+                          collate_fn=collate_fn))
 
     stage = args.stage or ("bbox" if args.script in ("stark", "mixformer")
                            else "3" if args.script == "apfnet" else "")
@@ -328,7 +355,7 @@ def _train_zoo(args, cfg, dtype):
         from mmtrack_tpu.models.kys import build_kysnet
         import flax
         model = build_kysnet(dtype=dtype)
-        im = jnp.zeros((1, 288, 288, 3))
+        im = jnp.zeros((1, 288, 288, args.channels))
         bb = jnp.asarray([[100.0, 100.0, 80.0, 80.0]])
         props = jnp.asarray([[[100.0, 100.0, 80.0, 80.0]] * 2])
         params = jax.jit(lambda r: model.init(r, im, im, bb, props,
@@ -344,8 +371,9 @@ def _train_zoo(args, cfg, dtype):
             inner = zoo_actors.make_kys_train_step(model, tx)
 
             def step(state, batch, rng):
-                return inner(state, zoo_actors.kys_adapt_batch(
-                    batch, sizes["search"], sizes["tf"]), rng)
+                return inner(state, zoo_actors.kys_pair_adapt_batch(
+                    batch, sizes["search"], sizes["tf"],
+                    channels=args.channels), rng)
             return step
     elif args.script in ("lwl", "lwl_box"):
         from mmtrack_tpu.models.lwl import LWLNet
@@ -355,7 +383,7 @@ def _train_zoo(args, cfg, dtype):
                        label_encoder_dims=(16, 32, 64), optim_iter=5,
                        use_box_encoder=box_mode, dtype=dtype)
         S = sizes["search"]
-        imz = jnp.zeros((1, S, S, 3))
+        imz = jnp.zeros((1, S, S, args.channels))
         mz = jnp.zeros((1, S, S))
         if box_mode:
             def init_fn(m):
@@ -379,7 +407,8 @@ def _train_zoo(args, cfg, dtype):
 
             def step(state, batch, rng):
                 return inner(state, zoo_actors.lwl_adapt_batch(
-                    batch, S, sizes["tf"], box_mode), rng)
+                    batch, S, sizes["tf"], box_mode,
+                    channels=args.channels), rng)
             return step
     else:  # mdnet / apfnet
         if args.script == "apfnet":
@@ -448,7 +477,8 @@ def _train_dimp(args, cfg, dtype):
         scale_jitter_factor={"template": 0.0, "search": 0.25})
     if args.synthetic:
         datasets, ratios = [SyntheticVideoDataset(
-            8, 60, modality=args.synthetic_modality)], None
+            8, 60, modality=args.synthetic_modality,
+            distractor=args.synthetic_distractor)], None
     else:
         env = load_env_settings()
         roots = {n: env.dataset_root(n) for n in cfg.DATA.TRAIN.DATASETS_NAME}
