@@ -140,14 +140,24 @@ def crop_resize_normalized(image: jnp.ndarray, box_xywh: jnp.ndarray,
 
     MMTRACK_CROP selects the lowering (read at trace time; all three share
     the exact crop geometry and border convention):
-      gather (default) — 4-tap bilinear gather, bit-parity with the host
-        cv2 twin (tests/test_crop.py);
+      gather — 4-tap bilinear gather, bit-parity with the host cv2 twin
+        (tests/test_crop.py); the default off-TPU (parity/eval on CPU);
       mxu — separable hat-weight contractions on the MXU
-        (crop_resize_mxu), f32-exact match to the gather path;
+        (crop_resize_mxu); agrees with gather to f32 summation order
+        (≤5e-6 at 64px). The TPU default: gather's dynamic 4-tap loads
+        lower badly on this backend (~3.2 ms of the 11.8 ms full
+        device-resident tracking step at B=16); the separable form cut
+        the step to 8.61 ms / 1858 fps (tools/ab_kernels.py crop,
+        on-hardware best-of-3, docs/PERF.md round 4);
       pallas — the fused ops/pallas_preproc.py kernel (per-channel MXU
         contractions, normalize in-epilogue), ~1e-6 of the gather path.
+        Single-image only: under vmap its scalar-prefetch box operand
+        becomes a (B, 3) smem block Mosaic rejects — batched serving
+        uses mxu, where XLA fuses the normalize epilogue itself.
     """
-    impl = os.environ.get("MMTRACK_CROP", "gather")
+    default = ("mxu" if jax.default_backend() in ("tpu", "axon")
+               else "gather")
+    impl = os.environ.get("MMTRACK_CROP", default)
     if impl == "pallas":
         from mmtrack_tpu.ops.pallas_preproc import crop_resize_normalize_pallas
         return crop_resize_normalize_pallas(

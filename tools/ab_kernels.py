@@ -14,7 +14,9 @@ Usage:
   python tools/ab_kernels.py crop gather|mxu|pallas   # full loop, crop impl A/B
 
 Round-4 on-hardware results (v5e-1): fwd 10.55 -> 7.92 ms (B=16);
-loop 1190 -> 1355 fps. See docs/PERF.md "Round 4" section.
+loop 1190 -> 1355 fps (fused attn/MLP), then 1358 -> 1858 fps from
+MMTRACK_CROP=mxu (the gather crop was ~3.2 ms of the step — now the TPU
+default). See docs/PERF.md "Round 4" / "Round 4b" sections.
 """
 
 from __future__ import annotations
