@@ -9,11 +9,21 @@ sample memory, and a preconditioned-CG filter update EVERY frame
 extract, sub-pixel Fourier shift to the integer grid, seed memory, CG).
 
 The fork ships NO parameter file for CCOT; constants inherit ECO's
-parameter/eco/default.py geometry and solver settings with two documented
-deviations: per-frame training (the CCOT schedule) and a 30-slot memory —
-the reference's in-tree 200-slot default would allocate 200 full-channel
-spectra (O(GB)); 30 matches the effective sample horizon the C-COT paper
-reports after weight decay.
+parameter/eco/default.py geometry and solver settings, EXCEPT where
+ccot.py reads a single top-level value in place of ECO's per-block
+fparams: one learning rate (the C-COT paper's 0.0075; ccot.py
+params.learning_rate), one label sigma factor (1/16,
+params.output_sigma_factor), one regularization window (the shallow-block
+settings, dcf.get_reg_filter(..., self.params)), one SHARED sample-weight
+vector (equal per-block rates make our per-block vectors identical to
+it), an UNWEIGHTED block sum in apply_filter (ccot.py:159-161 — no
+translation_weight), and C-COT's own second-sample weight split
+(_update_weights_ccot). Two deliberate deviations, both trajectory-A/B'd
+as inactive (tools/parity/check_trajectory_ccot.py): a 30-slot memory —
+the reference's 200-slot ECO default would hold 200 full-channel spectra
+(O(GB)) — and ECO's position/scale clamps kept in eco_step_from_patches
+(ccot.py never clamps; the clamps only bind at image borders / extreme
+scales where an unclamped C-COT has already failed).
 """
 
 from __future__ import annotations
@@ -42,7 +52,15 @@ def ccot_runtime(**overrides) -> ECORuntime:
     base = dict(use_projection=False, train_every_frame=True,
                 sample_memory_size=30,
                 # full feature dims == "compressed" dims (no projection)
-                compressed_dims=(96, 256))
+                compressed_dims=(96, 256),
+                # ccot.py's single top-level reads (see module docstring)
+                learning_rates=(0.0075, 0.0075),
+                output_sigma_factors=(1 / 16, 1 / 16),
+                translation_weights=(1.0, 1.0),
+                reg_window_min=(1e-4, 1e-4),
+                reg_window_edge=(10e-3, 10e-3),
+                reg_sparsity_threshold=(0.05, 0.05),
+                ccot_weight_update=True)
     base.update(overrides)
     return ECORuntime(**base)
 
@@ -58,22 +76,22 @@ def ccot_init_state(rt: ECORuntime, model, st: ECOGeom, params,
     base_target_sz = consts["base_target_sz"]
 
     patch = _crop(frame, pos, target_scale * S, S)
-    feats = _extract_features(model, params, patch[None])
+    feats = _extract_features(model, params, patch[None], rt.blocks)
     X = tuple(_to_spectrum(feats[b], consts["windows"][b],
-                           consts["interp"][b]) for b in range(2))
+                           consts["interp"][b]) for b in range(rt.n_blocks))
     # shift the sample so the target sits on the integer grid (ccot.py:79-81)
     shift = 2 * jnp.pi * (pos - jnp.round(pos)) / (target_scale * S)
     X = tuple(shift_spectrum(x[0], shift[None]) for x in X)
 
     M = rt.sample_memory_size
     memory, sws, se = [], [], []
-    for b in range(2):
+    for b in range(rt.n_blocks):
         mem = jnp.zeros((M,) + X[b].shape, jnp.complex64).at[0].set(X[b])
         memory.append(mem)
         sws.append(jnp.zeros((M,)).at[0].set(1.0))
         se.append(jnp.abs(X[b]) ** 2)
 
-    hs = tuple(_ri(jnp.zeros_like(X[b])) for b in range(2))
+    hs = tuple(_ri(jnp.zeros_like(X[b])) for b in range(rt.n_blocks))
     diags = _filter_precond(rt, tuple(se), consts["reg_energy"])
 
     # the reference's init filter solve is the SAME FilterOptim instance
@@ -82,7 +100,7 @@ def ccot_init_state(rt: ECORuntime, model, st: ECOGeom, params,
     # reference's per-TensorList-entry scalars make the two blocks
     # independent CG problems) and keep each block's state
     filters, cg_state = [], []
-    for b in range(2):
+    for b in range(rt.n_blocks):
         res_fn = partial(_filter_residuals_block, rt, mem=memory[b],
                          yf=consts["yf"][b], sw=sws[b],
                          reg_k=consts["reg"][b])
@@ -108,8 +126,8 @@ def ccot_init_state(rt: ECORuntime, model, st: ECOGeom, params,
         "filters": filters,
         "memory": tuple(memory),
         "sample_weights": tuple(sws),
-        "prev_replace_ind": (jnp.asarray(0, jnp.int32),
-                             jnp.asarray(0, jnp.int32)),
+        "prev_replace_ind": tuple(jnp.asarray(0, jnp.int32)
+                                  for _ in range(rt.n_blocks)),
         "num_stored": jnp.asarray(1, jnp.int32),
         "sample_energy": tuple(se),
         "frame_num": jnp.asarray(1, jnp.int32),

@@ -73,6 +73,7 @@ class ECORuntime:
     min_image_sample_size: int = 200 ** 2   # :20
     max_image_sample_size: int = 250 ** 2   # :19
     strides: tuple = (4, 16)                # vggconv1*pool2, layer3
+    blocks: tuple = ("vggconv1", "layer3")   # backbone taps, per stride
     feat_dims: tuple = (96, 256)
     compressed_dims: tuple = (16, 64)       # :71-72
     learning_rates: tuple = (0.025, 0.0075)  # :33-34
@@ -107,12 +108,20 @@ class ECORuntime:
     # unconditionally; ECO's schedule gates on train_skipping)
     use_projection: bool = True
     train_every_frame: bool = False
+    # C-COT's update_sample_weights second-sample branch differs from
+    # ECO's (ccot.py:185-190 vs eco.py:358-363) — see
+    # _update_weights_ccot
+    ccot_weight_update: bool = False
     # online CG beta/carry (default.py:28,30): Polak-Ribiere with the
     # previous conjugate direction persisted across periodic
     # optimizations, decayed by (1 - max(lr))**CG_forgetting_rate
     # (eco.py:93-95)
     fletcher_reeves: bool = False           # :28
     cg_forgetting_rate: int = 75            # :30
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.strides)
 
     @property
     def direction_forget_factor(self) -> float:
@@ -160,7 +169,7 @@ def eco_geometry(rt: ECORuntime, target_hw) -> tuple[ECOGeom, dict]:
               for F, osf in zip(filt_sz, rt.output_sigma_factors)]
 
     regs = []
-    for b in range(2):
+    for b in range(rt.n_blocks):
         args = ((S, S), base, rt.reg_window_min[b], rt.reg_window_edge[b],
                 rt.reg_window_power, rt.reg_sparsity_threshold[b])
         try:
@@ -201,17 +210,22 @@ def _crop(frame, pos, side, out_sz: int):
     return crop_at(frame, pos, szl, out_sz, origin_yx=tl)
 
 
-def _extract_features(model, params, patches):
-    """Backbone taps -> the two ECO blocks (featurebase.py get_feature:
-    avg-pool vggconv1 by pool_stride 2, then per-sample power-2
-    normalization of each block)."""
+def _extract_features(model, params, patches,
+                      blocks=("vggconv1", "layer3")):
+    """Backbone taps -> the ECO feature blocks (featurebase.py
+    get_feature: avg-pool vggconv1 by pool_stride 2, then per-sample
+    power-2 normalization of each block). `blocks` names the taps; the
+    default is the two-block ECO configuration (CCOT's layer3-only A/B
+    passes a single tap)."""
     out = model.apply(params, _norm3(patches),
-                      out_layers=("vggconv1", "layer3"))
-    shallow = jax.lax.reduce_window(
-        out["vggconv1"], 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
-        "VALID") / 4.0
+                      out_layers=tuple(dict.fromkeys(blocks)))
     feats = []
-    for f in (shallow, out["layer3"]):
+    for name in blocks:
+        f = out[name]
+        if name == "vggconv1":   # pool_stride 2 (features/deep.py)
+            f = jax.lax.reduce_window(
+                f, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
+                "VALID") / 4.0
         n = jnp.sum(f * f, axis=(1, 2, 3), keepdims=True) / \
             (f.shape[1] * f.shape[2] * f.shape[3])
         feats.append(f / jnp.sqrt(n + 1e-10))
@@ -286,7 +300,7 @@ def _filter_precond(rt: ECORuntime, sample_energy, reg_energy):
     """The reference's diagonal preconditioner M1 (optim.py:25-28,157-158):
     divide each filter coefficient by the blended data/reg energy."""
     diags = []
-    for b in range(2):
+    for b in range(rt.n_blocks):
         se = sample_energy[b]
         diag = (1 - rt.precond_reg_param) * (
             rt.precond_data_param * se
@@ -331,7 +345,7 @@ def eco_init_state(rt: ECORuntime, model, st: ECOGeom, params, consts: dict,
         relative_shifts=rel_shifts, blur_sigmas=rt.aug_blur,
         rotate_angles=rt.aug_rotate)
 
-    feats = _extract_features(model, params, patches)
+    feats = _extract_features(model, params, patches, rt.blocks)
     # feature-space dropout copies of the identity sample (both blocks use
     # augmentation; default.py:62-66 + eco.py:330-334)
     feats = tuple(
@@ -349,7 +363,7 @@ def eco_init_state(rt: ECORuntime, model, st: ECOGeom, params, consts: dict,
     # shifts (eco.py:119-125) and the global sub-pixel shift (:127-129)
     sub_px = 2 * jnp.pi * (pos - jnp.round(pos)) / (target_scale * S)
     X_full = []
-    for b in range(2):
+    for b in range(rt.n_blocks):
         X = _to_spectrum(feats[b], consts["windows"][b], consts["interp"][b])
         shift = 2 * jnp.pi * all_shifts / S + sub_px[None]
         X_full.append(shift_spectrum(X, shift[:, None, :]))
@@ -373,11 +387,11 @@ def eco_init_state(rt: ECORuntime, model, st: ECOGeom, params, consts: dict,
         rt.precond_proj_param *
         (2 * jnp.sum(consts["yf"][b] ** 2) / rt.feat_dims[b]
          + rt.projection_reg)
-        for b in range(2))
+        for b in range(rt.n_blocks))
 
     cg_per_gn = max(rt.init_cg_iter // max(rt.init_gn_iter, 1), 1)
     hs, Ps = [], []
-    for b in range(2):
+    for b in range(rt.n_blocks):
         diag, pdiag = diags[b], proj_diag[b]
         h_b, P_b = gauss_newton_cg(
             partial(_joint_residuals_block, rt, X=X_full[b],
@@ -392,7 +406,7 @@ def eco_init_state(rt: ECORuntime, model, st: ECOGeom, params, consts: dict,
     # compressed sample memory with the OPTIMIZED projection (eco.py:160-163)
     M = rt.sample_memory_size
     memory, sws = [], []
-    for b in range(2):
+    for b in range(rt.n_blocks):
         comp = jnp.einsum("ndyx,dc->ncyx", X_full[b],
                           Ps[b].astype(jnp.complex64))
         memory.append(jnp.zeros((M,) + comp.shape[1:],
@@ -434,6 +448,25 @@ def _update_weights_eco(rt: ECORuntime, sw, prev_ind, num_stored, lr):
     return sw1 / sw1.sum(), r_ind
 
 
+def _update_weights_ccot(rt: ECORuntime, sw, prev_ind, num_stored, lr):
+    """C-COT's min-weight replacement (ccot.py:178-196): the steady-state
+    branch matches ECO's (sw[new] = sw[prev] / (1 - lr), renormalize), but
+    the SECOND sample is set explicitly to {prev: 1-lr, new: lr} — ECO's
+    rescale-then-normalize form gives a slightly different split there.
+    Init (num_stored == 0) seeds slot 0 with weight 1 in ccot_init_state,
+    so only num_stored >= 1 reaches here."""
+    slot = jnp.arange(rt.sample_memory_size)
+    cand = jnp.where(slot < num_stored, sw, jnp.inf)
+    r_ind = jnp.argmin(cand).astype(jnp.int32)
+    r_ind = jnp.where(num_stored < rt.sample_memory_size, num_stored, r_ind)
+
+    second = num_stored == 1
+    base = jnp.where(second, sw.at[prev_ind].set(1 - lr), sw)
+    new_w = jnp.where(second, lr, sw[prev_ind] / (1 - lr))
+    sw1 = base.at[r_ind].set(new_w)
+    return sw1 / sw1.sum(), r_ind
+
+
 def eco_track_step(rt: ECORuntime, model, st: ECOGeom, params, consts: dict,
                    state: dict, frame: jnp.ndarray):
     """One tracked frame (eco.py track())."""
@@ -460,7 +493,7 @@ def eco_step_from_patches(rt: ECORuntime, model, st: ECOGeom, params,
     sfac = jnp.asarray(rt.scale_factors)
     sample_scales = state["target_scale"] * sfac
 
-    feats = _extract_features(model, params, patches)
+    feats = _extract_features(model, params, patches, rt.blocks)
 
     # project spatially, then window/fft/interp (eco.py:293-309);
     # CCOT keeps the full channel dimension (no projection)
@@ -468,12 +501,12 @@ def eco_step_from_patches(rt: ECORuntime, model, st: ECOGeom, params,
         _to_spectrum(feats[b] @ state["projections"][b]
                      if rt.use_projection else feats[b],
                      consts["windows"][b], consts["interp"][b])
-        for b in range(2))
+        for b in range(rt.n_blocks))
 
     # weightedsum score fusion on the common (shallow) grid (eco.py:247-252)
     F_out = max(st.filt_sz)
     sf = jnp.zeros((rt.num_scales, F_out, F_out), jnp.complex64)
-    for b in range(2):
+    for b in range(rt.n_blocks):
         resp = _apply_filter_spectrum(test_X[b], state["filters"][b])
         sf = sf + embed_spectrum(rt.translation_weights[b] * resp, F_out)
     scores = sample_scores(sf, S)               # output_sz = img_support_sz
@@ -502,9 +535,11 @@ def eco_step_from_patches(rt: ECORuntime, model, st: ECOGeom, params,
     # (eco.py:222-227), into the per-block memory (:229-230, 339-343)
     shift = 2 * jnp.pi * (new_pos - sample_pos) / (sample_scales[scale_ind] * S)
     mem_new, sw_new, prev_new, se_new = [], [], [], []
-    for b in range(2):
+    for b in range(rt.n_blocks):
         xf = shift_spectrum(test_X[b][scale_ind], shift[None])
-        sw1, r_ind = _update_weights_eco(
+        update_w = (_update_weights_ccot if rt.ccot_weight_update
+                    else _update_weights_eco)
+        sw1, r_ind = update_w(
             rt, state["sample_weights"][b], state["prev_replace_ind"][b],
             state["num_stored"], rt.learning_rates[b])
         mem_new.append(state["memory"][b].at[r_ind].set(xf))
@@ -540,7 +575,7 @@ def eco_step_from_patches(rt: ECORuntime, model, st: ECOGeom, params,
         # blocks are independent CG problems solved in lockstep, not one
         # joint Krylov space; mirror that with a per-block solve.
         new_hs, new_cgs = [], []
-        for b in range(2):
+        for b in range(rt.n_blocks):
             res_fn = partial(_filter_residuals_block, rt,
                              mem=state["memory"][b], yf=consts["yf"][b],
                              sw=state["sample_weights"][b],
