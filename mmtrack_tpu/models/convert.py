@@ -1030,6 +1030,134 @@ def convert_mdnet_checkpoint(state_dict: dict) -> dict:
     return flax.traverse_util.unflatten_dict(out)
 
 
+def convert_peak_matching_checkpoint(state_dict: dict) -> dict:
+    """torch PeakMatchingNetwork (keep_track_vot2021/ltr/models/
+    memory_learning/peak_matching.py:476-544: DescriptorExtractor conv +
+    SuperGlue matcher) -> the matcher_params dict consumed by
+    trackers.keeptrack_tracker.KeepTrackTracker:
+
+        {"desc":    {"params": ...},
+         "matcher": {"params": ..., "batch_stats": ...}}
+
+    The ResNet `feature_extractor.*` entries are skipped — at runtime the
+    tracker feeds the MAIN network's backbone features through
+    get_backbone_clf_feat (keep_track.py:1181), so the matcher net's own
+    backbone is dead weight.
+
+    Layout notes:
+      - torch MultiHeadedAttention splits channels d-major
+        (`view(b, head_dim, h, n)`, peak_matching.py:156) while the flax
+        MultiHeadedAttention reshapes head-major; the q/k/v output channels
+        and the merge input channels are permuted accordingly.
+      - torch MLP() = Conv1d(k=1) + BatchNorm1d; kernels become Dense
+        kernels, running stats land in batch_stats.
+    """
+    D, H = 256, 4
+    hd = D // H
+    # flax head-major channel c' = h*hd + d  <-  torch d-major c = d*H + h
+    perm = np.asarray([(c % hd) * H + c // hd for c in range(D)])
+
+    desc: dict[tuple, np.ndarray] = {}
+    mpar: dict[tuple, np.ndarray] = {}
+    mstat: dict[tuple, np.ndarray] = {}
+
+    def put(out, path, value):
+        out[tuple(path.split("/"))] = value
+
+    def put_mlp(base_t: str, base_f: str, idx_t: str, name: str, t):
+        """torch Sequential index -> flax MLPBlock lin{i}/bn{i}."""
+        i = int(idx_t)
+        if i % 3 == 0:  # Conv1d at 0, 3, 6, ...
+            j = i // 3
+            if name == "weight":
+                put(mpar, f"{base_f}/lin{j}/kernel", _conv1x1_1d_to_dense(t))
+            else:
+                put(mpar, f"{base_f}/lin{j}/bias", _np(t))
+        else:           # BatchNorm1d at 1, 4, 7, ...
+            j = i // 3
+            if name == "weight":
+                put(mpar, f"{base_f}/bn{j}/scale", _np(t))
+            elif name == "bias":
+                put(mpar, f"{base_f}/bn{j}/bias", _np(t))
+            elif name == "running_mean":
+                put(mstat, f"{base_f}/bn{j}/mean", _np(t))
+            elif name == "running_var":
+                put(mstat, f"{base_f}/bn{j}/var", _np(t))
+
+    for name, t in state_dict.items():
+        if name.startswith("feature_extractor.") or "num_batches_tracked" in name:
+            continue
+
+        if name == "descriptor_extractor.conv.weight":
+            put(desc, "conv/kernel", _conv_kernel(t))
+            continue
+        if name == "descriptor_extractor.conv.bias":
+            put(desc, "conv/bias", _np(t))
+            continue
+
+        if not name.startswith("matcher."):
+            continue
+        rest = name[len("matcher."):]
+
+        if rest == "bin_score":
+            put(mpar, "bin_score", _np(t))
+            continue
+        if rest.startswith("final_proj."):
+            if rest.endswith("weight"):
+                put(mpar, "final_proj/kernel", _conv1x1_1d_to_dense(t))
+            else:
+                put(mpar, "final_proj/bias", _np(t))
+            continue
+
+        m = re.match(r"kenc\.encoder\.(\d+)\.(\w+)", rest)
+        if m:
+            put_mlp("kenc.encoder", "kenc/encoder", m.group(1), m.group(2), t)
+            continue
+
+        m = re.match(r"gnn\.layers\.(\d+)\.update\.attn\.proj\.([012])\.(weight|bias)",
+                     rest)
+        if m:
+            li, pi, leaf = int(m.group(1)), int(m.group(2)), m.group(3)
+            proj_name = ("proj_q", "proj_k", "proj_v")[pi]
+            base = f"gnn/layer{li}/attn/{proj_name}"
+            if leaf == "weight":
+                w = _np(t)[:, :, 0]           # (O, I)
+                put(mpar, f"{base}/kernel", w[perm, :].T)   # out reordered
+            else:
+                put(mpar, f"{base}/bias", _np(t)[perm])
+            continue
+
+        m = re.match(r"gnn\.layers\.(\d+)\.update\.attn\.merge\.(weight|bias)",
+                     rest)
+        if m:
+            li, leaf = int(m.group(1)), m.group(2)
+            base = f"gnn/layer{li}/attn/merge"
+            if leaf == "weight":
+                w = _np(t)[:, :, 0]           # (O, I)
+                put(mpar, f"{base}/kernel", w[:, perm].T)   # in reordered
+            else:
+                put(mpar, f"{base}/bias", _np(t))
+            continue
+
+        m = re.match(r"gnn\.layers\.(\d+)\.update\.mlp\.(\d+)\.(\w+)", rest)
+        if m:
+            put_mlp("mlp", f"gnn/layer{int(m.group(1))}/mlp",
+                    m.group(2), m.group(3), t)
+            continue
+
+    return {
+        "desc": {"params": flax.traverse_util.unflatten_dict(desc)},
+        "matcher": {
+            "params": flax.traverse_util.unflatten_dict(mpar),
+            "batch_stats": flax.traverse_util.unflatten_dict(mstat),
+        },
+    }
+
+
+def _conv1x1_1d_to_dense(w):
+    return _np(w)[:, :, 0].T  # Conv1d (O, I, 1) -> Dense (I, O)
+
+
 def load_into(flax_params: dict, converted: dict, strict: bool = False) -> tuple[dict, list, list]:
     """Overlay converted leaves onto an initialized flax tree.
 

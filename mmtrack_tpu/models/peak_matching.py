@@ -171,10 +171,13 @@ class DescriptorExtractor(nn.Module):
         H, W = feat.shape[0], feat.shape[1]
         f = nn.Conv(self.descriptor_dim, (4, 4), padding=((2, 2), (2, 2)),
                     dtype=self.dtype, name="conv")(feat[None])[0]
-        # even kernel + pad 2: torch output is (H+1, W+1); index the H x W
-        # prefix like the reference's direct coord indexing
-        ys = jnp.clip(coords_yx[:, 0].astype(jnp.int32), 0, H - 1)
-        xs = jnp.clip(coords_yx[:, 1].astype(jnp.int32), 0, W - 1)
+        # even kernel + pad 2: the conv output is (H+1, W+1) — exactly the
+        # score-map grid the peak coords live on (feat 22x22 -> scores
+        # 23x23 for the even DiMP filter), and the reference indexes that
+        # full grid directly (peak_matching.py:463). Clip to H (= the last
+        # valid output row), NOT H-1.
+        ys = jnp.clip(coords_yx[:, 0].astype(jnp.int32), 0, H)
+        xs = jnp.clip(coords_yx[:, 1].astype(jnp.int32), 0, W)
         return f[ys, xs]
 
 
