@@ -227,14 +227,25 @@ class PeakMatcher(nn.Module):
         max0 = inner.max(axis=2)
         m0_idx = inner.argmax(axis=2)
         m1_idx = inner.argmax(axis=1)
-        K0 = inner.shape[1]
-        ar = jnp.arange(K0)[None]
-        mutual0 = ar == jnp.take_along_axis(m1_idx, m0_idx, axis=1)
+        K0, K1 = inner.shape[1], inner.shape[2]
+        mutual0 = jnp.arange(K0)[None] == jnp.take_along_axis(m1_idx, m0_idx,
+                                                              axis=1)
+        mutual1 = jnp.arange(K1)[None] == jnp.take_along_axis(m0_idx, m1_idx,
+                                                              axis=1)
         mscores0 = jnp.where(mutual0, jnp.exp(max0), 0.0)
-        valid_match = mutual0 & (mscores0 > self.filter_threshold) & valid0
-        matches0 = jnp.where(valid_match, m0_idx, -1)
+        # set-1 side mirrors the reference exactly (peak_matching.py:383-393):
+        # a set-1 peak inherits the coupling prob of its mutual partner and
+        # is valid only if that partner passed the set-0 filter.
+        mscores1 = jnp.where(mutual1,
+                             jnp.take_along_axis(mscores0, m1_idx, axis=1), 0.0)
+        valid_match0 = mutual0 & (mscores0 > self.filter_threshold) & valid0
+        valid_match1 = mutual1 & jnp.take_along_axis(valid_match0, m1_idx,
+                                                     axis=1) & valid1
+        matches0 = jnp.where(valid_match0, m0_idx, -1)
+        matches1 = jnp.where(valid_match1, m1_idx, -1)
         return {"log_assignment": Z, "matches0": matches0,
-                "match_scores0": mscores0}
+                "match_scores0": mscores0,
+                "matches1": matches1, "match_scores1": mscores1}
 
 
 def matcher_nll_loss(log_assignment, gt_matches0, valid0, valid1):

@@ -5,19 +5,21 @@ keep_track.py (MatchingMemory:30, PeakCollection:251-364,
 localize_target_by_peak_matching:946, extract_descriptors_and_keypoints:1178)
 re-designed for fixed shapes:
   - per frame, the top-K local maxima of the classifier score map become
-    candidate peaks with descriptors gathered from backbone features,
-  - peaks are matched to the previous frame's peaks by mutual-nearest
-    cosine similarity with positional gating (a static-shape stand-in for
-    the learned SuperGlue-style matcher in ltr/models/memory_learning/
-    peak_matching.py — the learned matcher slots in behind the same
-    interface),
+    candidate peaks with descriptors gathered from backbone features and
+    keypoints in IMAGE coordinates (extract_descriptors_and_keypoints maps
+    score-map cells through the search-area box, keep_track.py:1188-1193),
+  - peaks are matched to the previous frame's peaks by the learned
+    SuperGlue-style matcher (models/peak_matching.py) or a mutual-nearest
+    cosine fallback,
   - fixed-size identity bookkeeping follows the reference's rules: keep the
     selected identity while matched, drop low-probability assignments,
     flag not_found when the selected object vanishes, re-detect on a
     sufficiently strong new peak, and jump to a stronger peak only when its
-    identity is newer than the last occlusion event,
-  - occlusion-aware search-area rescaling uses the mean of recent target
-    scales (keep_track.py:538-548).
+    identity postdates the last occlusion event,
+  - the release configuration runs with
+    disable_chronological_occlusion_redetection_logic=True
+    (parameter/keep_track/release.py:80): the occlusion markers are pinned
+    to 0, so redetection/jump only gate on peak score.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ NEG_ID = -1
 @dataclass(frozen=True)
 class PeakMatchConfig:
     num_peaks: int = 8
-    nms_radius: int = 2
+    nms_radius: int = 2                   # local_max_ks=5 -> radius 2
     peak_threshold: float = 0.05
     match_sim_threshold: float = 0.5
     match_dist_threshold: float = 6.0     # score-map cells
@@ -42,13 +44,19 @@ class PeakMatchConfig:
     low_peak_score: float = 0.2
     certain_score: float = 0.75
     redetect_score: float = 0.25
+    # disable_chronological_occlusion_redetection_logic (release.py:80):
+    # occlusion markers stay 0 so any identity qualifies for jump/redetect.
+    disable_chrono: bool = True
 
 
 def extract_peaks(score_map: jnp.ndarray, cfg: PeakMatchConfig):
-    """Top-K local maxima of a (H, W) score map after NxN max-pool NMS.
+    """Top-K local maxima of a (H, W) score map after NxN max-pool NMS,
+    sorted descending by score (find_local_maxima, ltr/models/
+    memory_learning/peak_prediction.py:25-45: ks=5 max-pool mask + strict
+    score > th + 'Highest peak first' argsort).
 
-    Returns (scores (K,), coords (K, 2) float (y, x)); sub-threshold slots
-    carry score 0 (extract_descriptors_and_keypoints analog)."""
+    Returns (scores (K,), coords (K, 2) float (y, x), valid (K,));
+    sub-threshold slots carry score 0."""
     H, W = score_map.shape
     r = cfg.nms_radius
     padded = jnp.pad(score_map, r, constant_values=-jnp.inf)
@@ -73,9 +81,19 @@ def gather_descriptors(feat: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return d / jnp.maximum(jnp.linalg.norm(d, axis=1, keepdims=True), 1e-6)
 
 
+def peak_keypoints(coords: jnp.ndarray, score_sz: int, tl_yx, crop_side):
+    """Score-map cells -> IMAGE-coordinate keypoints in (y, x) order
+    (extract_descriptors_and_keypoints, keep_track.py:1188-1193:
+    kpt = box_extent * cell/(S-1) + box_origin where the search_area_box
+    extent is crop_side - 1, keep_track.py:504)."""
+    scale = (crop_side - 1.0) / (score_sz - 1.0)
+    return coords * scale + tl_yx[None, :]
+
+
 def match_peaks(desc_prev, coords_prev, valid_prev, desc_cur, coords_cur,
                 valid_cur, cfg: PeakMatchConfig):
-    """Mutual-nearest-neighbor assignment with positional gating.
+    """Mutual-nearest-neighbor assignment with positional gating — the
+    dependency-free stand-in for the learned matcher.
 
     Returns (match_idx (K,) int — index into prev peaks or -1,
     match_prob (K,))."""
@@ -94,37 +112,47 @@ def match_peaks(desc_prev, coords_prev, valid_prev, desc_cur, coords_cur,
     return jnp.where(ok, best_prev, NEG_ID), jnp.where(ok, prob, 0.0)
 
 
-def init_peak_state(cfg: PeakMatchConfig, scores, coords, valid, descriptors):
-    """First-frame peak collection (PeakCollection.__init__)."""
+def init_peak_state(cfg: PeakMatchConfig, scores, coords, kpts, valid,
+                    descriptors, certain=True):
+    """Fresh peak collection (PeakCollection.__init__, keep_track.py:252-274).
+
+    `certain` is peak_selection_is_certain=(frame_num < 10) — may be a
+    traced bool. When uncertain, the id counter, selected id, and both
+    occlusion markers start at 1 instead of 0 (keep_track.py:266-270); the
+    highest peak still carries the selected id either way."""
     K = cfg.num_peaks
-    object_ids = jnp.where(valid, jnp.arange(K), NEG_ID)
+    certain = jnp.asarray(certain)
+    base = jnp.where(certain, 0, 1).astype(jnp.int32)
+    object_ids = jnp.where(valid, base + jnp.arange(K), NEG_ID)
     return {
         "peak_scores": scores,
         "peak_coords": coords,
+        "peak_kpts": kpts,
         "peak_valid": valid,
         "peak_desc": descriptors,
         "object_ids": object_ids,
         "best_obj_score": jnp.where(valid, scores, 0.0),
-        "selected_object_id": jnp.asarray(0, jnp.int32),
-        "object_id_cntr": jnp.asarray(int(K), jnp.int32),
-        "occlusion_id_state": jnp.asarray(0, jnp.int32),
-        "selection_certain": jnp.asarray(True),
+        "selected_object_id": base,
+        "object_id_cntr": base + valid.sum().astype(jnp.int32),
+        "occlusion_id_state": base,
+        "occl_certain_state": base,
+        "selection_certain": certain,
         "flag_not_found": jnp.asarray(False),
     }
 
 
 def update_peak_state(state: dict, cfg: PeakMatchConfig, scores, coords,
-                      valid, descriptors, match_fn=None):
+                      kpts, valid, descriptors, match_fn=None):
     """One frame of identity bookkeeping (PeakCollection.update,
     keep_track.py:276-364). Returns (new_state, selected_peak_idx (int, -1
     if lost), flag_not_found).
 
-    match_fn(prev_state, scores, coords, valid, descriptors) ->
+    match_fn(prev_state, scores, coords, kpts, valid, descriptors) ->
     (match_idx, match_prob) overrides the mutual-NN matcher — the learned
     SuperGlue-style matcher (models/peak_matching.py) plugs in here."""
     K = cfg.num_peaks
     if match_fn is not None:
-        match_idx, match_prob = match_fn(state, scores, coords, valid,
+        match_idx, match_prob = match_fn(state, scores, coords, kpts, valid,
                                          descriptors)
     else:
         match_idx, match_prob = match_peaks(
@@ -138,13 +166,15 @@ def update_peak_state(state: dict, cfg: PeakMatchConfig, scores, coords,
                           state["best_obj_score"][jnp.maximum(match_idx, 0)], 0.0)
 
     # drop low-probability assignments of the selected object
+    # (keep_track.py:293-298, drop_low_assignment_prob)
     is_selected = prev_obj == state["selected_object_id"]
     prob_too_low = (match_prob < cfg.drop_prob_threshold) | \
         ((match_prob < cfg.drop_prob_low_score) & (scores < cfg.low_peak_score))
     drop = is_selected & prob_too_low
     keep_match = matched & ~drop
 
-    # new identities for unmatched/dropped valid peaks
+    # new identities for unmatched/dropped valid peaks, in peak order
+    # (keep_track.py:297+308: fresh ids from the running counter)
     fresh_rank = jnp.cumsum((~keep_match & valid).astype(jnp.int32)) - 1
     fresh_ids = state["object_id_cntr"] + fresh_rank
     object_ids = jnp.where(keep_match, prev_obj,
@@ -156,47 +186,58 @@ def update_peak_state(state: dict, cfg: PeakMatchConfig, scores, coords,
     sel = state["selected_object_id"]
     sel_mask = (object_ids == sel) & valid
     detected = sel_mask.any()
-    sel_peak = jnp.argmax(sel_mask)  # first match
+    sel_peak = jnp.argmax(sel_mask)  # ids unique per frame -> the match
 
-    # certainty: strong historical score on the selected track
+    # certainty: strong historical score on the selected track, evaluated
+    # pre-jump (keep_track.py:321-322)
     certain = state["selection_certain"] | \
         (detected & (best_obj_score[sel_peak] > cfg.certain_score))
 
     # jump to the strongest peak if its track beats the selected one and its
-    # identity postdates the last occlusion
+    # identity postdates the last occlusion (keep_track.py:325-335)
     top_is_other = detected & (sel_peak != 0) & valid[0] & \
         (best_obj_score[0] > best_obj_score[sel_peak]) & \
         (object_ids[0] >= state["occlusion_id_state"])
     sel = jnp.where(top_is_other, object_ids[0], sel)
     sel_peak = jnp.where(top_is_other, 0, sel_peak)
 
-    # lost: the occlusion marker advances to the PRE-FRAME id counter
-    # BEFORE the redetect scan (reference PeakCollection.update sets
-    # object_id_cntr_state_at_occlusion first), so only peaks that were
-    # assigned fresh ids on this very frame can steal the identity —
-    # pre-occlusion distractor tracks are excluded on the frame the
-    # target disappears.
+    # lost: the occlusion markers advance BEFORE the redetect scan
+    # (keep_track.py:337-354). object_id_cntr_state is the PRE-FRAME
+    # counter (captured at update start, keep_track.py:282), so only peaks
+    # assigned fresh ids on this very frame can steal the identity.
+    # With disable_chrono (release config) both markers pin to 0 and the
+    # certainty flag is forced off on every newly-lost frame.
     lost_now = ~detected
     newly_lost = lost_now & ~state["flag_not_found"]
-    occl_state = jnp.where(newly_lost & certain, state["object_id_cntr"],
-                           state["occlusion_id_state"])
+    occl_state = jnp.where(
+        newly_lost,
+        jnp.where(certain, state["object_id_cntr"],
+                  state["occl_certain_state"]),
+        state["occlusion_id_state"])
+    occl_certain = jnp.where(newly_lost & certain, state["object_id_cntr"],
+                             state["occl_certain_state"])
+    if cfg.disable_chrono:
+        occl_state = jnp.where(newly_lost, 0, occl_state)
+        occl_certain = jnp.where(newly_lost, 0, occl_certain)
     redet_mask = valid & (scores > cfg.redetect_score) & \
         (object_ids >= occl_state)
     can_redetect = lost_now & redet_mask.any()
-    redet_peak = jnp.argmax(redet_mask)
+    redet_peak = jnp.argmax(redet_mask)   # first qualifying peak (:356-364)
     sel = jnp.where(can_redetect, object_ids[redet_peak], sel)
     sel_peak_out = jnp.where(detected, sel_peak,
                              jnp.where(can_redetect, redet_peak, NEG_ID))
-    # a redetected identity is brand new — its certainty starts over
+    # certainty resets when the target newly disappears (keep_track.py:345)
     certain = jnp.where(newly_lost, False, certain)
 
     new_state = {
-        "peak_scores": scores, "peak_coords": coords, "peak_valid": valid,
+        "peak_scores": scores, "peak_coords": coords, "peak_kpts": kpts,
+        "peak_valid": valid,
         "peak_desc": descriptors, "object_ids": object_ids,
         "best_obj_score": best_obj_score,
         "selected_object_id": sel.astype(jnp.int32),
         "object_id_cntr": new_cntr.astype(jnp.int32),
         "occlusion_id_state": occl_state.astype(jnp.int32),
+        "occl_certain_state": occl_certain.astype(jnp.int32),
         "selection_certain": certain,
         "flag_not_found": sel_peak_out < 0,
     }

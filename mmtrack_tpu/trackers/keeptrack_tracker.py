@@ -1,12 +1,28 @@
 """KeepTrack tracker: DiMP runtime + peak-matching target association.
 
 Rebuild of the KeepTrack tracking loop (RGBD/models/keep_track_vot2021/
-pytracking/tracker/keep_track/keep_track.py:366-604): instead of ATOM's
-two-peak distractor heuristic, EVERY score-map peak becomes a candidate with
-a descriptor; identities persist across frames through the matcher
-(mmtrack_tpu.trackers.keep_track), the selected identity drives localization,
-and the search area rescales by the mean of recent target scales while the
-target is lost (keep_track.py:538-548).
+pytracking/tracker/keep_track/keep_track.py:366-604 +
+localize_target_by_peak_matching:946-1040): every score-map peak becomes a
+candidate with a learned descriptor and an image-coordinate keypoint;
+identities persist across frames through the SuperGlue-style matcher
+(mmtrack_tpu.models.peak_matching), the selected identity drives
+localization, and ATOM's advanced localization serves as the fallback on
+low-score frames and whenever the match memory has a gap — exactly the
+reference's three-way state machine:
+
+  - max_score < 0.05     -> advanced localization, collection kept stale,
+                            match memory NOT refreshed (:950-952),
+  - memory gap / frame 2 -> advanced localization, collection re-created
+                            from the current peaks with
+                            peak_selection_is_certain=(frame_num<10)
+                            (:956-958 + 1027-1032),
+  - otherwise            -> peak matching against the previous frame
+                            (matches1 consumed, :985-997).
+
+While the target is lost the search area regrows from the recent
+target-scale history (:538-548), and the classifier memory is
+certainty-weighted with the reference's permanent sub-threshold zeroing
+(update_classifier:1689-1697).
 """
 
 from __future__ import annotations
@@ -23,6 +39,7 @@ from mmtrack_tpu.ops.crop import crop_at
 from mmtrack_tpu.trackers.dimp_tracker import (
     DiMPRuntime,
     _get_iounet_box,
+    _localize_advanced,
     _normalize,
     _refine_box,
     _sample_geometry,
@@ -31,10 +48,12 @@ from mmtrack_tpu.trackers.dimp_tracker import (
     FLAG_NOT_FOUND,
 )
 from mmtrack_tpu.trackers.keep_track import (
+    NEG_ID,
     PeakMatchConfig,
     extract_peaks,
     gather_descriptors,
     init_peak_state,
+    peak_keypoints,
     update_peak_state,
 )
 
@@ -60,13 +79,23 @@ class KeepTrackRuntime(DiMPRuntime):
     use_certainty_for_weight_computation: bool = True
     certainty_ths: float = 0.5            # certainty_for_weight_computation_ths
     id0_weight_increase: bool = True
+    enable_search_area_rescaling_at_occlusion: bool = True
 
     peaks: PeakMatchConfig = PeakMatchConfig()
-    scale_memory: int = 30   # recent target-scale ring for occlusion rescale
+    # recent target-scale ring: the reference windows its scale history to
+    # the last 60 entries (keep_track.py:544 target_scales[-60:])
+    scale_memory: int = 60
+    # skip_running_matching_network_for_single_peak_cases (release.py:84)
+    skip_matching_single_peak: bool = True
+    single_peak_score: float = 0.5        # keep_track.py:972
     # learned SuperGlue-style matcher (models/peak_matching.py, the
     # reference's peak_matching.py) vs the mutual-NN fallback
     use_learned_matcher: bool = True
     descriptor_dim: int = 256
+    # descriptors come from the RAW backbone layer3 — the matcher net's
+    # get_backbone_clf_feat selects classification_layer=['layer3']
+    # (keep_track.py:1181); 1024-d for the super_dimp ResNet-50
+    desc_feat_dim: int = 1024
 
 
 def _label_spatial(rt: KeepTrackRuntime, sigma, center_yx):
@@ -137,32 +166,30 @@ def _update_memory_keeptrack(rt: KeepTrackRuntime, state, clf_feat, box_crop,
 
 def _peak_descriptors(rt: KeepTrackRuntime, bundle, matcher_params, feat,
                       coords):
-    """Peak descriptors: learned DescriptorExtractor conv when the learned
-    matcher is active, plain normalized feature gather otherwise."""
+    """Peak descriptors from the raw backbone layer3 feature map
+    (keep_track.py:1181 get_backbone_clf_feat -> descriptor_extractor):
+    learned DescriptorExtractor conv when the learned matcher is active,
+    plain normalized feature gather otherwise."""
     if bundle is None:
         return gather_descriptors(feat, coords)
     desc_mod, _ = bundle
     return desc_mod.apply(matcher_params["desc"], feat, coords)
 
 
-def _make_match_fn(rt: KeepTrackRuntime, bundle, matcher_params):
-    """Adapter: PeakMatcher -> update_peak_state's match_fn interface."""
-    if bundle is None:
-        return None
-    _, matcher = bundle
-
-    def fn(prev, scores, coords, valid, desc):
-        to_px = lambda c: (c[:, ::-1] + 0.5) * rt.feat_stride   # (y,x)->(x,y)
-        out = matcher.apply(
-            matcher_params["matcher"],
-            desc[None], to_px(coords)[None], scores[None], valid[None],
-            prev["peak_desc"][None], to_px(prev["peak_coords"])[None],
-            prev["peak_scores"][None], prev["peak_valid"][None],
-            image_size_wh=(float(rt.image_sample_size),
-                           float(rt.image_sample_size)))
-        return out["matches0"][0], out["match_scores0"][0]
-
-    return fn
+def _occlusion_rescale(rt: KeepTrackRuntime, ring, count, counter):
+    """Search-area regrowth while lost (keep_track.py:538-548): of the last
+    `scale_memory` stored scales, keep those >= the most recent one, and
+    average the newest max(2, min(30, counter)) of them."""
+    Mr = rt.scale_memory
+    num_scales = jnp.clip(counter, 2, 30)
+    newest = (count - 1) % Mr
+    idxs = (newest - jnp.arange(Mr)) % Mr
+    ordered = ring[idxs]                        # [0] = newest
+    validk = jnp.arange(Mr) < jnp.minimum(count, Mr)
+    cand = validk & (ordered >= ordered[0])
+    csum = jnp.cumsum(cand.astype(jnp.int32))
+    take = cand & (csum <= num_scales)
+    return (ordered * take).sum() / jnp.maximum(take.sum(), 1)
 
 
 def keeptrack_init_state(rt: KeepTrackRuntime, model: DiMPNet, bundle,
@@ -174,6 +201,11 @@ def keeptrack_init_state(rt: KeepTrackRuntime, model: DiMPNet, bundle,
     filter init + hinge-residual GN optimization; memory seeded with all
     samples at weight 1/N and certainty 1.0 for the ground-truth init
     samples (init_target_label_certainties).
+
+    The peak collection is NOT created here — the reference's match memory
+    is empty until the first tracked frame, which therefore localizes via
+    the advanced fallback and seeds the collection from its own peaks
+    (localize_target_by_peak_matching:956-958 + 1027-1032).
 
     NB the init crop uses replicate borders even under
     border_mode='inside_major' — the reference's generate_init_samples
@@ -255,6 +287,8 @@ def keeptrack_init_state(rt: KeepTrackRuntime, model: DiMPNet, bundle,
     Sf = rt.feat_sz
     C = clf_feat.shape[-1]
     So = Sf + end_pad
+    K = rt.peaks.num_peaks
+    D = rt.descriptor_dim if bundle is not None else bfeat0["layer3"].shape[-1]
     state = {
         "pos": pos, "target_sz": target_sz,
         "target_scale": target_scale, "base_target_sz": base_target_sz,
@@ -270,71 +304,142 @@ def keeptrack_init_state(rt: KeepTrackRuntime, model: DiMPNet, bundle,
         "frame_num": jnp.asarray(1, jnp.int32),
         "iou_mod3": mod3[0], "iou_mod4": mod4[0],
         "rng": rng,
+        # empty peak collection + empty match memory: the reference's
+        # self.peak_collection = None / MatchingMemory() at initialize
+        "peaks": init_peak_state(
+            rt.peaks, jnp.zeros((K,), jnp.float32), jnp.zeros((K, 2), jnp.float32),
+            jnp.zeros((K, 2), jnp.float32), jnp.zeros((K,), bool),
+            jnp.zeros((K, D), jnp.float32), certain=True),
+        "mem_ok": jnp.asarray(False),
+        "scale_ring": jnp.zeros((rt.scale_memory,), jnp.float32),
+        "ring_count": jnp.asarray(0, jnp.int32),
+        "nf_counter": jnp.asarray(0, jnp.int32),
     }
-
-    # initial peak collection from the first classification map
-    crop_sz, tl, sample_pos, sample_scale = _sample_geometry(
-        rt, state["pos"], state["target_scale"],
-        im_hw=(frame.shape[0], frame.shape[1]))
-    patch = _normalize(crop_at(frame, state["pos"], crop_sz,
-                               rt.image_sample_size, origin_yx=tl))
-    bfeat = model.apply(params, patch[None], method=DiMPNet.extract_backbone)
-    clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
-    scores = model.apply(params, state["filter"], clf_feat,
-                         method=DiMPNet.classify)[0]
-    p_scores, p_coords, p_valid = extract_peaks(scores, rt.peaks)
-    # descriptors from the classification feature grid (score grid offset by
-    # the even-kernel halo is within one cell; gather at clipped coords)
-    desc = _peak_descriptors(rt, bundle, matcher_params, clf_feat[0], p_coords)
-    state["peaks"] = init_peak_state(rt.peaks, p_scores, p_coords, p_valid, desc)
-    state["scale_ring"] = jnp.full((rt.scale_memory,), state["target_scale"])
-    state["scale_ptr"] = jnp.asarray(0, jnp.int32)
     return state
 
 
 def keeptrack_track_step(rt: KeepTrackRuntime, model: DiMPNet, bundle,
                          params, matcher_params, state: dict,
                          frame: jnp.ndarray):
-    """One frame with peak-matching association."""
+    """One frame: reference-exact crop geometry + the post-crop step."""
     H, W = frame.shape[0], frame.shape[1]
+    crop_sz, tl, sample_pos, sample_scale = _sample_geometry(
+        rt, state["pos"], state["target_scale"], im_hw=(H, W))
+    patch = _normalize(crop_at(frame, state["pos"], crop_sz,
+                               rt.image_sample_size, origin_yx=tl))
+    return keeptrack_step_from_patch(
+        rt, model, bundle, params, matcher_params, state, patch, tl, crop_sz,
+        sample_pos, sample_scale, (float(H), float(W)))
+
+
+def keeptrack_step_from_patch(rt: KeepTrackRuntime, model: DiMPNet, bundle,
+                              params, matcher_params, state: dict,
+                              patch: jnp.ndarray, tl, crop_side,
+                              sample_pos, sample_scale, im_hw):
+    """One frame of the reference's three-way localization state machine
+    (track:476-604 + localize_target_by_peak_matching:946-1040), starting
+    from an already-normalized crop + its geometry — split out so the
+    trajectory parity harness can feed the REFERENCE'S own recorded crops
+    through our state machine."""
+    H, W = im_hw
     state = {**state, "frame_num": state["frame_num"] + 1}
     rng, rng_refine = jax.random.split(state["rng"])
     state = {**state, "rng": rng}
+    pre_scale = state["target_scale"]
 
-    # occlusion-aware search rescale: while lost, sample at the mean of
-    # recent target scales (keep_track.py:538-548)
-    lost_prev = state["peaks"]["flag_not_found"]
-    eff_scale = jnp.where(lost_prev, state["scale_ring"].mean(),
-                          state["target_scale"])
-
-    crop_sz, tl, sample_pos, sample_scale = _sample_geometry(
-        rt, state["pos"], eff_scale, im_hw=(H, W))
-    patch = _normalize(crop_at(frame, state["pos"], crop_sz,
-                               rt.image_sample_size, origin_yx=tl))
     bfeat = model.apply(params, patch[None], method=DiMPNet.extract_backbone)
     clf_feat = model.apply(params, bfeat, method=DiMPNet.extract_classification_feat)
     scores = model.apply(params, state["filter"], clf_feat,
                          method=DiMPNet.classify)[0]
+    max_score_raw = jnp.max(scores)
 
-    # peak matching replaces localize_advanced
+    # --- localization state machine ---
+    # low:   score too weak for matching -> advanced loc, stale collection,
+    #        match memory NOT refreshed (:950-952)
+    # fresh: memory gap (incl. frame 2) -> advanced loc, collection re-init
+    # match: peak matching against the previous frame's peaks
+    low = max_score_raw < rt.peaks.peak_threshold
+    use_match = ~low & state["mem_ok"]
+
     p_scores, p_coords, p_valid = extract_peaks(scores, rt.peaks)
-    desc = _peak_descriptors(rt, bundle, matcher_params, clf_feat[0], p_coords)
-    peaks, sel_peak, lost = update_peak_state(
-        state["peaks"], rt.peaks, p_scores, p_coords, p_valid, desc,
-        match_fn=_make_match_fn(rt, bundle, matcher_params))
-    state = {**state, "peaks": peaks}
-
+    desc = _peak_descriptors(rt, bundle, matcher_params, bfeat["layer3"][0],
+                             p_coords)
     S = rt.score_sz
+    kpts = peak_keypoints(p_coords, S, tl, crop_side)
+
+    adv_trans, adv_flag, _ = _localize_advanced(rt, scores, state, sample_pos,
+                                                sample_scale)
+
+    prev = state["peaks"]
+    K = rt.peaks.num_peaks
+    # 1-v-1 speedup (keep_track.py:971-975): exactly one strong peak on
+    # both sides -> identity match with prob 1, matcher skipped
+    speedup = (prev["peak_valid"].sum() == 1) & (p_valid.sum() == 1) & \
+        (prev["peak_scores"].max() > rt.single_peak_score) & \
+        (p_scores.max() > rt.single_peak_score)
+    if not rt.skip_matching_single_peak:
+        speedup = jnp.asarray(False)
+    run_matcher = use_match & ~speedup
+
+    def _trivial(_):
+        ar = jnp.arange(K)
+        return (jnp.where(ar == 0, 0, NEG_ID).astype(jnp.int32),
+                jnp.where(ar == 0, 1.0, 0.0).astype(jnp.float32))
+
+    def _matcher(_):
+        if bundle is None:
+            from mmtrack_tpu.trackers.keep_track import match_peaks
+            idx, prob = match_peaks(prev["peak_desc"], prev["peak_coords"],
+                                    prev["peak_valid"], desc, p_coords,
+                                    p_valid, rt.peaks)
+            return idx.astype(jnp.int32), prob.astype(jnp.float32)
+        _, matcher = bundle
+        # set0 = previous frame, set1 = current; consume matches1 — the
+        # reference's call order (keep_track.py:985-997). Keypoints are
+        # (y, x) IMAGE coords and image_size is passed as (W, H): the
+        # torch normalize_keypoints builds size=[[w,h]] from an (H,W)
+        # shape (peak_matching.py:113-124), pairing y against w — quirk
+        # replicated verbatim.
+        out = matcher.apply(
+            matcher_params["matcher"],
+            prev["peak_desc"][None], prev["peak_kpts"][None],
+            prev["peak_scores"][None], prev["peak_valid"][None],
+            desc[None], kpts[None], p_scores[None], p_valid[None],
+            image_size_wh=(float(W), float(H)))
+        return out["matches1"][0].astype(jnp.int32), \
+            out["match_scores1"][0].astype(jnp.float32)
+
+    match_idx, match_prob = jax.lax.cond(run_matcher, _matcher, _trivial, None)
+
+    matched_peaks, sel_peak, lost_m = update_peak_state(
+        prev, rt.peaks, p_scores, p_coords, kpts, p_valid, desc,
+        match_fn=lambda *_: (match_idx, match_prob))
+    fresh_peaks = init_peak_state(rt.peaks, p_scores, p_coords, kpts, p_valid,
+                                  desc, certain=state["frame_num"] < 10)
+    peaks = jax.tree_util.tree_map(
+        lambda m, f, o: jnp.where(use_match, m, jnp.where(low, o, f)),
+        matched_peaks, fresh_peaks, prev)
+    state = {**state, "peaks": peaks, "mem_ok": ~low}
+
     output_sz = float(S - (rt.kernel_size + 1) % 2)
     score_center = (S - 1) / 2.0
     sel = jnp.maximum(sel_peak, 0)
-    disp = p_coords[sel] - score_center
-    translation = disp * (rt.image_sample_size / output_sz) * sample_scale
-    max_score = p_scores[sel]
+    peak_trans = (p_coords[sel] - score_center) \
+        * (rt.image_sample_size / output_sz) * sample_scale
+    coll_flag = jnp.where(lost_m, FLAG_NOT_FOUND, FLAG_NORMAL).astype(jnp.int32)
+    flag = jnp.where(use_match, coll_flag, adv_flag)
+    translation = jnp.where(use_match, peak_trans, adv_trans)
+    found = flag != FLAG_NOT_FOUND
 
-    found = ~lost
-    flag = jnp.where(lost, FLAG_NOT_FOUND,
-                     jnp.where(sel_peak != 0, FLAG_HARD_NEG, FLAG_NORMAL))
+    # object_presence_score with the id0 sqrt boost, evaluated on the
+    # POST-update collection (track:512-515); the empty init collection
+    # carries selected id 0, covering the reference's `collection is None`
+    presence = max_score_raw
+    id0 = peaks["selected_object_id"] == 0
+    if rt.id0_weight_increase:
+        presence = jnp.where(
+            id0, jnp.maximum(presence, jnp.sqrt(jnp.maximum(presence, 0.0))),
+            presence)
 
     new_pos = sample_pos + translation
     inside_offset = (rt.target_inside_ratio - 0.5) * state["target_sz"]
@@ -352,17 +457,32 @@ def keeptrack_track_step(rt: KeepTrackRuntime, model: DiMPNet, bundle,
         "target_scale": jnp.where(apply_ref, ref_scale, state["target_scale"]),
     }
 
-    # target-scale ring for the occlusion rescale
-    ptr = state["scale_ptr"] % rt.scale_memory
-    ring = state["scale_ring"].at[ptr].set(state["target_scale"])
-    state = {**state,
-             "scale_ring": jnp.where(apply_ref, ring, state["scale_ring"]),
-             "scale_ptr": jnp.where(apply_ref, state["scale_ptr"] + 1,
-                                    state["scale_ptr"])}
+    # target-scale history: the PRE-refine scale is appended on every found
+    # frame (track:526-527, before refine_target_box runs); while lost the
+    # counter drives the occlusion regrowth and target_scale is
+    # PERSISTENTLY overwritten by the windowed mean (:538-548)
+    count = state["ring_count"]
+    ring_app = state["scale_ring"].at[count % rt.scale_memory].set(pre_scale)
+    nf_counter = jnp.where(found, 0,
+                           jnp.where(count > 0, state["nf_counter"] + 1,
+                                     state["nf_counter"]))
+    rescale_on = (~found) & (count > 0) & \
+        rt.enable_search_area_rescaling_at_occlusion
+    mean_scale = _occlusion_rescale(rt, state["scale_ring"], count, nf_counter)
+    state = {
+        **state,
+        "scale_ring": jnp.where(found, ring_app, state["scale_ring"]),
+        "ring_count": jnp.where(found, count + 1, count),
+        "nf_counter": nf_counter.astype(jnp.int32),
+        "target_scale": jnp.where(rescale_on, mean_scale,
+                                  state["target_scale"]),
+    }
 
-    # memory + filter update, certainty-gated (keep_track: updates only when
-    # the peak selection is certain)
-    update_ok = found & peaks["selection_certain"]
+    # --- classifier/memory update ---
+    # update gates on the FLAG alone (track:568 update_flag = flag not in
+    # [not_found, uncertain]); the collection path only emits
+    # normal/not_found, hard_negative/uncertain come from the fallback
+    update_ok = (flag == FLAG_NORMAL) | (flag == FLAG_HARD_NEG)
     hard_neg = flag == FLAG_HARD_NEG
     lr = jnp.where(hard_neg, rt.hard_negative_learning_rate,
                    rt.learning_rate)
@@ -370,43 +490,48 @@ def keeptrack_track_step(rt: KeepTrackRuntime, model: DiMPNet, bundle,
                                sample_pos, sample_scale)
 
     # target label certainty (target_label_certainty_type='max_score_map',
-    # keep_track.py:809-810) with the id0 boost (update_memory:1375-1378:
-    # certainty := max(c, sqrt(c)) while identity 0 is still selected)
-    certainty = jnp.max(scores)
+    # keep_track.py:809-810). The id0 sqrt boost applies to the STORED
+    # certainty only (update_memory:1375-1378); the hard-negative skip
+    # gate compares the UNBOOSTED value (update_classifier:1665-1669).
+    cert_raw = max_score_raw
+    cert_store = cert_raw
     if rt.id0_weight_increase:
-        certainty = jnp.where(peaks["selected_object_id"] == 0,
-                              jnp.maximum(certainty, jnp.sqrt(certainty)),
-                              certainty)
+        cert_store = jnp.where(
+            id0, jnp.maximum(cert_raw, jnp.sqrt(jnp.maximum(cert_raw, 0.0))),
+            cert_raw)
     # per-frame Gaussian training label at the refined position
     # (track -> get_label_function, keep_track.py:566-576)
     train_y = _frame_label(rt, state["sigma"], state["pos"], sample_pos,
                            sample_scale)
 
     updated = _update_memory_keeptrack(rt, state, clf_feat[0], box_crop,
-                                       train_y, lr, certainty)
+                                       train_y, lr, cert_store)
     mem_keys = ("memory_feat", "memory_boxes", "memory_labels", "certainties",
                 "sample_weights", "num_stored", "prev_replace_ind")
     state = {**state, **{k: jnp.where(update_ok, updated[k], state[k])
                          for k in mem_keys}}
 
-    # hard-negative re-optimization is skipped when the sample's certainty
-    # is below the weight-computation threshold (update_classifier,
-    # keep_track.py:1655-1663)
-    hn_iter = jnp.where(certainty < rt.certainty_ths, 0, rt.net_opt_hn_iter) \
+    # the certainty-zeroing quirk: computing the optimizer weights mutates
+    # the stored certainties through a tensor view — sub-threshold entries
+    # are PERMANENTLY zeroed on every update frame, including the sample
+    # stored this frame (update_classifier:1689-1697)
+    if rt.use_certainty_for_weight_computation:
+        certs = state["certainties"]
+        certs = jnp.where(update_ok & (certs < rt.certainty_ths), 0.0, certs)
+        state = {**state, "certainties": certs}
+        w_opt = state["sample_weights"] * certs
+    else:
+        w_opt = state["sample_weights"]
+
+    # hard-negative re-optimization is skipped when the sample's (unboosted)
+    # certainty is below the threshold (update_classifier:1665-1669)
+    hn_iter = jnp.where(cert_raw < rt.certainty_ths, 0, rt.net_opt_hn_iter) \
         if rt.use_certainty_for_weight_computation else rt.net_opt_hn_iter
     num_iter = jnp.where(
         ~update_ok, 0,
         jnp.where(hard_neg, hn_iter,
                   jnp.where((state["frame_num"] - 1) % rt.train_skipping == 0,
                             rt.net_opt_update_iter, 0)))
-    # optimizer sample weights: certainty-suppressed (certainties < ths
-    # zeroed, then multiplied into the age weights — keep_track.py:1684-1695)
-    if rt.use_certainty_for_weight_computation:
-        certs = state["certainties"]
-        w_opt = state["sample_weights"] * jnp.where(
-            certs < rt.certainty_ths, 0.0, certs)
-    else:
-        w_opt = state["sample_weights"]
     new_filter = model.apply(
         params, state["filter"], state["memory_feat"],
         state["memory_labels"], w_opt, num_iter,
@@ -417,7 +542,7 @@ def keeptrack_track_step(rt: KeepTrackRuntime, model: DiMPNet, bundle,
         (state["pos"] - (state["target_sz"] - 1) / 2)[::-1],
         state["target_sz"][::-1],
     ])
-    return state, box, max_score
+    return state, box, presence
 
 
 class KeepTrackTracker:
@@ -430,7 +555,7 @@ class KeepTrackTracker:
 
     def __init__(self, model: DiMPNet, params,
                  runtime: KeepTrackRuntime | None = None,
-                 matcher_params=None, clf_feat_dim: int = 512):
+                 matcher_params=None):
         self.model = model
         self.params = params
         self.rt = runtime or KeepTrackRuntime()
@@ -446,7 +571,8 @@ class KeepTrackTracker:
                 K = self.rt.peaks.num_peaks
                 S = self.rt.feat_sz
                 rng = jax.random.PRNGKey(0)
-                dvars = desc_mod.init(rng, jnp.zeros((S, S, clf_feat_dim)),
+                dvars = desc_mod.init(rng,
+                                      jnp.zeros((S, S, self.rt.desc_feat_dim)),
                                       jnp.zeros((K, 2)))
                 d = jnp.zeros((1, K, self.rt.descriptor_dim))
                 k = jnp.zeros((1, K, 2))

@@ -57,5 +57,8 @@ def test_keeptrack_tracker_end_to_end():
         assert np.isfinite(b).all() and b[2] > 0 and b[3] > 0
         assert np.isfinite(out["best_score"])
     assert int(tracker.state["frame_num"]) == 5
-    # identity bookkeeping advanced
-    assert int(tracker.state["peaks"]["object_id_cntr"]) >= 4
+    # the collection was created on the first tracked frame (reference
+    # semantics: the match memory is empty at init) and identities persist —
+    # the counter equals the number of distinct tracks ever seen (>= 1)
+    assert int(tracker.state["peaks"]["object_id_cntr"]) >= 1
+    assert bool(tracker.state["mem_ok"])
