@@ -16,7 +16,9 @@ def make_synthetic_sequence(n_frames: int = 20, height: int = 240, width: int = 
                             seed: int = 0, channels: int = 6,
                             target_rgb: float | None = 220,
                             target_aux: float | None = 180,
-                            distractor: bool = False):
+                            distractor: bool = False,
+                            distractor_start_frame: int = 0,
+                            return_distractor_gt: bool = False):
     """A bright square target moving over textured background.
 
     Returns (frames (N, H, W, C) uint8, gt_boxes (N, 4) float xywh).
@@ -33,7 +35,18 @@ def make_synthetic_sequence(n_frames: int = 20, height: int = 240, width: int = 
     mid-sequence — the distractor-suppression setting KYS/KeepTrack exist
     for. The target is drawn second and wins overlaps; ground truth stays
     the target's. Drawn from an independent RNG so the default frames and
-    every golden fixture are bit-unchanged."""
+    every golden fixture are bit-unchanged.
+
+    `distractor_start_frame` delays the distractor's first DRAWN frame
+    (its analytic trajectory advances regardless): a distractor unseen by
+    init-time learners enters mid-sequence as a fresh peak — the
+    redetection/identity-jump regime. Default 0 keeps all existing frames
+    bit-unchanged.
+
+    `return_distractor_gt=True` appends the distractor's own xywh
+    trajectory to the return tuple (None without `distractor`; NaN rows
+    on frames before `distractor_start_frame`) — donor overfits use it to
+    supervise a secondary response peak."""
     rng = np.random.RandomState(seed)
     bg = rng.randint(0, 80, (height, width, channels), np.uint8)
     frames = np.empty((n_frames, height, width, channels), np.uint8)
@@ -45,6 +58,7 @@ def make_synthetic_sequence(n_frames: int = 20, height: int = 240, width: int = 
         drng = np.random.RandomState(seed + 7777)
         dx, dy = width - x - w, height - y - h
         dvx, dvy = -vx, -vy
+    dgt = np.empty((n_frames, 4), np.float64)
 
     def _draw(f, bx, by, tex_rng):
         xi, yi = int(round(bx)), int(round(by))
@@ -65,7 +79,11 @@ def make_synthetic_sequence(n_frames: int = 20, height: int = 240, width: int = 
     for t in range(n_frames):
         f = bg.copy()
         if distractor:
-            _draw(f, dx, dy, drng)
+            if t >= distractor_start_frame:
+                _draw(f, dx, dy, drng)
+                dgt[t] = (dx, dy, w, h)
+            else:
+                dgt[t] = np.nan
             dx += dvx
             dy += dvy
             if not (0 <= dx <= width - w):
@@ -98,4 +116,6 @@ def make_synthetic_sequence(n_frames: int = 20, height: int = 240, width: int = 
             vx = -vx
         if not (0 <= y <= height - h):
             vy = -vy
+    if return_distractor_gt:
+        return frames, gt, (dgt if distractor else None)
     return frames, gt

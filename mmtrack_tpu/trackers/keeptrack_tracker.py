@@ -314,6 +314,8 @@ def keeptrack_init_state(rt: KeepTrackRuntime, model: DiMPNet, bundle,
         "scale_ring": jnp.zeros((rt.scale_memory,), jnp.float32),
         "ring_count": jnp.asarray(0, jnp.int32),
         "nf_counter": jnp.asarray(0, jnp.int32),
+        "last_flag": jnp.asarray(FLAG_NORMAL, jnp.int32),
+        "last_use_match": jnp.asarray(False),
     }
     return state
 
@@ -430,6 +432,7 @@ def keeptrack_step_from_patch(rt: KeepTrackRuntime, model: DiMPNet, bundle,
     flag = jnp.where(use_match, coll_flag, adv_flag)
     translation = jnp.where(use_match, peak_trans, adv_trans)
     found = flag != FLAG_NOT_FOUND
+    state = {**state, "last_flag": flag, "last_use_match": use_match}
 
     # object_presence_score with the id0 sqrt boost, evaluated on the
     # POST-update collection (track:512-515); the empty init collection

@@ -62,3 +62,38 @@ def test_keeptrack_tracker_end_to_end():
     # the counter equals the number of distinct tracks ever seen (>= 1)
     assert int(tracker.state["peaks"]["object_id_cntr"]) >= 1
     assert bool(tracker.state["mem_ok"])
+
+
+def test_occlusion_rescale_matches_reference_semantics():
+    """_occlusion_rescale == the fork's list arithmetic
+    (keep_track.py:538-548): window to the last `scale_memory`, keep
+    scales >= the most recent, average the newest max(2,min(30,counter))."""
+    import numpy as np
+    from mmtrack_tpu.trackers.keeptrack_tracker import _occlusion_rescale
+
+    rt = KeepTrackRuntime(scale_memory=8)
+
+    def torch_semantics(history, counter):
+        num_scales = max(2, min(30, counter))
+        ts = np.asarray(history[-8:], np.float64)
+        ts = ts[ts >= ts[-1]]
+        return float(ts[-num_scales:].mean())
+
+    def ours(history, counter):
+        ring = np.zeros(8, np.float32)
+        for i, v in enumerate(history):
+            ring[i % 8] = v
+        return float(_occlusion_rescale(rt, jnp.asarray(ring),
+                                        jnp.asarray(len(history)),
+                                        jnp.asarray(counter)))
+
+    hist = [1.0, 1.2, 0.9, 1.1, 1.05]
+    for counter in (1, 2, 3, 5):
+        np.testing.assert_allclose(ours(hist, counter),
+                                   torch_semantics(hist, counter), rtol=1e-6)
+    # ring wraparound (more history than slots)
+    hist10 = [1.0, 1.3, 0.8, 1.1, 0.95, 1.25, 1.02, 0.99, 1.15, 1.04]
+    for counter in (2, 4, 30):
+        np.testing.assert_allclose(ours(hist10, counter),
+                                   torch_semantics(hist10, counter),
+                                   rtol=1e-6)

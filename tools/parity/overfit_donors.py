@@ -178,3 +178,110 @@ def overfit_stm_decoder(net, frames, gt, steps=250, lr=1e-3, seed=0,
     for p in net.parameters():
         p.grad = None
     return float(loss)
+
+
+def overfit_super_dimp_classifier(donor, frames, gt, steps=300, lr=1e-3,
+                                  seed=0, S=480, search_area_scale=8.0,
+                                  label_sigma=2.0, target_amp=1.0,
+                                  distractor_gt=None, distractor_amp=0.45,
+                                  log_every=0):
+    """Train donor.classifier.feature_extractor so the DiMP response peaks
+    at the synthetic target (super_dimp_hinge donor for the KeepTrack
+    trajectory A/B).
+
+    With a freshly-seeded donor the classifier response never clears the
+    0.05 peak-extraction gate (keep_track.py:950), so the KeepTrack A/B
+    degenerates to the advanced-localization fallback on every frame.
+    This overfits ONLY the classification feature extractor (the residual
+    bottleneck block after layer3): backbone, filter initializer, hinge GN
+    optimizer, IoUNet and the peak-matching net keep their seeded values,
+    so the online machinery under test runs exactly as in the random-
+    weight checks. The training proxy regresses the response of the
+    FILTER-INITIALIZER filter (differentiable, no GN unroll) from the
+    frame-0 crop against a Gaussian at the target; at tracking time the
+    hinge-GN init only sharpens it. When the synthetic sequence carries
+    the identical-appearance distractor (make_synthetic_sequence
+    distractor=True), translation equivariance makes the distractor light
+    up as a secondary peak without any distractor supervision — exactly
+    the multi-peak regime KeepTrack's matcher exists for.
+
+    Runs in eval() mode throughout. Must be called inside
+    ``reference_path("RGBD/models/keep_track_vot2021")``.
+    """
+    import torch
+
+    from pytracking.features.preprocessing import numpy_to_torch, sample_patch
+
+    donor.eval()
+    rng = np.random.RandomState(seed)
+    mean = torch.tensor(IMAGENET_MEAN).view(1, 3, 1, 1)
+    std = torch.tensor(IMAGENET_STD).view(1, 3, 1, 1)
+    S_f, S_sc = S // 16, S // 16 + 1   # stride-16 grid, even-4-kernel pad
+
+    caches = []
+    for t in range(len(frames)):
+        im = numpy_to_torch(np.ascontiguousarray(frames[t][..., :3]))
+        x, y, w, h = [float(v) for v in gt[t]]
+        cy, cx = y + (h - 1) / 2, x + (w - 1) / 2
+        base_side = search_area_scale * math.sqrt(w * h)
+        for j in range(2):
+            if j == 0:
+                pos, side = torch.tensor([cy, cx]), base_side
+            else:
+                pos = torch.tensor([cy, cx]) + torch.tensor(
+                    rng.uniform(-0.2, 0.2, 2) * math.sqrt(w * h)).float()
+                side = base_side * math.exp(rng.uniform(-0.2, 0.2))
+            patch, coords = sample_patch(im, pos,
+                                         torch.tensor([side, side]),
+                                         torch.tensor([S, S]))
+            c = coords[0].numpy().astype(np.float64)
+            sample_pos = 0.5 * (c[:2] + c[2:] - 1)
+            scale = (c[2] - c[0]) / S
+            with torch.no_grad():
+                bf = donor.extract_backbone_features(
+                    (patch / 255.0 - mean) / std)
+                l3 = donor.get_backbone_clf_feat(bf)
+            bb = torch.tensor([[(x - c[1]) / scale, (y - c[0]) / scale,
+                                w / scale, h / scale]], dtype=torch.float32)
+            # Gaussian label(s) on the end-padded score grid, centered with
+            # the tracker's own mapping (get_label_function); the
+            # distractor — identical appearance by construction — gets an
+            # explicit secondary peak so the multi-peak regime trains in
+            k = np.arange(S_sc, dtype=np.float64) - (S_f - 1) / 2
+
+            def gauss(cyx, amp):
+                norm = (np.asarray(cyx) - sample_pos) / (scale * S)
+                center = S_f * norm + 0.5
+                gy = np.exp(-0.5 * (k - center[0]) ** 2 / label_sigma ** 2)
+                gx = np.exp(-0.5 * (k - center[1]) ** 2 / label_sigma ** 2)
+                return amp * gy[:, None] * gx[None, :]
+
+            lab = gauss([cy, cx], target_amp)
+            if distractor_gt is not None \
+                    and not np.any(np.isnan(distractor_gt[t])):
+                ddx, ddy, dw, dh = [float(v) for v in distractor_gt[t]]
+                lab = np.maximum(lab, gauss([ddy + (dh - 1) / 2,
+                                             ddx + (dw - 1) / 2],
+                                            distractor_amp))
+            label = torch.tensor(lab.astype(np.float32))[None, None]
+            caches.append((l3.detach(), bb, label))
+
+    fe = donor.classifier.feature_extractor
+    opt = torch.optim.Adam(fe.parameters(), lr=lr)
+    l3_0, bb_0, _ = caches[0]
+    loss = None
+    for it in range(steps):
+        l3, bb, label = caches[it % len(caches)]
+        f0 = donor.classifier.extract_classification_feat(l3_0)
+        w0 = donor.classifier.filter_initializer(f0, bb_0)
+        ft = donor.classifier.extract_classification_feat(l3)
+        scores = donor.classifier.classify(w0, ft)
+        loss = torch.mean((scores.view(1, 1, S_sc, S_sc) - label) ** 2)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if log_every and it % log_every == 0:
+            print(f"  super_dimp overfit step {it}: mse {float(loss):.5f}")
+    for p in donor.parameters():
+        p.grad = None
+    return float(loss)
