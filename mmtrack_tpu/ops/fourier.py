@@ -86,21 +86,36 @@ def embed_spectrum(S: jnp.ndarray, F_out: int) -> jnp.ndarray:
 
 
 def bicubic_interp_spectrum(F: int, a: float = -0.75,
-                            centering: bool = True) -> jnp.ndarray:
+                            centering: bool = True,
+                            f32_parity: bool = False) -> jnp.ndarray:
     """Fourier coefficients of the bicubic interpolation kernel
     (dcf.py cubic_spline_fourier + get_interp_fourier): (F, F) complex,
     separable product of per-dimension kernels with the half-pixel
-    centering phase."""
-    k = np.arange(F, dtype=np.float64) - (F - 1) // 2
-    f = k / F
+    centering phase.
+
+    The reference evaluates cubic_spline_fourier in FLOAT32, where the
+    O(f^4)-cancelling numerator over 4*pi^4*f^4 is catastrophically
+    unstable at small nonzero f: at F=201 its ky=+-1 coefficient comes
+    out ~6x the true value (harmless to the trackers — the same kernel
+    scales filter and sample consistently, so localization is
+    unaffected). Our default computes in float64 (the mathematically
+    correct kernel); `f32_parity=True` replicates the reference's
+    float32 evaluation bit-for-bit for the trajectory A/B."""
+    dt = np.float32 if f32_parity else np.float64
+    k = (np.arange(F, dtype=np.float64) - (F - 1) // 2).astype(dt)
+    f = (k / dt(F)).astype(dt)
+    # python-float scalar subexpressions evaluate in double and convert
+    # ONCE at the tensor op, exactly like torch's scalar promotion
     with np.errstate(divide="ignore", invalid="ignore"):
-        bf = (6 * (1 - np.cos(2 * np.pi * f)) + 3 * a * (1 - np.cos(4 * np.pi * f))
-              - (6 + 8 * a) * np.pi * f * np.sin(2 * np.pi * f)
-              - 2 * a * np.pi * f * np.sin(4 * np.pi * f)) / (4 * np.pi**4 * f**4)
+        bf = (dt(6) * (dt(1) - np.cos(dt(2 * math.pi) * f))
+              + dt(3 * a) * (dt(1) - np.cos(dt(4 * math.pi) * f))
+              - dt((6 + 8 * a) * math.pi) * f * np.sin(dt(2 * math.pi) * f)
+              - dt(2 * a * math.pi) * f * np.sin(dt(4 * math.pi) * f)) \
+            / (dt(4 * math.pi ** 4) * (f ** dt(4)))
     bf[f == 0] = 1.0
-    d = bf / F
+    d = (bf / dt(F)).astype(np.float64)
     if centering:
-        d = d * np.exp(-1j * np.pi * k / F)
+        d = d * np.exp(-1j * np.pi * k.astype(np.float64) / F)
     # numpy, NOT a device array: the axon TPU runtime cannot transfer
     # complex64 host<->device (on-device complex compute is fine) — keep
     # complex constants host-side and split into real/imag pairs before

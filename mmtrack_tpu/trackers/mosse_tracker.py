@@ -48,6 +48,12 @@ class MOSSERuntime:
     # score grid downsampling: the reference samples scores at
     # output_sz == img_support_sz; at stride 1 that is the identity
     score_upsample: int = 1
+    # replicate the reference's float32 cubic_spline_fourier evaluation
+    # (catastrophic cancellation at small f — see
+    # ops/fourier.bicubic_interp_spectrum); OFF by default: the float64
+    # kernel is the mathematically correct one and localization is
+    # unaffected (the kernel scales filter and sample consistently)
+    interp_f32_parity: bool = False
 
 
 @dataclass(frozen=True)
@@ -67,14 +73,16 @@ def mosse_geometry(rt: MOSSERuntime, target_hw) -> tuple[MOSSEGeom, dict]:
         scale = 1.0
     base = ts / scale
     S = int(round(np.sqrt(np.prod(base * rt.search_area_scale))))
-    S += 2 * rt.stride - S % (2 * rt.stride)
+    # the reference's odd-ification (mosse.py:33): S += stride - S %
+    # (2*stride) makes the FEATURE grid S/stride odd — at stride 1 the
+    # sample side itself is odd, so the centered full spectrum is built
+    # at F directly
+    S += rt.stride - S % (2 * rt.stride)
     F = S // rt.stride
-    # centered full spectra of even-sized maps are represented at the odd
-    # size F+1 (ops/fourier.cfft2) — build interp/label grids there, like
-    # ECO's filt_sz
-    Ff = F + (F + 1) % 2
+    Ff = F + (F + 1) % 2  # no-op for the odd F the reference produces
     sigma = np.sqrt(np.prod(base)) * rt.output_sigma_factor * (Ff / S)
-    k = bicubic_interp_spectrum(Ff, rt.interp_bicubic_a)
+    k = bicubic_interp_spectrum(Ff, rt.interp_bicubic_a,
+                                f32_parity=rt.interp_f32_parity)
     consts = {
         "target_scale": np.float32(scale),
         "base_target_sz": jnp.asarray(base, jnp.float32),
@@ -89,9 +97,16 @@ def _gray_spectrum(rt: MOSSERuntime, consts, frame, pos, side, S: int):
     """Crop -> grayscale -> window -> centered spectrum -> interpolation
     (extract_fourier_sample, mosse.py:135-139)."""
     patch = _crop(frame, pos, side, S)[..., :3]
-    # ITU-R 601 luma, the cv2/torchvision grayscale convention
-    gray = (0.299 * patch[..., 0] + 0.587 * patch[..., 1]
-            + 0.114 * patch[..., 2]) / 255.0 - 0.5
+    return _gray_window_spectrum(consts, patch)
+
+
+def _gray_window_spectrum(consts, patch):
+    """Grayscale feature -> window -> centered spectrum -> bicubic
+    Fourier interpolation, from an already-cropped (S, S, 3) patch in
+    [0, 255]. The grayscale is the reference's Grayscale feature — the
+    CHANNEL MEAN of im/255 - 0.5 (pytracking/features/color.py:17-25),
+    not a luma weighting."""
+    gray = jnp.mean(patch / 255.0 - 0.5, axis=-1)
     x = gray * consts["window"]
     k = jax.lax.complex(consts["interp"][..., 0], consts["interp"][..., 1])
     return cfft2(x[None, None]) * k[None, None]  # (1, 1, F, F) complex
@@ -111,14 +126,10 @@ def mosse_init_state(rt: MOSSERuntime, geom: MOSSEGeom, consts: dict,
             "frame_num": jnp.asarray(1, jnp.int32)}
 
 
-def mosse_track_step(rt: MOSSERuntime, geom: MOSSEGeom, consts: dict,
-                     state: dict, frame):
-    """One tracked frame (mosse.py:66-113); single scale."""
+def _mosse_localize(rt: MOSSERuntime, geom: MOSSEGeom, state: dict, xf):
+    """Score + wraparound localization (mosse.py:73-94)."""
     S = geom.sample_sz
     sample_pos = jnp.round(state["pos"])
-    xf = _gray_spectrum(rt, consts, frame, state["pos"],
-                        state["target_scale"] * S, S)
-
     H = state["num"] / (state["den"][:, None] + rt.reg_factor)
     sf = jnp.sum(H * xf, axis=1, keepdims=True)
     # evaluate on an odd grid >= the series size; the translation below
@@ -128,22 +139,47 @@ def mosse_track_step(rt: MOSSERuntime, geom: MOSSEGeom, consts: dict,
     s = sample_scores(sf[0, 0], G)
     max_score, disp = max2d_wrapped(s)
     translation = disp * (S / s.shape[-1]) * state["target_scale"]
-    new_pos = sample_pos + translation
+    return max_score, sample_pos + translation
 
-    # update with a fresh sample at the new position (mosse.py:102-107)
-    xf_u = _gray_spectrum(rt, consts, frame, new_pos,
-                          state["target_scale"] * S, S)
+
+def _mosse_finish(rt: MOSSERuntime, consts: dict, state: dict, new_pos,
+                  xf_u, max_score):
+    """Filter EMA update with the fresh sample + output box
+    (mosse.py:99-113 + update_filter:115-126)."""
     lr = rt.learning_rate
     num = (1 - lr) * state["num"] + lr * (consts["yf"][None, None]
                                           * jnp.conj(xf_u))
     den = (1 - lr) * state["den"] + lr * jnp.sum(jnp.abs(xf_u) ** 2, axis=1)
-
     state = {**state, "pos": new_pos, "num": num, "den": den,
              "frame_num": state["frame_num"] + 1}
     target_sz = consts["base_target_sz"] * state["target_scale"]
     box = jnp.concatenate([(new_pos - (target_sz - 1) / 2)[::-1],
                            target_sz[::-1]])
     return state, box, max_score
+
+
+def mosse_track_step(rt: MOSSERuntime, geom: MOSSEGeom, consts: dict,
+                     state: dict, frame):
+    """One tracked frame (mosse.py:66-113); single scale."""
+    S = geom.sample_sz
+    xf = _gray_spectrum(rt, consts, frame, state["pos"],
+                        state["target_scale"] * S, S)
+    max_score, new_pos = _mosse_localize(rt, geom, state, xf)
+    # update with a fresh sample at the new position (mosse.py:102-107)
+    xf_u = _gray_spectrum(rt, consts, frame, new_pos,
+                          state["target_scale"] * S, S)
+    return _mosse_finish(rt, consts, state, new_pos, xf_u, max_score)
+
+
+def mosse_step_from_patches(rt: MOSSERuntime, geom: MOSSEGeom, consts: dict,
+                            state: dict, patch_loc, patch_upd):
+    """One frame from already-cropped raw patches ((S, S, 3) in [0, 255]):
+    the trajectory parity harness feeds the REFERENCE'S own two
+    sample_patch crops (localize at pos, update at the new pos)."""
+    xf = _gray_window_spectrum(consts, patch_loc)
+    max_score, new_pos = _mosse_localize(rt, geom, state, xf)
+    xf_u = _gray_window_spectrum(consts, patch_upd)
+    return _mosse_finish(rt, consts, state, new_pos, xf_u, max_score)
 
 
 class MOSSETracker:

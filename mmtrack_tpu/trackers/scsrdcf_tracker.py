@@ -65,7 +65,14 @@ def scsrdcf_geometry(rt: SCSRDCFRuntime, target_hw):
     rk = reg_filter((S, S), base, rt.reg_window_min, rt.reg_window_edge,
                     rt.reg_window_power, rt.reg_sparsity_threshold,
                     pad_to=15)
+    # the reference moves the kernel's DC tap into the scalar regularizer
+    # and zeroes it in the kernel (scsrdcf.py:59-61)
+    cy, cx = rk.shape[0] // 2, rk.shape[1] // 2
+    reg_factor_eff = np.float32(rt.reg_factor + rk[cy, cx])
+    rk = rk.copy()
+    rk[cy, cx] = 0.0
     consts["reg_k"] = jnp.asarray(rk)
+    consts["reg_factor"] = jnp.asarray(reg_factor_eff)
     return geom, consts
 
 
@@ -91,46 +98,51 @@ def scsrdcf_init_state(rt: SCSRDCFRuntime, geom: MOSSEGeom, consts: dict,
                         target_scale * geom.sample_sz, geom.sample_sz)[0]
     rhs = consts["yf"][None] * jnp.conj(xf)          # (C=1, F, F)
     lhs_data = jnp.abs(xf) ** 2
-    f = jnp.zeros_like(rhs)
-    f = _run_opt(rt, consts, f, rhs, lhs_data)
+    f = _run_opt(rt, consts, jnp.zeros_like(rhs), rhs, lhs_data, first=True)
     return {"pos": pos, "target_scale": target_scale,
             "rhs": rhs, "lhs_data": lhs_data, "f": f,
             "frame_num": jnp.asarray(1, jnp.int32)}
 
 
-def _run_opt(rt, consts, f, rhs, lhs_data):
+def _run_opt(rt, consts, f, rhs, lhs_data, first: bool = False):
     """SOR sweep (optimize_filter, scsrdcf.py:178-208); statically
-    unrolled (num_gs_iter is small, keeps the W convs fused)."""
+    unrolled (num_gs_iter is small, keeps the W convs fused). The scalar
+    regularizer is the runtime constant PLUS the reg kernel's extracted
+    DC tap (scsrdcf.py:59-61, applied in scsrdcf_geometry). On the INIT
+    frame the sweep starts from f_bias itself (scsrdcf.py:177-179
+    `self.f = self.f_bias.clone()`), not from zeros."""
     tau = rt.sor_weight
-    lhs = lhs_data + rt.reg_factor ** 2
+    reg = consts["reg_factor"]
+    lhs = lhs_data + reg ** 2
 
     def dinv(h):
         return h / lhs
 
     f_bias = tau * dinv(rhs)
+    if first:
+        f = f_bias
     for _ in range(rt.num_gs_iter):
         g = _w_op(f, consts["reg_k"])
         f = f_bias + (1 - tau) * f - tau * dinv(_w_op(g, consts["reg_k"])
-                                                + 2 * rt.reg_factor * g)
+                                                + 2 * reg * g)
     return f
 
 
-def scsrdcf_track_step(rt: SCSRDCFRuntime, geom: MOSSEGeom, consts: dict,
-                       state: dict, frame):
-    """One tracked frame (scsrdcf.py:91-141); single scale."""
+def _scsrdcf_localize(geom: MOSSEGeom, state: dict, xf):
+    """Score + wraparound localization (scsrdcf.py:98-125)."""
     S = geom.sample_sz
     sample_pos = jnp.round(state["pos"])
-    xf = _gray_spectrum(rt, consts, frame, state["pos"],
-                        state["target_scale"] * S, S)[0]
-
     sf = jnp.sum(state["f"] * xf, axis=0)
     G = S + (S + 1) % 2
     s = sample_scores(sf, G)
     max_score, disp = max2d_wrapped(s)
-    new_pos = sample_pos + disp * (S / G) * state["target_scale"]
+    return max_score, sample_pos + disp * (S / G) * state["target_scale"]
 
-    xf_u = _gray_spectrum(rt, consts, frame, new_pos,
-                          state["target_scale"] * S, S)[0]
+
+def _scsrdcf_finish(rt: SCSRDCFRuntime, consts: dict, state: dict, new_pos,
+                    xf_u, max_score):
+    """Memory EMA + SOR re-optimization + output box
+    (scsrdcf.py:130-141 + update_memory:143-161)."""
     lr = rt.learning_rate
     rhs = (1 - lr) * state["rhs"] + lr * (consts["yf"][None]
                                           * jnp.conj(xf_u))
@@ -143,6 +155,31 @@ def scsrdcf_track_step(rt: SCSRDCFRuntime, geom: MOSSEGeom, consts: dict,
     box = jnp.concatenate([(new_pos - (target_sz - 1) / 2)[::-1],
                            target_sz[::-1]])
     return state, box, max_score
+
+
+def scsrdcf_track_step(rt: SCSRDCFRuntime, geom: MOSSEGeom, consts: dict,
+                       state: dict, frame):
+    """One tracked frame (scsrdcf.py:91-141); single scale."""
+    S = geom.sample_sz
+    xf = _gray_spectrum(rt, consts, frame, state["pos"],
+                        state["target_scale"] * S, S)[0]
+    max_score, new_pos = _scsrdcf_localize(geom, state, xf)
+    xf_u = _gray_spectrum(rt, consts, frame, new_pos,
+                          state["target_scale"] * S, S)[0]
+    return _scsrdcf_finish(rt, consts, state, new_pos, xf_u, max_score)
+
+
+def scsrdcf_step_from_patches(rt: SCSRDCFRuntime, geom: MOSSEGeom,
+                              consts: dict, state: dict, patch_loc,
+                              patch_upd):
+    """One frame from already-cropped raw patches — the trajectory parity
+    harness feeds the REFERENCE'S own two sample_patch crops."""
+    from mmtrack_tpu.trackers.mosse_tracker import _gray_window_spectrum
+
+    xf = _gray_window_spectrum(consts, patch_loc)[0]
+    max_score, new_pos = _scsrdcf_localize(geom, state, xf)
+    xf_u = _gray_window_spectrum(consts, patch_upd)[0]
+    return _scsrdcf_finish(rt, consts, state, new_pos, xf_u, max_score)
 
 
 class SCSRDCFTracker:
