@@ -83,7 +83,23 @@ TOL_FILTER = 1e-4     # post-frame filter per transition (observed ~3e-6
 TOL_WEIGHTS = 1e-6    # memory sample weights (pure arithmetic given flags)
 TOL_INIT_FILTER = 1e-3  # 13-sample init: filter init + 10 SD iterations
 
-S_IM = 288  # image_sample_size (DeT_DiMP50_Max.py:12, 18*16)
+S_IM = 288   # image_sample_size (DeT_DiMP50_Max.py:12, 18*16)
+SAS = 5.0    # search_area_scale
+# --config prdimp switches the harness to the AR fork's PrDiMP-50: the
+# SAME pytracking dimp.py tracker class at the published
+# pytracking/parameter/dimp/prdimp50.py constants (352px inside_major
+# geometry, softmax score preprocessing, relative-space box refinement,
+# KL-divergence Newton filter optimizer) on a klcedimpnet50 donor.
+CONFIGS = {
+    "det": dict(subdir="RGBD/models/DeT", s_im=288, sas=5.0, channels=6,
+                nf_th=0.02),
+    # the keep_track fork ships BOTH klcedimpnet50 and a RUNNABLE
+    # dimp.py with the softmax path (the AR fork's pytracking/__init__
+    # does not re-export dcf, so its dimp tracker cannot import)
+    "prdimp": dict(subdir="RGBD/models/keep_track_vot2021", s_im=352,
+                   sas=6.0, channels=3, nf_th=0.004),
+}
+CFG = CONFIGS["det"]
 
 
 def make_sequence(n_frames: int, seed: int):
@@ -103,7 +119,7 @@ def make_sequence(n_frames: int, seed: int):
         if y2 + h <= 240 and x2 + w <= 320:
             frames[t, y2:y2 + h, x2:x2 + w] = (
                 patch.astype(np.float32) * 0.8).astype(np.uint8)
-    return frames, gt
+    return np.ascontiguousarray(frames[..., :CFG["channels"]]), gt
 
 
 def forcing_values(gt_box):
@@ -112,8 +128,8 @@ def forcing_values(gt_box):
     x, y, w, h = [np.float32(v) for v in gt_box]
     pos = np.asarray([y + (h - 1) / 2, x + (w - 1) / 2], np.float32)
     target_sz = np.asarray([h, w], np.float32)
-    search_area = np.float32(np.float32(h * np.float32(5.0))
-                             * np.float32(w * np.float32(5.0)))
+    search_area = np.float32(np.float32(h * np.float32(SAS))
+                             * np.float32(w * np.float32(SAS)))
     target_scale = np.float32(math.sqrt(float(search_area)) / S_IM)
     base_target_sz = (target_sz / target_scale).astype(np.float32)
     return pos, target_sz, target_scale, base_target_sz
@@ -189,7 +205,7 @@ def run_reference(frames, gt, seed: int = 0):
         six.int_classes = (int,)
         sys.modules["torch._six"] = six
 
-    with reference_path("RGBD/models/DeT"):
+    with reference_path(CFG["subdir"]):
         shim_pp = importlib.import_module(
             "external.PreciseRoIPooling.pytorch.prroi_pool")
         for alias in ("ltr.external", "ltr.external.PreciseRoIPooling",
@@ -203,11 +219,23 @@ def run_reference(frames, gt, seed: int = 0):
         nw_mod = importlib.import_module("pytracking.features.net_wrappers")
 
         torch.manual_seed(seed)
-        donor = dimpnet.dimp50_DeT(
-            merge_type="max", filter_size=4, optim_iter=5,
-            backbone_pretrained=False, out_feature_dim=512,
-            init_gauss_sigma=0.9, num_dist_bins=100, bin_displacement=0.1,
-            mask_init_factor=3.0, score_act="relu")
+        if CFG is CONFIGS["det"]:
+            donor = dimpnet.dimp50_DeT(
+                merge_type="max", filter_size=4, optim_iter=5,
+                backbone_pretrained=False, out_feature_dim=512,
+                init_gauss_sigma=0.9, num_dist_bins=100,
+                bin_displacement=0.1, mask_init_factor=3.0,
+                score_act="relu")
+        else:
+            # klcedimpnet50 at the prdimp50 train settings (like
+            # check_prdimp.py's model-level donor)
+            donor = dimpnet.klcedimpnet50(
+                filter_size=4, optim_iter=5, backbone_pretrained=False,
+                clf_feat_norm=True, clf_feat_blocks=0, final_conv=True,
+                out_feature_dim=512, optim_init_step=1.0,
+                optim_init_reg=0.05, optim_min_reg=0.05, gauss_sigma=0.9,
+                alpha_eps=0.05, normalize_label=True,
+                init_initializer="zero")
         donor.eval()
 
         class InMemoryNet(nw_mod.NetWithBackbone):
@@ -225,7 +253,7 @@ def run_reference(frames, gt, seed: int = 0):
         p.visualization = False
         p.use_gpu = False
         p.image_sample_size = S_IM
-        p.search_area_scale = 5
+        p.search_area_scale = SAS
         p.sample_memory_size = 50
         p.learning_rate = 0.01
         p.init_samples_minimum_weight = 0.25
@@ -251,7 +279,7 @@ def run_reference(frames, gt, seed: int = 0):
         # would run. Scale it down IDENTICALLY on both sides (the rest of
         # the lattice is ratio-based and keeps its published constants) so
         # memory updates, hard negatives and re-optimization are exercised.
-        p.target_not_found_threshold = 0.02
+        p.target_not_found_threshold = CFG["nf_th"]
         p.distractor_threshold = 0.8
         p.hard_negative_threshold = 0.5
         p.target_neighborhood_scale = 2.2
@@ -265,8 +293,17 @@ def run_reference(frames, gt, seed: int = 0):
         p.box_jitter_pos = 0.1
         p.box_jitter_sz = 0.5
         p.maximal_aspect_ratio = 6
-        p.box_refinement_iter = 5
-        p.box_refinement_step_length = 1
+        if CFG is CONFIGS["det"]:
+            p.box_refinement_iter = 5
+            p.box_refinement_step_length = 1
+        else:
+            # prdimp50.py:14-15 + 43-66
+            p.border_mode = "inside_major"
+            p.patch_max_scale_change = 1.5
+            p.score_preprocess = "softmax"
+            p.box_refinement_space = "relative"
+            p.box_refinement_iter = 10
+            p.box_refinement_step_length = 2.5e-3
         p.box_refinement_step_decay = 1
         p.net = InMemoryNet(donor)
 
@@ -333,7 +370,7 @@ def run_reference(frames, gt, seed: int = 0):
                 tracker.base_target_sz = torch.from_numpy(bts.copy())
                 out = tracker.track(frames[t])
                 boxes.append(out["target_bbox"])
-                confs.append(out["confidence"])
+                confs.append(out.get("confidence", float("nan")))
                 flags.append(tracker.debug_info["flag"])
                 filters.append(
                     tracker.target_filter.detach().numpy().copy())
@@ -343,6 +380,9 @@ def run_reference(frames, gt, seed: int = 0):
                 c = cap["coords"][-1][0].astype(np.float64)
                 smap = cap["scores"][-1].reshape(
                     cap["scores"][-1].shape[-2:])
+                if CFG is CONFIGS["prdimp"]:
+                    e = np.exp(smap - smap.max())
+                    smap = e / e.sum()
                 excused.append(is_borderline(
                     smap, pos, tsz,
                     0.5 * (c[:2] + c[2:] - 1),
@@ -386,7 +426,9 @@ def run_ours(sd_np, init, ref, frames, gt):
 
     from functools import partial
 
-    from mmtrack_tpu.models.convert import convert_dimp_checkpoint, load_into
+    from mmtrack_tpu.models.convert import (convert_dimp_checkpoint,
+                                            convert_prdimp_checkpoint,
+                                            load_into)
     from mmtrack_tpu.models.dimp import DiMPNet
     from mmtrack_tpu.trackers.dimp_tracker import (
         FLAG_HARD_NEG,
@@ -400,26 +442,36 @@ def run_ours(sd_np, init, ref, frames, gt):
         dimp_step_from_patch,
     )
 
-    rt = DiMPRuntime(aug_dropout_num=0, random_shift_factor=0.0,
-                     num_init_random_boxes=0,
-                     target_not_found_threshold=0.02)
-    net = DiMPNet(merge_type="max")
+    if CFG is CONFIGS["det"]:
+        rt = DiMPRuntime(aug_dropout_num=0, random_shift_factor=0.0,
+                         num_init_random_boxes=0,
+                         target_not_found_threshold=CFG["nf_th"])
+        net = DiMPNet(merge_type="max")
+        convert = convert_dimp_checkpoint
+    else:
+        from mmtrack_tpu.models.dimp import build_prdimp50
+        from mmtrack_tpu.trackers.dimp_tracker import prdimp50_runtime
+        rt = prdimp50_runtime(aug_dropout_num=0, random_shift_factor=0.0,
+                              num_init_random_boxes=0,
+                              target_not_found_threshold=CFG["nf_th"])
+        net = build_prdimp50()
+        convert = convert_prdimp_checkpoint
 
     n_init = init["patches"].shape[0]
     assert rt.num_init_samples == n_init, (rt.num_init_samples, n_init)
 
-    tr = jnp.zeros((1, S_IM, S_IM, 6), jnp.float32)
+    tr = jnp.zeros((1, S_IM, S_IM, CFG["channels"]), jnp.float32)
     shapes = jax.eval_shape(net.init, jax.random.PRNGKey(0), tr, tr,
                             jnp.zeros((1, 4)), jnp.zeros((1, 1, 4)))
     zeros = jax.tree.map(lambda a: np.zeros(a.shape, a.dtype),
                          shapes)["params"]
-    params, missing, _ = load_into(zeros, convert_dimp_checkpoint(sd_np))
+    params, missing, _ = load_into(zeros, convert(sd_np))
     if missing:
         raise AssertionError(f"unconverted flax leaves: {missing[:8]}")
     P = {"params": params}
 
     # ---- init from the reference's own augmented patches
-    patches = jnp.asarray(init["patches"].transpose(0, 2, 3, 1))  # (N,288,288,6)
+    patches = jnp.asarray(init["patches"].transpose(0, 2, 3, 1))
     norm = _normalize(patches)
     bfeat = net.apply(P, norm, method=DiMPNet.extract_backbone)
     clf_feat = net.apply(P, bfeat, method=DiMPNet.extract_classification_feat)
@@ -487,7 +539,12 @@ def run_ours(sd_np, init, ref, frames, gt):
                        method=DiMPNet.extract_classification_feat)
         smap = classify(P, state["filter"], cf)[0]
         out_scores.append(np.asarray(smap).reshape(-1))
-        _, flag, _ = localize(smap, state, jnp.asarray(sample_pos),
+        # the flag probe mirrors the step's preprocessing (PrDiMP
+        # localizes on the softmax predictive distribution)
+        lmap = smap
+        if rt.score_preprocess == "softmax":
+            lmap = jax.nn.softmax(smap.reshape(-1)).reshape(smap.shape)
+        _, flag, _ = localize(lmap, state, jnp.asarray(sample_pos),
                               jnp.asarray(sample_scale))
         out_flags.append(flag_names[int(flag)])
 
@@ -537,7 +594,13 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=26)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--config", choices=tuple(CONFIGS), default="det")
     args = ap.parse_args(argv)
+
+    global CFG, S_IM, SAS
+    CFG = CONFIGS[args.config]
+    S_IM = CFG["s_im"]
+    SAS = CFG["sas"]
 
     if not reference_available():
         print(json.dumps({"skipped": "reference tree not found"}))
@@ -582,7 +645,8 @@ def main(argv=None):
                   file=sys.stderr)
 
     res = {
-        "family": "det_dimp50_max-trajectory",
+        "family": ("det_dimp50_max-trajectory" if CFG is CONFIGS["det"]
+                   else "prdimp50-trajectory"),
         "frames_tracked": n,
         "excused_frames": sorted(excused),
         "init_filter_dev": ours["init_filter_dev"],
