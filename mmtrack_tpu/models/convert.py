@@ -464,6 +464,14 @@ def convert_dimp_checkpoint(state_dict: dict) -> dict:
     return flax.traverse_util.unflatten_dict(out)
 
 
+def convert_atom_checkpoint(state_dict: dict) -> dict:
+    """ATOMnet (RGBD/models/DeT/ltr/models/bbreg/atom.py:177-189:
+    resnet18 feature_extractor + AtomIoUNet bb_regressor, no learned
+    classifier) -> flax params for models/atom.ATOMNet. The name surface
+    is a subset of DiMPnet's; the shared converter maps it."""
+    return convert_dimp_checkpoint(state_dict)
+
+
 def convert_prdimp_checkpoint(state_dict: dict) -> dict:
     """PrDiMP-50 (klcedimpnet50, keep_track_vot2021/ltr/models/tracking/
     dimpnet.py:411-460) -> flax params for build_prdimp50. The name

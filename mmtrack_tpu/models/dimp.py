@@ -54,7 +54,7 @@ def apply_filter(feat: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
         window_strides=(1, 1),
         padding=((fh // 2, fh // 2), (fw // 2, fw // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.promote_types(feat.dtype, jnp.float32))
     return out[..., 0]
 
 

@@ -60,9 +60,11 @@ def cg_state_init(x):
     (p, rho, r_prev, has_p) — the reference's ConjugateGradientBase
     reset_state (optimization.py:117-122: p=None, rho=1, r_prev=None),
     expressed as fixed-shape pytrees so it can live in a jitted tracker
-    state."""
+    state. rho follows the variable's real dtype so an f64 replay (the
+    parity probes) stays f64 end to end."""
     zeros = jax.tree.map(jnp.zeros_like, x)
-    return (zeros, jnp.ones((), jnp.float32), zeros,
+    dt = jnp.real(jnp.zeros((), jax.tree.leaves(x)[0].dtype)).dtype
+    return (zeros, jnp.ones((), dt), zeros,
             jnp.zeros((), jnp.bool_))
 
 
@@ -102,7 +104,7 @@ def conjugate_gradient_stateful(A, b, x0, num_iter: int, state,
         x, r, p, rho, r_prev, has_p = carry
         z = M1(r)
         rho1 = rho
-        rho_new = jnp.real(_tree_vdot(r, z)).astype(jnp.float32)
+        rho_new = jnp.real(_tree_vdot(r, z)).astype(rho1.dtype)
         # check_zero (:160-166): rho == 0 -> the iteration has converged;
         # freeze by zeroing alpha/beta below
         alive = jnp.abs(rho_new) > eps
@@ -136,14 +138,20 @@ def conjugate_gradient_stateful(A, b, x0, num_iter: int, state,
 
 
 def gauss_newton_cg(residual_fn, x, num_gn_iter: int, num_cg_iter: int,
-                    precond=None):
+                    precond=None, fletcher_reeves: bool = True):
     """Minimize ||residual_fn(x)||^2 by Gauss-Newton steps, each solved with
     `num_cg_iter` CG iterations on the normal equations
     (GaussNewtonCG, optimization.py:49-230).
 
     residual_fn: pytree -> pytree of residuals. Returns the optimized x.
     num_gn_iter must be static (python int); num_cg_iter may be traced.
-    `precond` preconditions the CG inner solves (same tree as x).
+    `precond` preconditions the CG inner solves (same tree as x — the
+    reference's problem.M1, e.g. FactorizedConvProblem's division by
+    diag([filter_reg, projection_reg]), atom/optim.py:18,67-68).
+    `fletcher_reeves=False` uses the Polak-Ribiere beta, matching the
+    reference's ConjugateGradient(fletcher_reeves=params.fletcher_reeves)
+    online filter optimizer at ATOM's default.py:31 setting; each GN step
+    starts the CG direction fresh (direction_forget_factor == 0).
 
     The GN iterations run as a lax.fori_loop (one traced copy of the
     linearized graph instead of num_gn_iter unrolled ones — the unrolled
@@ -160,7 +168,13 @@ def gauss_newton_cg(residual_fn, x, num_gn_iter: int, num_cg_iter: int,
 
         b = jax.tree.map(lambda g: -g, vjp_fn(r)[0])
         zero = jax.tree.map(jnp.zeros_like, x)
-        dx = conjugate_gradient(A, b, zero, num_cg_iter, precond=precond)
+        if fletcher_reeves:
+            dx = conjugate_gradient(A, b, zero, num_cg_iter, precond=precond)
+        else:
+            dx, _ = conjugate_gradient_stateful(
+                A, b, zero, num_cg_iter, cg_state_init(zero),
+                precond=precond, fletcher_reeves=False,
+                direction_forget_factor=0.0)
         return jax.tree.map(jnp.add, x, dx)
 
     return jax.lax.fori_loop(0, num_gn_iter, gn_step, x)
