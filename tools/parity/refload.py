@@ -209,6 +209,42 @@ def load_spt_reference(variant: str = "baseline", st: bool = False):
         return model, cfg_mod.cfg, misc, merge
 
 
+def load_ostrack_reference(
+        yaml_name: str = "ostrack320_elimination_cls_t2m12_ep50"):
+    """Build the reference RGBD OSTrack (torch, CPU, eval) at the published
+    online-entry configuration: lib/test/parameter/ostrack_online.py:7-30
+    minus checkpoint load — default config + experiments/ostrack/<yaml>
+    overlay, build_ostrack(cfg, training=False). That is ViT-B/16 with
+    DropBlock token elimination at layers (3,6,9), keep 0.7, search 320 /
+    template 128, CENTER head, and the ScoreTransformer cls head
+    (t2m12: 2 class-attn layers, 12 MLP layers)."""
+    import torch
+
+    patch_cuda_to_cpu()
+    with reference_path("RGBD/models/OSTrack") as root:
+        cfg_mod = importlib.import_module("lib.config.ostrack.config")
+        importlib.reload(cfg_mod)
+        cfg_mod.update_config_from_file(
+            os.path.join(root, "experiments", "ostrack", f"{yaml_name}.yaml"))
+        ostrack_mod = importlib.import_module("lib.models.ostrack.ostrack")
+
+        torch.manual_seed(0)
+        model = ostrack_mod.build_ostrack(cfg_mod.cfg, training=False)
+        model.eval()
+
+        # CTR_POINT template mask (generate_mask_cond,
+        # lib/train/actors/ostrack.py:23-43): one True token at the 8x8
+        # template grid's (3,3) — built inline to avoid importing the
+        # training actors package
+        tfs = cfg_mod.cfg.DATA.TEMPLATE.SIZE // cfg_mod.cfg.MODEL.STRIDE
+        assert tfs == 8 and cfg_mod.cfg.MODEL.BACKBONE.TEMPLATE_RANGE \
+            == "CTR_POINT", (tfs, cfg_mod.cfg.MODEL.BACKBONE.TEMPLATE_RANGE)
+        mask = torch.zeros((1, tfs, tfs))
+        mask[:, 3:4, 3:4] = 1
+        mask = mask.flatten(1).to(torch.bool)
+        return model, cfg_mod.cfg, mask
+
+
 def load_mixformer_reference(variant: str = "baseline_large"):
     """Build the reference MixFormerRGBDOnlineScore (torch, CPU, eval) at
     published scale (build_mixformer_rgbd_online_score, train=False skips
