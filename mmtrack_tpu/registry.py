@@ -314,14 +314,18 @@ def _ostrack_online():
         from mmtrack_tpu.models.vipt import ScoreTransformer, build_ostrack
         from mmtrack_tpu.trackers.ostrack_online import (OSTrackOnlineRuntime,
                                                          OSTrackOnlineTracker)
-        model = build_ostrack(template_size=128, search_size=256)
+        # published online-entry scale: search 320 / factor 5, t2m12 cls
+        # head (experiments/ostrack/ostrack320_elimination_cls_t2m12_ep50)
+        model = build_ostrack(template_size=128, search_size=320)
         rt = OSTrackOnlineRuntime()
         if params is None:
             z = jnp.zeros((1, 128, 128, 3))
-            x = jnp.zeros((1, 256, 256, 3))
+            x = jnp.zeros((1, 320, 320, 3))
             params = jax.jit(lambda r: model.init(r, z, x))(jax.random.PRNGKey(seed))
-        cls = ScoreTransformer(d_model=768)
-        toks = jnp.zeros((1, rt.feat_sz * rt.feat_sz, 768))
+        cls = ScoreTransformer(d_model=768, n_layers=rt.cls_attn_layers,
+                               n_mlp_layers=rt.cls_mlp_layers)
+        lens_zx = (128 // 16) ** 2 + rt.feat_sz * rt.feat_sz
+        toks = jnp.zeros((1, lens_zx, 768))
         cls_params = jax.jit(lambda r: cls.init(r, toks, jnp.zeros((1, 4))))(
             jax.random.PRNGKey(seed + 1))
         return OSTrackOnlineTracker(model, params, cls_params, rt)

@@ -1,23 +1,31 @@
 """OSTrack-online: dual-template OSTrack with confidence-gated refresh.
 
 Rebuild of RGBD/models/OSTrack/lib/test/tracker/ostrack_online.py:26-328 as
-a functional state + ONE jitted step:
+a functional state + ONE jitted step, at the published online-entry
+configuration (lib/test/parameter/ostrack_online.py +
+experiments/ostrack/ostrack320_elimination_cls_t2m12_ep50.yaml: search
+320 px / factor 5, template 128 px / factor 2, DropBlock token
+elimination at layers (3,6,9) keep 0.7 under the CTR_POINT template
+mask, ScoreTransformer with 2 class-attn + 12 MLP layers):
+
   - the init template and one online template run as a template batch of 2
-    with the search tiled to match (ostrack_online.py:117-126);
+    with the search tiled to match (ostrack_online.py:116-124);
   - backbone token streams are merged by averaging over the template batch
     and the CENTER head decodes from the merged map under a Hann window
-    (lines 138-169);
+    (lines 136-168);
   - the ScoreTransformer cls head scores the predicted box against the
     init template's full z+x token sequence -> confidence
-    (forward_cls_head(cat_template_search[0:1], ...), lines 149-151);
+    (forward_cls_head(cat_template_search[0:1], ...), lines 143-151);
   - main-lobe analysis of the merged score map (psr_dynamic,
     lib/test/utils/psr.py:40-76) — 8-connected flood fill from the peak,
     done as a lax.while_loop of 3x3 max-pool dilations;
   - the online template refreshes at the new state only when
-    main_lobe_area <= threshold AND confidence >= 0.5 (lines 154-158, 195).
+    main_lobe_area <= threshold AND confidence >= 0.5 (lines 154-158,
+    193-198).
 
 The 'redetect' option falls back to the init-template maps when the merged
-peak is weak (lines 171-177).
+peak is weak (lines 171-177); the published config ships it off
+(TEST.REDETECT default False).
 """
 
 from __future__ import annotations
@@ -30,7 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmtrack_tpu.models.heads import CenterPredictor, cal_bbox
-from mmtrack_tpu.models.vipt import ScoreTransformer, ViPTrack
+from mmtrack_tpu.models.vipt import (ScoreTransformer, ViPTrack,
+                                     ce_keep_schedule, generate_ctr_mask)
 from mmtrack_tpu.ops.box import clip_box
 from mmtrack_tpu.ops.crop import crop_resize_normalized
 from mmtrack_tpu.ops.window import hann2d
@@ -39,21 +48,39 @@ from mmtrack_tpu.trackers.vipt_tracker import MEAN_6CH, STD_6CH
 
 @dataclass(frozen=True)
 class OSTrackOnlineRuntime:
-    template_factor: float = 2.0
-    template_size: int = 128
-    search_factor: float = 4.0
-    search_size: int = 256
+    """Published constants: experiments/ostrack/
+    ostrack320_elimination_cls_t2m12_ep50.yaml TEST block + the
+    lib/config/ostrack/config.py defaults it inherits."""
+    template_factor: float = 2.0        # TEST.TEMPLATE_FACTOR
+    template_size: int = 128            # TEST.TEMPLATE_SIZE
+    search_factor: float = 5.0          # TEST.SEARCH_FACTOR
+    search_size: int = 320              # TEST.SEARCH_SIZE
     stride: int = 16
     margin: float = 10.0
     cls_threshold: float = 0.5          # ostrack_online.py:60
     main_lobe_score_ratio: float = 0.2  # line 58
-    main_lobe_area_threshold: int = 10  # TEST.MAIN_LOB_AREA_THR
-    redetect: bool = False              # TEST.REDETECT
-    redetect_threshold: float = 0.05    # TEST.REDE_THRESH
+    main_lobe_area_threshold: int = 10  # TEST.MAIN_LOB_AREA_THR default
+    redetect: bool = False              # TEST.REDETECT default
+    redetect_threshold: float = 0.05    # TEST.REDE_THRESH default
+    # backbone elimination (MODEL.BACKBONE PRUNING_LOC / KEEP_RATIO /
+    # TEMPLATE_RANGE) — active at inference in the reference ('prune' in
+    # BACKBONE.TYPE threads box_mask_z, ostrack_online.py:93-96)
+    ce_loc: tuple = (3, 6, 9)
+    ce_keep_ratio: tuple = (0.7, 0.7, 0.7)
+    ce_template_range: str = "CTR_POINT"
+    # ScoreTransformer depth (HEAD.NUM_CLS_ATTN_LAYERS=2,
+    # NUM_CLS_MLP_LAYERS=12 — the 't2m12' in the experiment name)
+    cls_attn_layers: int = 2
+    cls_mlp_layers: int = 12
 
     @property
     def feat_sz(self) -> int:
         return self.search_size // self.stride
+
+    @property
+    def ce_keep_lens(self) -> tuple:
+        return ce_keep_schedule(self.feat_sz ** 2, self.ce_loc,
+                                self.ce_keep_ratio)
 
 
 def main_lobe(score_map: jnp.ndarray, ratio: float):
@@ -98,21 +125,26 @@ def ostrack_online_init_state(rt: OSTrackOnlineRuntime, frame: jnp.ndarray,
             "frame_num": jnp.asarray(0, jnp.int32)}
 
 
-def ostrack_online_track_step(rt: OSTrackOnlineRuntime, model: ViPTrack,
-                              cls_model: ScoreTransformer, params, cls_params,
-                              state: dict, frame: jnp.ndarray):
-    H, W = frame.shape[0], frame.shape[1]
-    C = frame.shape[-1]
-    mean, std = jnp.asarray(MEAN_6CH[:C]), jnp.asarray(STD_6CH[:C])
+def ostrack_online_step_from_patch(rt: OSTrackOnlineRuntime, model: ViPTrack,
+                                   cls_model: ScoreTransformer, params,
+                                   cls_params, state: dict,
+                                   search: jnp.ndarray, resize_factor,
+                                   im_hw):
+    """The step from an already-normalized (S,S,C) search patch and its
+    resize factor — the trajectory parity harness feeds the reference's
+    own crops through this; the full step wraps it with the fused device
+    crop. Returns (state with the new box but the online template NOT yet
+    refreshed, box, conf, update_ok, aux maps)."""
+    H, W = im_hw
     state = {**state, "frame_num": state["frame_num"] + 1}
     prev = state["box"]
 
-    search, resize_factor = crop_resize_normalized(
-        frame, prev, rt.search_factor, rt.search_size, mean, std)
-
     templates = jnp.stack([state["template"], state["online_template"]])
     searches = jnp.tile(search[None], (2, 1, 1, 1))
-    out = model.apply(params, templates, searches)
+    box_mask_z = generate_ctr_mask(rt.template_size // rt.stride,
+                                   rt.ce_template_range)
+    out = model.apply(params, templates, searches, box_mask_z=box_mask_z,
+                      ce_keep_lens=rt.ce_keep_lens)
 
     S = rt.feat_sz
     lens_x = S * S
@@ -139,14 +171,15 @@ def ostrack_online_track_step(rt: OSTrackOnlineRuntime, model: ViPTrack,
         pred = jnp.where(tracked <= rt.redetect_threshold, f1_pred, pred)
 
     # the cls head scores the predicted box against the INIT template's
-    # full z+x token sequence — reference ostrack_online.py:150 calls
-    # forward_cls_head(cat_template_search[0:1], pred_box), i.e. template
-    # index 0 and all tokens, not the merged search slice
+    # full z+x token sequence — reference ostrack_online.py:143-151 calls
+    # forward_cls_head(cat_template_search[0:1], pred_box) with the box
+    # decoded from the WINDOWED merged maps
     conf = cls_model.apply(cls_params, tokens[0:1], pred)[0]
     area, _ = main_lobe(score_m[0], rt.main_lobe_score_ratio)
-    update_ok = (area <= rt.main_lobe_area_threshold) & (conf >= rt.cls_threshold)
+    update_ok = (area <= rt.main_lobe_area_threshold) \
+        & (conf >= rt.cls_threshold)
 
-    # map_box_back + clip (lines 185-187)
+    # map_box_back + clip (lines 179-184)
     pred_img = pred[0] * rt.search_size / resize_factor
     half_side = 0.5 * rt.search_size / resize_factor
     cx = pred_img[0] + (prev[0] + 0.5 * prev[2] - half_side)
@@ -155,7 +188,25 @@ def ostrack_online_track_step(rt: OSTrackOnlineRuntime, model: ViPTrack,
                      pred_img[2], pred_img[3]])
     box = clip_box(box, float(H), float(W), margin=rt.margin)
     state = {**state, "box": box}
+    aux = {"merged_score": score_m[0], "response": response[0],
+           "f1_score": out["score_map"], "area": area}
+    return state, box, conf, update_ok, aux
 
+
+def ostrack_online_track_step(rt: OSTrackOnlineRuntime, model: ViPTrack,
+                              cls_model: ScoreTransformer, params, cls_params,
+                              state: dict, frame: jnp.ndarray):
+    H, W = frame.shape[0], frame.shape[1]
+    C = frame.shape[-1]
+    mean, std = jnp.asarray(MEAN_6CH[:C]), jnp.asarray(STD_6CH[:C])
+
+    search, resize_factor = crop_resize_normalized(
+        frame, state["box"], rt.search_factor, rt.search_size, mean, std)
+    state, box, conf, update_ok, _aux = ostrack_online_step_from_patch(
+        rt, model, cls_model, params, cls_params, state, search,
+        resize_factor, (H, W))
+
+    # template refresh at the NEW state (lines 193-198)
     cand, _ = crop_resize_normalized(frame, box, rt.template_factor,
                                      rt.template_size, mean, std)
     state = {**state,
@@ -166,14 +217,17 @@ def ostrack_online_track_step(rt: OSTrackOnlineRuntime, model: ViPTrack,
 
 class OSTrackOnlineTracker:
     """OO facade. `cls_params` holds the ScoreTransformer head weights
-    (trained by the cls stage, OSTrack lib/train TRAIN_CLS)."""
+    (trained by the cls stage, OSTrack lib/train TRAIN_CLS) at the
+    published t2m12 depth."""
 
     def __init__(self, model: ViPTrack, params, cls_params,
                  runtime: OSTrackOnlineRuntime | None = None,
                  cls_model: ScoreTransformer | None = None):
         self.model = model
         self.rt = runtime or OSTrackOnlineRuntime()
-        self.cls_model = cls_model or ScoreTransformer(d_model=model.embed_dim)
+        self.cls_model = cls_model or ScoreTransformer(
+            d_model=model.embed_dim, n_layers=self.rt.cls_attn_layers,
+            n_mlp_layers=self.rt.cls_mlp_layers)
         self.params = params
         self.cls_params = cls_params
         self._init_fn = jax.jit(partial(ostrack_online_init_state, self.rt))
