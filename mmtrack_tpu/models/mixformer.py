@@ -99,7 +99,15 @@ class MixedAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, t, ot, s):
+    def __call__(self, t, ot, s, ot_mask=None):
+        """ot_mask (B, K) bool: validity of each online-template slot. Keys
+        (and values) of invalid slots are masked out of BOTH attention calls
+        with -inf logits, which reproduces the reference's variable-K
+        `set_online` (mixformerrgbd_online.py:324-388, the ring grows from 1
+        to ONLINE_SIZES over the first updates) with static shapes: softmax
+        over the masked set is exactly softmax over the K'=n_valid subset.
+        Invalid slots' QUERY rows produce garbage confined to those slots
+        (convs/LayerNorm/MLP are per-template), never read downstream."""
         B = t.shape[0]
         hd = self.dim // self.heads
         scale = self.dim ** -0.5
@@ -129,17 +137,33 @@ class MixedAttention(nn.Module):
         k_mt = jnp.concatenate([k_t, k_ot], axis=1)
         v_mt = jnp.concatenate([v_t, v_ot], axis=1)
 
-        def attend(q, k, v):
+        mask_mt = None
+        if ot_mask is not None:
+            # per-slot validity -> per-key-token validity (Lk kv tokens per
+            # online template after the stride-kv conv projection)
+            lk_per = k_ot.shape[1] // K
+            mask_mt = jnp.concatenate(
+                [jnp.ones((B, k_t.shape[1]), bool),
+                 jnp.repeat(ot_mask.astype(bool), lk_per, axis=1)], axis=1)
+
+        def attend(q, k, v, key_mask=None):
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32) * scale
+            if key_mask is not None:
+                logits = jnp.where(key_mask[:, None, None, :], logits,
+                                   -jnp.inf)
             a = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             return jnp.einsum("bhqk,bkhd->bqhd", a, v,
                               preferred_element_type=jnp.float32
                               ).astype(self.dtype).reshape(B, -1, self.dim)
 
-        out_mt = attend(q_mt, k_mt, v_mt)
+        out_mt = attend(q_mt, k_mt, v_mt, mask_mt)
+        mask_s = None
+        if mask_mt is not None:
+            mask_s = jnp.concatenate(
+                [mask_mt, jnp.ones((B, k_s.shape[1]), bool)], axis=1)
         out_s = attend(q_s, jnp.concatenate([k_mt, k_s], axis=1),
-                       jnp.concatenate([v_mt, v_s], axis=1))
+                       jnp.concatenate([v_mt, v_s], axis=1), mask_s)
 
         proj = nn.Dense(self.dim, dtype=self.dtype, name="proj")
         out_mt, out_s = proj(out_mt), proj(out_s)
@@ -174,10 +198,11 @@ class CvtBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, t, ot, s, deterministic: bool = True):
+    def __call__(self, t, ot, s, deterministic: bool = True, ot_mask=None):
         n1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")
         at, aot, as_ = MixedAttention(self.dim, self.heads, dtype=self.dtype,
-                                      name="attn")(n1(t), n1(ot), n1(s))
+                                      name="attn")(n1(t), n1(ot), n1(s),
+                                                   ot_mask)
         if not deterministic and self.drop_path_rate > 0:
             rng = self.make_rng("drop_path")
             r1, r2, r3 = jax.random.split(rng, 3)
@@ -211,7 +236,7 @@ class CvtStage(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, t, ot, s, deterministic: bool = True):
+    def __call__(self, t, ot, s, deterministic: bool = True, ot_mask=None):
         embed = ConvEmbed(self.dim, self.patch_kernel, self.patch_stride,
                           self.patch_pad, dtype=self.dtype, name="patch_embed")
         B, K = ot.shape[0], ot.shape[1]
@@ -223,7 +248,8 @@ class CvtStage(nn.Module):
         for j in range(self.depth):
             t, ot, s = CvtBlock(self.dim, self.heads,
                                 drop_path_rate=dpr[j], dtype=self.dtype,
-                                name=f"blocks_{j}")(t, ot, s, deterministic)
+                                name=f"blocks_{j}")(t, ot, s, deterministic,
+                                                    ot_mask)
         return t, ot, s
 
 
@@ -241,13 +267,14 @@ class CvT(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, t, ot, s, deterministic: bool = True):
+    def __call__(self, t, ot, s, deterministic: bool = True, ot_mask=None):
         for i in range(len(self.stage_dims)):
             t, ot, s = CvtStage(
                 self.stage_dims[i], self.stage_depths[i], self.stage_heads[i],
                 self.patch_kernels[i], self.patch_strides[i],
                 self.patch_paddings[i], self.drop_path_rates[i],
-                dtype=self.dtype, name=f"stage{i}")(t, ot, s, deterministic)
+                dtype=self.dtype, name=f"stage{i}")(t, ot, s, deterministic,
+                                                    ot_mask)
         return t, s
 
 
@@ -334,24 +361,27 @@ class MixFormer(nn.Module):
     def __call__(self, template, online_template, search,
                  run_score_head: bool = True, deterministic: bool = True,
                  return_features: bool = False,
-                 score_box_xyxy=None) -> dict:
+                 score_box_xyxy=None, ot_mask=None) -> dict:
         """score_box_xyxy: optional (B,4) normalized box for the SPM pooling
         region; defaults to the predicted box (training feeds GT boxes —
-        forward_head, mixformerrgbd_online.py:907-917)."""
+        forward_head, mixformerrgbd_online.py:907-917).
+        ot_mask: optional (B, K) bool slot-validity mask — masked slots are
+        excluded from attention exactly (see MixedAttention), reproducing
+        the reference's grow-from-1 online-template ring."""
         if online_template.ndim == 4:      # single online template -> K=1
             online_template = online_template[:, None]
         if self.in_channels == 6:
             t_rgb, s_rgb = self._cvt("backbone")(
                 template[..., :3], online_template[..., :3], search[..., :3],
-                deterministic)
+                deterministic, ot_mask)
             t_d, s_d = self._cvt("backbone_depth")(
                 template[..., 3:], online_template[..., 3:], search[..., 3:],
-                deterministic)
+                deterministic, ot_mask)
             t_feat = jnp.maximum(t_rgb, t_d)     # merge_type 'max'
             s_feat = jnp.maximum(s_rgb, s_d)
         else:
             t_feat, s_feat = self._cvt("backbone")(
-                template, online_template, search, deterministic)
+                template, online_template, search, deterministic, ot_mask)
 
         xyxy = CornerPredictor(channel=self.head_channel,
                                feat_sz=self.feat_sz_s, stride=16,

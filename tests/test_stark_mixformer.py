@@ -127,3 +127,52 @@ def test_mixformer_tracker_end_to_end():
         out = tracker.track(frames[t])
         b = out["target_bbox"]
         assert np.isfinite(b).all() and b[2] > 0 and b[3] > 0
+
+
+def test_mixformer_ot_mask_exact():
+    """Masked K-slot ring with n valid slots must equal the joint forward
+    with exactly n online templates: the ot_mask reproduces the reference's
+    grow-from-1 set_online (mixformerrgbd_online.py:324-388) with static
+    shapes."""
+    model = MixFormer(in_channels=3, **MF_SMALL)
+    rng = np.random.RandomState(1)
+    z = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    ots = jnp.asarray(rng.randn(1, 4, 64, 64, 3).astype(np.float32))
+    x = jnp.asarray(rng.randn(1, 96, 96, 3).astype(np.float32))
+    params = jax.jit(lambda r: model.init(r, z, ots, x))(jax.random.PRNGKey(0))
+
+    for n in (1, 2, 4):
+        exact = model.apply(params, z, ots[:, :n], x)
+        # pad the ring with garbage (scaled noise) in the masked slots
+        pad = jnp.concatenate(
+            [ots[:, :n], 13.0 * ots[:, n:] + 7.0], axis=1)
+        mask = (jnp.arange(4) < n)[None]
+        masked = model.apply(params, z, pad, x, ot_mask=mask)
+        np.testing.assert_allclose(np.asarray(masked["pred_boxes"]),
+                                   np.asarray(exact["pred_boxes"]),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(masked["score_logits"]),
+                                   np.asarray(exact["score_logits"]),
+                                   atol=2e-5)
+
+
+def test_mixformer_ring_grows_like_reference():
+    """Ring bookkeeping: concat while len < K (forget pointer untouched),
+    then replace at the forget pointer (tracker:167-183)."""
+    model = MixFormer(in_channels=6, **MF_SMALL)
+    z = jnp.zeros((1, 64, 64, 6))
+    x = jnp.zeros((1, 96, 96, 6))
+    params = jax.jit(lambda r: model.init(r, z, z, x))(jax.random.PRNGKey(0))
+    frames, gt = make_synthetic_sequence(n_frames=9, height=120, width=160)
+    rt = MixFormerRuntime(template_size=64, search_size=96,
+                          update_interval=2, online_size=3,
+                          online_threshold=0.0)
+    tracker = MixFormerTracker(model, params, rt)
+    tracker.initialize(frames[0], {"init_bbox": gt[0].tolist()})
+    expect = [(1, 0), (2, 0), (2, 0), (3, 0), (3, 0), (3, 1), (3, 1), (3, 2)]
+    seen = []
+    for t in range(1, 9):
+        tracker.track(frames[t])
+        seen.append((int(tracker.state["n_online"]),
+                     int(tracker.state["forget_id"])))
+    assert seen == expect, seen
