@@ -1,14 +1,28 @@
 """APFNet: attribute-based progressive fusion RGB-T tracker (AAAI'22).
 
-Rebuild of RGBT/models/APFNet/modules/{model.py:44-120, model_stage3.py:
-115-160}: dual VGG-M streams (layers_v / layers_i) fused per conv stage by
-FIVE challenge-attribute branches (extreme illumination, occlusion, scale
-variation, thermal crossover, fast motion) whose outputs are aggregated by
-small transformer encoder/decoder blocks (1x1 reduce -> attention over
-attribute outputs -> 1x1 rise), then MDNet-style fc scoring on the
-concatenated streams. Training is staged (train_stage{1,2,3}.py): stage 1
-fits each attribute branch on its attribute subset, stage 2 the aggregation
-transformers, stage 3 everything — expressed here as optimizer masks.
+Faithful rebuild of the DEPLOYED tracking network RGBT/models/APFNet/
+modules/model_tracking.py (tracking/Run.py:17 imports model_tracking.MDNet)
+so reference .pth checkpoints convert exactly:
+
+  - dual VGG-M streams layers_v / layers_i (model_tracking.py:56-64);
+  - at each conv stage, FIVE challenge-attribute branches (order FM, OCC,
+    SC, TC, ILL — :70-71) each run the SAME branch convs on both streams'
+    PRE-conv inputs and fuse them with a 2-way selective-kernel gate
+    (parallel{s} + parallel{s}_skconv, forward :817-905);
+  - a 5-way SK ensemble over the attribute outputs (ensemble{s}_skconv,
+    :906-921);
+  - after the main stage convs, channel-attention transformers: one
+    self-attention encoder per stream and per aggregate (WK shared between
+    q/k, all L2-normalized, affinity softmax(dot*30) over the REDUCED
+    channel axis — Transformer_feature_layer*, :352-381), then
+    cross-attention decoders injecting the aggregate into each stream
+    (CrossAttention_layer*_{vis,inf}agg, :620-700);
+  - MDNet fc scoring on the concatenated streams (fc4 9216->512, fc5,
+    per-domain fc6 branches, :66-68, 1160-1165).
+
+The stage-1 training topology (model_stage1.py:198-262: ONE attribute
+branch, additive conv(x)+V fusion, no transformers) is selected by
+`active_attribute`; staged-training optimizer masks are in stage_mask.
 """
 
 from __future__ import annotations
@@ -18,59 +32,133 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mmtrack_tpu.models.mdnet import _SharedConvs, lrn
+from mmtrack_tpu.models.mdnet import _SharedConvs
 
-ATTRIBUTES = ("EI", "OCC", "SV", "TC", "FM")  # model.py / README.md:23-26
+ATTRIBUTES = ("FM", "OCC", "SC", "TC", "ILL")  # model_tracking.py:70 comment
+
+# per-stage: (branch output channels, SK bottleneck, attention reduced dim)
+_STAGE_CH = (96, 256, 512)
+_SK_MID = (32, 32, 64)
+_ATTN_RED = (32, 64, 128)
 
 
-class AttributeFusion(nn.Module):
-    """One challenge-attribute fusion branch: bottleneck conv over the
-    concatenated V/I features -> per-stream additive deltas."""
-    channels: int
+def _sk_gates(u, fc1, fc2, n, C):
+    """Selective-kernel gates (forward :823-830): global avgpool ->
+    bottleneck -> n*C logits -> softmax over the n inputs."""
+    g = u.mean(axis=(1, 2), keepdims=True)          # (B,1,1,C)
+    g = fc2(nn.relu(fc1(g)))                        # (B,1,1,n*C)
+    g = g.reshape(g.shape[0], n, C)                 # first C = input 0
+    return jax.nn.softmax(g, axis=1)
+
+
+class _AttrBranch(nn.Module):
+    """One challenge-attribute branch at one stage: the parallel conv path
+    applied to EACH stream + the 2-way SK fusion (parallel{s}[a] +
+    parallel{s}_skconv[a])."""
+    stage: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, fv, fi):
-        h = jnp.concatenate([fv, fi], axis=-1)
-        h = nn.relu(nn.Conv(self.channels // 4, (1, 1), dtype=self.dtype,
-                            name="reduce")(h))
-        dv = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="rise_v")(h)
-        di = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="rise_i")(h)
-        return dv, di
+    def setup(self):
+        C, mid = _STAGE_CH[self.stage], _SK_MID[self.stage]
+        if self.stage == 0:   # conv(3->32,5,s2)+relu, conv(32->96,4,s2)
+            self.conv1 = nn.Conv(32, (5, 5), strides=(2, 2), padding="VALID",
+                                 dtype=self.dtype, name="conv1")
+            self.conv2 = nn.Conv(96, (4, 4), strides=(2, 2), padding="VALID",
+                                 dtype=self.dtype, name="conv2")
+        elif self.stage == 1:  # conv(96->256,3,s2) + maxpool(8,s1), no relu
+            self.conv1 = nn.Conv(256, (3, 3), strides=(2, 2), padding="VALID",
+                                 dtype=self.dtype, name="conv1")
+        else:                  # conv(256->512,1,s1) + maxpool(3,s1)
+            self.conv1 = nn.Conv(512, (1, 1), padding="VALID",
+                                 dtype=self.dtype, name="conv1")
+        self.sk_fc1 = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
+                              name="sk_fc1")
+        self.sk_fc2 = nn.Conv(2 * C, (1, 1), use_bias=False, dtype=self.dtype,
+                              name="sk_fc2")
+
+    def _path(self, x):
+        if self.stage == 0:
+            return self.conv2(nn.relu(self.conv1(x)))
+        if self.stage == 1:
+            return nn.max_pool(self.conv1(x), (8, 8), strides=(1, 1))
+        return nn.max_pool(self.conv1(x), (3, 3), strides=(1, 1))
+
+    def __call__(self, x1, x2):
+        a, b = self._path(x1), self._path(x2)
+        C = a.shape[-1]
+        g = _sk_gates(a + b, self.sk_fc1, self.sk_fc2, 2, C)
+        return (a * g[:, 0][:, None, None, :]
+                + b * g[:, 1][:, None, None, :])
 
 
-class AttributeAggregator(nn.Module):
-    """Transformer-style aggregation over the 5 attribute outputs
-    (model_stage3.py transformer{k}_encoder/decoder: 1x1 reduce, linear
-    K/V attention across attribute tokens, 1x1 rise)."""
+class _ChannelAttention(nn.Module):
+    """transformer{s}_{encoder,decoder}{i}: 1x1 reduce -> L2-normalized
+    WK/WV linears -> softmax(q.k * 30) over the reduced CHANNEL axis ->
+    1x1 rise, residual on the full-channel input. Self-attention when
+    q_src is None; cross-attention takes q from q_src, k/v from x
+    (model_tracking.py:352-381 / :648-677)."""
     channels: int
     reduced: int
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, branch_outputs: jnp.ndarray) -> jnp.ndarray:
-        """branch_outputs: (A, B, H, W, C) -> fused (B, H, W, C)."""
-        A, B, H, W, C = branch_outputs.shape
-        red = nn.Conv(self.reduced, (1, 1), use_bias=False, dtype=self.dtype,
-                      name="fc_reduce")
-        tokens = red(branch_outputs.reshape(A * B, H, W, C))
-        tokens = tokens.reshape(A, B, -1, self.reduced).mean(axis=2)  # (A,B,R)
-        k = nn.Dense(self.reduced, dtype=self.dtype, name="WK")(tokens)
-        v = nn.Dense(self.reduced, dtype=self.dtype, name="WV")(tokens)
-        attn = jax.nn.softmax(
-            jnp.einsum("abr,cbr->bac", k, k) / self.reduced ** 0.5, axis=-1)
-        agg = jnp.einsum("bac,cbr->abr", attn, v)  # (A, B, R)
-        gate = jax.nn.softmax(agg.sum(-1), axis=0)  # (A, B) attribute weights
-        fused = (branch_outputs * gate[:, :, None, None, None]).sum(0)
-        rise = nn.Conv(C, (1, 1), dtype=self.dtype, name="fc_rise")
-        return rise(red(fused))
+    def setup(self):
+        self.WK = nn.Dense(self.reduced, dtype=self.dtype, name="WK")
+        self.WV = nn.Dense(self.reduced, dtype=self.dtype, name="WV")
+        self.reduce = nn.Conv(self.reduced, (1, 1), use_bias=False,
+                              dtype=self.dtype, name="reduce")
+        self.rise = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                            name="rise")
+
+    def _norm(self, t):
+        return t / jnp.maximum(
+            jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+
+    def __call__(self, x, q_src=None):
+        B, H, W, _ = x.shape
+        tk = self.reduce(x).reshape(B, H * W, self.reduced)
+        tq = (tk if q_src is None
+              else self.reduce(q_src).reshape(B, -1, self.reduced))
+        wq = self._norm(self.WK(tq))
+        wk = self._norm(self.WK(tk))
+        wv = self._norm(self.WV(tk))
+        aff = jax.nn.softmax(
+            jnp.einsum("bti,btj->bij", wq, wk) * 30.0, axis=-1)
+        out = jnp.einsum("bij,btj->bti", aff, wv).reshape(B, H, W,
+                                                          self.reduced)
+        return x + self.rise(out)
+
+
+class _StageAgg(nn.Module):
+    """Per-stage aggregation: the 5-way ensemble SK gate + the five
+    channel-attention transformers (enc vis/inf/agg, dec vis/inf)."""
+    stage: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        C, red = _STAGE_CH[self.stage], _ATTN_RED[self.stage]
+        self.sk_fc1 = nn.Conv(5 * red, (1, 1), use_bias=False,
+                              dtype=self.dtype, name="sk_fc1")
+        self.sk_fc2 = nn.Conv(5 * C, (1, 1), use_bias=False,
+                              dtype=self.dtype, name="sk_fc2")
+        for role in ("enc_vis", "enc_inf", "enc_agg", "dec_vis", "dec_inf"):
+            setattr(self, role, _ChannelAttention(C, red, dtype=self.dtype,
+                                                  name=role))
+
+    def ensemble(self, branch_outputs):
+        """branch_outputs: list of 5 (B,H,W,C) -> gated sum (forward
+        :906-921)."""
+        C = branch_outputs[0].shape[-1]
+        u = sum(branch_outputs)
+        g = _sk_gates(u, self.sk_fc1, self.sk_fc2, 5, C)
+        return sum(v * g[:, i][:, None, None, :]
+                   for i, v in enumerate(branch_outputs))
 
 
 class APFNet(nn.Module):
     """Dual-stream VGG-M with per-stage attribute fusion + aggregation.
 
     extract_features((N,107,107,6)) -> (N, 1, 9216); score via fc4/fc5/fc6
-    like the MDNet chassis (fc4 input 512*3*3*2, model.py:57-59).
+    like the MDNet chassis (fc4 input 512*3*3*2, model_tracking.py:66-68).
     """
     num_branches: int = 1
     dtype: jnp.dtype = jnp.float32
@@ -78,56 +166,61 @@ class APFNet(nn.Module):
     def setup(self):
         self.layers_v = _SharedConvs(dtype=self.dtype, name="layers_v")
         self.layers_i = _SharedConvs(dtype=self.dtype, name="layers_i")
-        chans = (96, 256, 512)
-        reduced = (32, 64, 128)
-        for s, c in enumerate(chans):
+        for s in range(3):
             for a in ATTRIBUTES:
                 setattr(self, f"attr{s}_{a}",
-                        AttributeFusion(c, dtype=self.dtype, name=f"attr{s}_{a}"))
+                        _AttrBranch(s, dtype=self.dtype, name=f"attr{s}_{a}"))
             setattr(self, f"agg{s}",
-                    AttributeAggregator(c, reduced[s], dtype=self.dtype,
-                                        name=f"agg{s}"))
+                    _StageAgg(s, dtype=self.dtype, name=f"agg{s}"))
         self.fc4 = nn.Dense(512, dtype=self.dtype, name="fc4")
         self.fc5 = nn.Dense(512, dtype=self.dtype, name="fc5")
         self.branches = [nn.Dense(2, dtype=self.dtype, name=f"fc6_{k}")
                          for k in range(self.num_branches)]
 
-    def _stage(self, s: int, fv, fi, active_attribute: int | None):
-        """Apply stage-s attribute fusion. active_attribute selects ONE
-        branch (stage-1 training); None aggregates all five."""
-        if active_attribute is not None:
-            a = ATTRIBUTES[active_attribute]
-            dv, di = getattr(self, f"attr{s}_{a}")(fv, fi)
-            return fv + dv, fi + di
-        outs_v, outs_i = [], []
-        for a in ATTRIBUTES:
-            dv, di = getattr(self, f"attr{s}_{a}")(fv, fi)
-            outs_v.append(dv)
-            outs_i.append(di)
-        agg = getattr(self, f"agg{s}")
-        return (fv + agg(jnp.stack(outs_v)), fi + agg(jnp.stack(outs_i)))
-
     def extract_features(self, patches: jnp.ndarray,
                          active_attribute: int | None = None) -> jnp.ndarray:
-        v = patches[..., :3]
-        i = patches[..., 3:6]
-        fv, fi = self.layers_v.stage1(v), self.layers_i.stage1(i)
-        fv, fi = self._stage(0, fv, fi, active_attribute)
-        fv, fi = self.layers_v.stage2(fv), self.layers_i.stage2(fi)
-        fv, fi = self._stage(1, fv, fi, active_attribute)
-        fv, fi = self.layers_v.stage3(fv), self.layers_i.stage3(fi)
-        fv, fi = self._stage(2, fv, fi, active_attribute)
-        f = jnp.concatenate([fv, fi], axis=-1)
+        x1 = patches[..., :3]
+        x2 = patches[..., 3:6]
+        stages = ((self.layers_v.stage1, self.layers_i.stage1),
+                  (self.layers_v.stage2, self.layers_i.stage2),
+                  (self.layers_v.stage3, self.layers_i.stage3))
+        for s, (conv_v, conv_i) in enumerate(stages):
+            agg = getattr(self, f"agg{s}")
+            if active_attribute is None:
+                v_all = [getattr(self, f"attr{s}_{a}")(x1, x2)
+                         for a in ATTRIBUTES]
+                V = agg.ensemble(v_all)
+            else:
+                V = getattr(self, f"attr{s}_{ATTRIBUTES[active_attribute]}")(
+                    x1, x2)
+            x1, x2 = conv_v(x1), conv_i(x2)
+            if active_attribute is None:
+                x1 = agg.enc_vis(x1)
+                V = agg.enc_agg(V)
+                x2 = agg.enc_inf(x2)
+                x1 = agg.dec_vis(x1, q_src=V)
+                x2 = agg.dec_inf(x2, q_src=V)
+            else:
+                # stage-1 topology: additive fusion, no transformers
+                # (model_stage1.py:255-258)
+                x1 = x1 + V
+                x2 = x2 + V
+        f = jnp.concatenate([x1, x2], axis=-1)
         return f.reshape(f.shape[0], 1, -1)
 
     def score(self, feats, branch: int = 0, train: bool = False,
               dropout_rng=None):
         h = nn.relu(self.fc4(feats))
         if train and dropout_rng is not None:
-            keep = jax.random.bernoulli(dropout_rng, 0.5, h.shape)
+            r1, r2 = jax.random.split(dropout_rng)
+            keep = jax.random.bernoulli(r1, 0.5, h.shape)
             h = jnp.where(keep, h / 0.5, 0.0)
         h = nn.relu(self.fc5(h))
-        return self.branches[branch](h.reshape(h.shape[0], -1))
+        h = h.reshape(h.shape[0], -1)
+        if train and dropout_rng is not None:
+            keep = jax.random.bernoulli(r2, 0.5, h.shape)
+            h = jnp.where(keep, h / 0.5, 0.0)
+        return self.branches[branch](h)
 
     def __call__(self, patches, branch: int = 0,
                  active_attribute: int | None = None):
@@ -139,7 +232,8 @@ def stage_mask(params: dict, stage: int, attribute: int | None = None) -> dict:
     """Trainable-leaf masks for the 3-stage protocol (train_stage{1,2,3}.py).
 
     stage 1: one attribute's fusion branches (+ fc) — run 5x, once per
-    attribute; stage 2: aggregation transformers (+ fc); stage 3: everything.
+    attribute; stage 2: aggregation ensembles + transformers (+ fc);
+    stage 3: everything.
     """
     flat = flax.traverse_util.flatten_dict(params)
 
@@ -150,7 +244,8 @@ def stage_mask(params: dict, stage: int, attribute: int | None = None) -> dict:
         if top.startswith("fc") or top.startswith("branches"):
             return True
         if stage == 1:
-            return top.startswith("attr") and top.endswith(ATTRIBUTES[attribute])
+            return (top.startswith("attr")
+                    and top.endswith(ATTRIBUTES[attribute]))
         if stage == 2:
             return top.startswith("agg")
         return False

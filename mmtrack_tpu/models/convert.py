@@ -1038,6 +1038,166 @@ def convert_mdnet_checkpoint(state_dict: dict) -> dict:
     return flax.traverse_util.unflatten_dict(out)
 
 
+def convert_manet_checkpoint(state_dict: dict) -> dict:
+    """torch MANet state_dict -> flax params for MDNet(mode='adapter').
+
+    Name surface: RGBE/models/MANet/modules/MANet3x1x1_IC.py:58-152 —
+    shared `layers` VGG-M trunk (custom centered LRN) applied to both
+    modalities, per-modality adapter branches {RGB,T}_para{1..3}
+    (Conv+ReLU+BN+Dropout(+MaxPool5/2)) summed into each stage, conv3
+    streams channel-concatenated (R first, forward :245) before fc4. The
+    fc4 weight is permuted from the torch CHW flatten to NHWC.
+    """
+    out: dict[tuple, np.ndarray] = {}
+
+    def put(path, value):
+        out[tuple(path.split("/"))] = value
+
+    bn_leaf = {"weight": "scale", "bias": "bias",
+               "running_mean": "mean", "running_var": "var"}
+
+    for name, t in state_dict.items():
+        m = re.match(r"(RGB|T)_para(\d)_\dx\d\.[RT]conv\d\.(\d)\.(\w+)",
+                     name)
+        if m:
+            stream = "rgb" if m.group(1) == "RGB" else "x"
+            s, idx, kind = m.group(2), int(m.group(3)), m.group(4)
+            base = f"adapt{s}_{stream}"
+            if idx == 0:  # conv
+                leaf = _conv_kernel(t) if kind == "weight" else _np(t)
+                put(f"{base}/conv/"
+                    f"{'kernel' if kind == 'weight' else 'bias'}", leaf)
+            elif idx == 2 and kind in bn_leaf:  # BatchNorm2d
+                put(f"{base}/bn/{bn_leaf[kind]}", _np(t))
+            continue
+        m = re.match(r"layers\.conv(\d)\.0\.(weight|bias)", name)
+        if m:
+            leaf = _conv_kernel(t) if m.group(2) == "weight" else _np(t)
+            put(f"features/conv{m.group(1)}/"
+                f"{'kernel' if m.group(2) == 'weight' else 'bias'}", leaf)
+            continue
+        m = re.match(r"layers\.fc4\.1\.(weight|bias)", name)
+        if m:
+            if m.group(1) == "weight":
+                w = _np(t)  # (512, 1024*3*3) CHW flatten of the concat
+                w = w.reshape(w.shape[0], 1024, 3, 3).transpose(0, 2, 3, 1)
+                put("fc4/kernel", w.reshape(w.shape[0], -1).T)
+            else:
+                put("fc4/bias", _np(t))
+            continue
+        m = re.match(r"layers\.fc5\.1\.(weight|bias)", name)
+        if m:
+            if m.group(1) == "weight":
+                put("fc5/kernel", _dense_kernel(t))
+            else:
+                put("fc5/bias", _np(t))
+            continue
+        m = re.match(r"branches\.(\d+)\.1\.(weight|bias)", name)
+        if m:
+            if m.group(2) == "weight":
+                put(f"fc6_{m.group(1)}/kernel", _dense_kernel(t))
+            else:
+                put(f"fc6_{m.group(1)}/bias", _np(t))
+            continue
+
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def convert_apfnet_checkpoint(state_dict: dict) -> dict:
+    """torch APFNet tracking state_dict -> flax params tree.
+
+    Name surface: RGBT/models/APFNet/modules/model_tracking.py:50-240 —
+    dual layers_v/layers_i trunks, parallel{1..3} attribute-branch
+    ModuleLists (index order FM, OCC, SC, TC, ILL), parallel{s}_skconv /
+    ensemble{s}_skconv selective-kernel gates, transformer{s}_encoder{1..3}
+    / decoder{1..2} channel-attention blocks (WK/WV linears + fc_reduce /
+    fc_rise 1x1 convs), fc4/fc5 trunk and fc6 domain branches. The fc4
+    weight is permuted from the torch CHW conv flatten to the NHWC flatten
+    (cat((x1,x2),1).view(B,-1), forward :1159-1160).
+    """
+    from mmtrack_tpu.models.apfnet import ATTRIBUTES
+
+    out: dict[tuple, np.ndarray] = {}
+
+    def put(path, value):
+        out[tuple(path.split("/"))] = value
+
+    roles = {"encoder1": "enc_vis", "encoder2": "enc_inf",
+             "encoder3": "enc_agg", "decoder1": "dec_vis",
+             "decoder2": "dec_inf"}
+
+    for name, t in state_dict.items():
+        m = re.match(r"layers_([vi])\.conv(\d)\.0\.(weight|bias)", name)
+        if m:
+            stream, i, kind = m.groups()
+            leaf = _conv_kernel(t) if kind == "weight" else _np(t)
+            put(f"layers_{stream}/conv{i}/"
+                f"{'kernel' if kind == 'weight' else 'bias'}", leaf)
+            continue
+        m = re.match(r"parallel(\d)\.(\d)\.parallel\d_conv(\d)\.0"
+                     r"\.(weight|bias)", name)
+        if m:
+            s, a, ci, kind = m.groups()
+            leaf = _conv_kernel(t) if kind == "weight" else _np(t)
+            put(f"attr{int(s) - 1}_{ATTRIBUTES[int(a)]}/conv{ci}/"
+                f"{'kernel' if kind == 'weight' else 'bias'}", leaf)
+            continue
+        m = re.match(r"parallel(\d)_skconv\.(\d)\.parallel\d_skconv_fc(\d)"
+                     r"\.0\.weight", name)
+        if m:
+            s, a, fi = m.groups()
+            put(f"attr{int(s) - 1}_{ATTRIBUTES[int(a)]}/sk_fc{fi}/kernel",
+                _conv_kernel(t))
+            continue
+        m = re.match(r"ensemble(\d)_skconv\.ensemble\d_skconv_fc(\d)"
+                     r"\.0\.weight", name)
+        if m:
+            s, fi = m.groups()
+            put(f"agg{int(s) - 1}/sk_fc{fi}/kernel", _conv_kernel(t))
+            continue
+        m = re.match(r"transformer(\d)_(encoder\d|decoder\d)\.transformer"
+                     r"\d_\w+?_(WK|WV|fc_reduce|fc_rise)\.0\.(weight|bias)",
+                     name)
+        if m:
+            s, role, part, kind = m.groups()
+            base = f"agg{int(s) - 1}/{roles[role]}"
+            if part in ("WK", "WV"):
+                leaf = _dense_kernel(t) if kind == "weight" else _np(t)
+                put(f"{base}/{part}/"
+                    f"{'kernel' if kind == 'weight' else 'bias'}", leaf)
+            else:
+                sub = "reduce" if part == "fc_reduce" else "rise"
+                leaf = _conv_kernel(t) if kind == "weight" else _np(t)
+                put(f"{base}/{sub}/"
+                    f"{'kernel' if kind == 'weight' else 'bias'}", leaf)
+            continue
+        m = re.match(r"fc\.fc4\.0\.(weight|bias)", name)
+        if m:
+            if m.group(1) == "weight":
+                w = _np(t)  # (512, 1024*3*3) CHW flatten of the concat
+                w = w.reshape(w.shape[0], 1024, 3, 3).transpose(0, 2, 3, 1)
+                put("fc4/kernel", w.reshape(w.shape[0], -1).T)
+            else:
+                put("fc4/bias", _np(t))
+            continue
+        m = re.match(r"fc\.fc5\.1\.(weight|bias)", name)
+        if m:
+            if m.group(1) == "weight":
+                put("fc5/kernel", _dense_kernel(t))
+            else:
+                put("fc5/bias", _np(t))
+            continue
+        m = re.match(r"branches\.(\d+)\.1\.(weight|bias)", name)
+        if m:
+            if m.group(2) == "weight":
+                put(f"fc6_{m.group(1)}/kernel", _dense_kernel(t))
+            else:
+                put(f"fc6_{m.group(1)}/bias", _np(t))
+            continue
+
+    return flax.traverse_util.unflatten_dict(out)
+
+
 def convert_peak_matching_checkpoint(state_dict: dict) -> dict:
     """torch PeakMatchingNetwork (keep_track_vot2021/ltr/models/
     memory_learning/peak_matching.py:476-544: DescriptorExtractor conv +
