@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmtrack_tpu.models.mdnet import MDNet
-from mmtrack_tpu.ops.crop import crop_at
 
 
 @dataclass(frozen=True)
@@ -52,12 +51,24 @@ class MDNetRuntime:
     batch_pos: int = 32
     batch_neg: int = 96
     batch_neg_cand: int = 1024
+    grad_clip: float = 10.0          # options.yaml:60, torch clip_grad_norm_
+    # training-example sampling (options.yaml:24-29)
+    trans_pos: float = 0.1
+    scale_pos: float = 1.3
+    trans_neg_init: float = 1.0
+    scale_neg_init: float = 1.6
+    trans_neg: float = 2.0
+    scale_neg: float = 1.3
     n_pos_update: int = 50
     n_neg_update: int = 200
     n_frames_long: int = 100
-    n_frames_short: int = 20
+    n_frames_short: int = 30         # options.yaml:56 (RGBE fork; classic 20)
     long_interval: int = 10
     n_bbreg: int = 1000
+    trans_bbreg: float = 0.3
+    scale_bbreg: float = 1.6
+    aspect_bbreg: float = 1.1
+    bbreg_scale_range: tuple = (1.0, 2.0)   # bbreg.py:9 scale=[1,2] filter
     bbreg_overlap: tuple = (0.6, 1.0)
     bbreg_lambda: float = 1000.0
     success_thr: float = 0.0
@@ -77,32 +88,69 @@ class MDNetRuntime:
 
 # ---------------------------------------------------------------- sampling
 
-def _gaussian_boxes(rng, box, n, trans, scale, img_hw):
-    """SampleGenerator('gaussian') analog (pyMDNet modules/sample_generator)."""
+def _finish_samples(centers, wh, img_hw):
+    """SampleGenerator._gen_samples tail (sample_generator.py:46-56,
+    valid=False as every tracking-time generator is constructed): clip wh
+    to [10, img-10] per axis, clip CENTERS to [0, img], convert to xywh."""
+    H, W = img_hw
+    img = jnp.asarray([W, H], jnp.float32)
+    wh = jnp.clip(wh, 10.0, img - 10.0)
+    centers = jnp.clip(centers, 0.0, img)
+    return jnp.concatenate([centers - wh / 2, wh], axis=1)
+
+
+def _aspect_wh(rng, w, h, n, aspect):
+    """Aspect-ratio jitter applied BEFORE trans/scale
+    (sample_generator.py:25-28)."""
+    wh = jnp.stack([w, h]) * jnp.ones((n, 2))
+    if aspect is None:
+        return wh
+    return wh * aspect ** (jax.random.uniform(rng, (n, 2)) * 2 - 1)
+
+
+def _gaussian_boxes(rng, box, n, trans, scale, img_hw, aspect=None):
+    """SampleGenerator('gaussian') analog (pyMDNet modules/sample_generator
+    .py:30-33): center jitter trans*mean(wh)*clip(0.5*randn,-1,1), scale
+    jitter scale**clip(0.5*randn,-1,1)."""
     x, y, w, h = box[0], box[1], box[2], box[3]
     c = jnp.stack([x + w / 2, y + h / 2])
-    r1, r2 = jax.random.split(rng)
+    r1, r2, r3 = jax.random.split(rng, 3)
     m = jnp.mean(jnp.stack([w, h]))
+    wh = _aspect_wh(r3, w, h, n, aspect)
     centers = c + trans * m * jnp.clip(
         0.5 * jax.random.normal(r1, (n, 2)), -1.0, 1.0)
-    scales = scale ** jnp.clip(0.5 * jax.random.normal(r2, (n, 1)), -1.0, 1.0)
-    wh = jnp.stack([w, h]) * scales
-    H, W = img_hw
-    centers = jnp.clip(centers, wh / 2, jnp.asarray([W, H]) - wh / 2)
-    return jnp.concatenate([centers - wh / 2, wh], axis=1)
+    wh = wh * scale ** jnp.clip(0.5 * jax.random.normal(r2, (n, 1)),
+                                -1.0, 1.0)
+    return _finish_samples(centers, wh, img_hw)
 
 
-def _uniform_boxes(rng, box, n, trans, scale, img_hw):
+def _uniform_boxes(rng, box, n, trans, scale, img_hw, aspect=None):
+    """SampleGenerator('uniform') analog (sample_generator.py:35-37)."""
     x, y, w, h = box[0], box[1], box[2], box[3]
     c = jnp.stack([x + w / 2, y + h / 2])
-    r1, r2 = jax.random.split(rng)
+    r1, r2, r3 = jax.random.split(rng, 3)
     m = jnp.mean(jnp.stack([w, h]))
+    wh = _aspect_wh(r3, w, h, n, aspect)
     centers = c + trans * m * (jax.random.uniform(r1, (n, 2)) * 2 - 1)
-    scales = scale ** (jax.random.uniform(r2, (n, 1)) * 2 - 1)
-    wh = jnp.stack([w, h]) * scales
+    wh = wh * scale ** (jax.random.uniform(r2, (n, 1)) * 2 - 1)
+    return _finish_samples(centers, wh, img_hw)
+
+
+def _whole_boxes(rng, box, n, scale, img_hw):
+    """SampleGenerator('whole') analog (sample_generator.py:39-44): centers
+    on a permuted uniform grid spanning the image, scale jitter only."""
+    w, h = box[2], box[3]
     H, W = img_hw
-    centers = jnp.clip(centers, wh / 2, jnp.asarray([W, H]) - wh / 2)
-    return jnp.concatenate([centers - wh / 2, wh], axis=1)
+    r1, r2 = jax.random.split(rng)
+    m = int(2 * np.sqrt(n))
+    lin = jnp.linspace(0.0, 1.0, m)
+    gx, gy = jnp.meshgrid(lin, lin)
+    xy = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=1)  # (m*m, 2)
+    xy = jax.random.permutation(r1, xy)[:n]
+    img = jnp.asarray([W, H], jnp.float32)
+    centers = jnp.stack([w, h]) / 2 + xy * (img - jnp.stack([w, h]) / 2 - 1)
+    wh = jnp.stack([w, h]) * scale ** (jax.random.uniform(r2, (n, 1)) * 2 - 1)
+    return _finish_samples(centers, wh, img_hw)
 
 
 def _iou(a, b):
@@ -130,6 +178,51 @@ def _sample_filtered(rng, gen, gt_box, n, iou_range, oversample=4):
 
 # ---------------------------------------------------------------- features
 
+def _crop_image2_dev(rt: MDNetRuntime, frame, b):
+    """Device twin of crop_image2 (pyMDNet modules/utils.py:29-91): the
+    padded box (w + 2*padding*w/img_size, likewise h) is warped
+    ANISOTROPICALLY onto img_size^2 by cv2.warpPerspective's inverse map
+    src = (dst - img_size/2) * (w'/img_size) + cx at INTEGER dst coords,
+    bilinear, constant border 128. Float bilinear here vs cv2's 5-bit
+    fixed-point + uint8 rounding: sub-LSB deviation (<1 on the 0..255
+    scale), checked in tools/parity/check_trajectory_mdnet.py."""
+    n = rt.img_size
+    x, y, w, h = b[0], b[1], b[2], b[3]
+    cx, cy = x + w / 2, y + h / 2
+    wp = w + 2 * rt.padding * w / n
+    hp = h + 2 * rt.padding * h / n
+    d = jnp.arange(n, dtype=jnp.float32) - n / 2.0
+    xs = d * (wp / n) + cx
+    ys = d * (hp / n) + cy
+    H, W = frame.shape[0], frame.shape[1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    img = frame.astype(jnp.float32)
+
+    # cv2 quirk reproduced exactly: a SCALAR borderValue=128 becomes
+    # Scalar(128,0,0,...) — only channel 0 of each RGB image is padded
+    # with 128, the rest with 0 (utils.py:84; verified against cv2).
+    # Multi-modal frames are two stacked RGB crops, so the pattern
+    # repeats every 3 channels.
+    C = frame.shape[-1]
+    border = jnp.where(jnp.arange(C) % 3 == 0, 128.0, 0.0)
+
+    def tap(yi, xi):
+        inb = (((yi >= 0) & (yi < H))[:, None, None]
+               & ((xi >= 0) & (xi < W))[None, :, None])
+        v = img[jnp.clip(yi, 0, H - 1)][:, jnp.clip(xi, 0, W - 1)]
+        return jnp.where(inb, v, border)
+
+    return ((1 - fy) * (1 - fx) * tap(y0, x0)
+            + (1 - fy) * fx * tap(y0, x0 + 1)
+            + fy * (1 - fx) * tap(y0 + 1, x0)
+            + fy * fx * tap(y0 + 1, x0 + 1))
+
+
 def _extract_patches(rt: MDNetRuntime, model, params, frame, boxes):
     """Crop each box with 16px context and embed (RegionExtractor analog).
 
@@ -138,9 +231,7 @@ def _extract_patches(rt: MDNetRuntime, model, params, frame, boxes):
     materializes all 107x107 patches + conv activations at once — device
     memory stays bounded without shrinking the hard-negative pool."""
     def one(b):
-        c = jnp.stack([b[1] + b[3] / 2, b[0] + b[2] / 2])  # (y, x)
-        side = jnp.sqrt(b[2] * b[3]) * (rt.img_size + 2 * rt.padding) / rt.img_size
-        patch = crop_at(frame, c, side, rt.img_size, border="replicate")
+        patch = _crop_image2_dev(rt, frame, b)
         # reference input convention: raw uint8 float - 128
         # (pyMDNet tracking/data_prov.py:50 and pretrain/data_prov.py:91);
         # the scale matters — LRN sits right after conv1
@@ -193,14 +284,22 @@ def _apply_cell_mask(rt: MDNetRuntime, feats, mask):
 
 def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
               pos_feats, pos_valid, neg_feats, neg_valid, n_iter, lr, rng,
-              gnet=None, g_state=None):
+              gnet=None, g_state=None, inject_idx=None, dropout=True):
     """SGD+momentum fine-tuning with hard-negative mining (pyMDNet train(),
     run_tracker.py:52-117). pos/neg_feats: (Np, S, D)/(Nn, S, D) with
     validity masks; n_iter may be traced (0 = no-op).
 
-    With rt.vital (gnet + g_state given), positives are adversarially
-    masked by GNet before the classifier loss, and G takes its own SGD
-    steps against the updated classifier afterwards. Returns
+    torch-SGD order per step (optim/sgd + run_tracker.py:110-116): data
+    gradient -> clip_grad_norm_(grad_clip) -> + weight_decay*param ->
+    momentum buffer -> per-group lr (fc6 x lr_mult).
+
+    inject_idx: optional (pos_idx (T, batch_pos), neg_cand_idx
+    (T, batch_neg_cand)) arrays replacing the random batch draws — the
+    parity harness feeds the reference train()'s own permutation walk;
+    dropout=False disables fc dropout (the harness runs both sides
+    deterministic). With rt.vital (gnet + g_state given), positives are
+    adversarially masked by GNet before the classifier loss, and G takes
+    its own SGD steps against the updated classifier afterwards. Returns
     (fc, momentum, rng, g_state)."""
     use_vital = rt.vital and gnet is not None and g_state is not None
 
@@ -210,8 +309,8 @@ def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
             pf = _apply_cell_mask(rt, pf, _vital_drop_mask(rt, gnet, g_params, pf))
         nf = neg_feats[neg_idx]
         r1, r2 = jax.random.split(drop_rng)
-        pos_logits = _score_fn(model, params, fc, pf, rng=r1, train=True)
-        neg_logits = _score_fn(model, params, fc, nf, rng=r2, train=True)
+        pos_logits = _score_fn(model, params, fc, pf, rng=r1, train=dropout)
+        neg_logits = _score_fn(model, params, fc, nf, rng=r2, train=dropout)
         # binary cross-entropy over (bg, target) logits; the reference
         # BCELoss normalizes by the COMBINED count (model.py:162-170:
         # (pos.sum()+neg.sum())/(Npos+Nneg)) — per-set means would weight
@@ -219,9 +318,7 @@ def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
         pos_l = -jax.nn.log_softmax(pos_logits)[:, 1].sum()
         neg_l = -jax.nn.log_softmax(neg_logits)[:, 0].sum()
         n = pos_logits.shape[0] + neg_logits.shape[0]
-        wd = 0.5 * rt.weight_decay * sum(
-            (p ** 2).sum() for p in jax.tree.leaves(fc))
-        return (pos_l + neg_l) / n + wd
+        return (pos_l + neg_l) / n
 
     def lr_tree(fc):
         return jax.tree.map_with_path(
@@ -231,19 +328,31 @@ def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
     def body(i, carry):
         fc, mom, rng, g_st = carry
         rng, r_pos, r_neg, r_mine, r_drop = jax.random.split(rng, 5)
-        pos_p = pos_valid / jnp.maximum(pos_valid.sum(), 1)
-        pos_idx = jax.random.choice(r_pos, pos_feats.shape[0],
-                                    (rt.batch_pos,), p=pos_p)
-        # hard mining: score a random candidate pool, keep the top batch_neg
-        neg_p = neg_valid / jnp.maximum(neg_valid.sum(), 1)
-        cand_idx = jax.random.choice(r_mine, neg_feats.shape[0],
-                                     (rt.batch_neg_cand,), p=neg_p)
+        if inject_idx is not None:
+            pos_idx = inject_idx[0][i]
+            cand_idx = inject_idx[1][i]
+        else:
+            pos_p = pos_valid / jnp.maximum(pos_valid.sum(), 1)
+            pos_idx = jax.random.choice(r_pos, pos_feats.shape[0],
+                                        (rt.batch_pos,), p=pos_p)
+            neg_p = neg_valid / jnp.maximum(neg_valid.sum(), 1)
+            cand_idx = jax.random.choice(r_mine, neg_feats.shape[0],
+                                         (rt.batch_neg_cand,), p=neg_p)
+        # hard mining: score the candidate pool, keep the top batch_neg
         cand_scores = _score_fn(model, params, fc, neg_feats[cand_idx])[:, 1]
         _, top = jax.lax.top_k(cand_scores, rt.batch_neg)
         neg_idx = cand_idx[top]
 
         g_params = g_st["g"] if use_vital else None
         grads = jax.grad(loss_fn)(fc, pos_idx, neg_idx, r_drop, g_params)
+        # clip_grad_norm_ over the data gradient, THEN weight decay — the
+        # torch order (run_tracker.py:115 clips before optimizer.step,
+        # which adds wd inside)
+        gnorm = jnp.sqrt(sum((g ** 2).sum() for g in jax.tree.leaves(grads)))
+        clip = jnp.minimum(1.0, rt.grad_clip / (gnorm + 1e-6))
+        grads = jax.tree.map(lambda g: g * clip, grads)
+        grads = jax.tree.map(lambda g, p: g + rt.weight_decay * p,
+                             grads, fc)
         lrs = lr_tree(fc)
         mom = jax.tree.map(lambda m, g: rt.momentum * m + g, mom, grads)
         fc = jax.tree.map(lambda p, m, l: p - l * m, fc, mom, lrs)
@@ -298,19 +407,38 @@ def _bbreg_targets(boxes, gt):
     ], axis=1)
 
 
-def _bbreg_apply(boxes, deltas):
+def _bbreg_apply(boxes, deltas, img_hw):
+    """BBRegressor.predict (bbreg.py:35-48) incl. its clamps: xy >= 0 and
+    wh <= img - OLD top-left."""
     cx = boxes[:, 0] + boxes[:, 2] / 2 + deltas[:, 0] * boxes[:, 2]
     cy = boxes[:, 1] + boxes[:, 3] / 2 + deltas[:, 1] * boxes[:, 3]
     w = boxes[:, 2] * jnp.exp(deltas[:, 2])
     h = boxes[:, 3] * jnp.exp(deltas[:, 3])
-    return jnp.stack([cx - w / 2, cy - h / 2, w, h], axis=1)
+    H, W = img_hw
+    x = jnp.maximum(cx - w / 2, 0.0)
+    y = jnp.maximum(cy - h / 2, 0.0)
+    w = jnp.minimum(w, W - boxes[:, 0])
+    h = jnp.minimum(h, H - boxes[:, 1])
+    return jnp.stack([x, y, w, h], axis=1)
 
 
-def _ridge_fit(X, Y, lam):
-    """Dual ridge: alpha = (XX^T + lam I)^-1 Y; w implicit via stored X."""
-    K = X @ X.T
-    A = jnp.linalg.solve(K + lam * jnp.eye(X.shape[0]), Y)
-    return A
+def _ridge_fit(X, Y, lam, valid=None):
+    """Centered dual ridge == sklearn Ridge(alpha=lam) with its default
+    fit_intercept=True (bbreg.py:14): fit on mean-centered X/Y, predict
+    (q - mu_x) @ Xc^T @ A + mu_y. `valid` masks filtered-out samples
+    (zero weight in the means and a masked kernel row/col)."""
+    if valid is None:
+        valid = jnp.ones(X.shape[0])
+    nv = jnp.maximum(valid.sum(), 1.0)
+    mu_x = (X * valid[:, None]).sum(0) / nv
+    mu_y = (Y * valid[:, None]).sum(0) / nv
+    Xc = (X - mu_x) * valid[:, None]
+    Yc = (Y - mu_y) * valid[:, None]
+    K = Xc @ Xc.T
+    # masked-out rows contribute identity rows -> alpha rows solve to 0
+    # against Yc's zero rows
+    A = jnp.linalg.solve(K + lam * jnp.eye(X.shape[0]), Yc)
+    return A, Xc, mu_x, mu_y
 
 
 # ---------------------------------------------------------------- runtime
@@ -322,11 +450,22 @@ def mdnet_init_state(rt: MDNetRuntime, model: MDNet, params, frame,
     rngs = jax.random.split(rng, 8)
 
     pos_boxes = _sample_filtered(
-        rngs[0], lambda r, n: _gaussian_boxes(r, init_box, n, 0.1, 1.2, img_hw),
+        rngs[0], lambda r, n: _gaussian_boxes(r, init_box, n, rt.trans_pos,
+                                              rt.scale_pos, img_hw),
         init_box, rt.n_init_pos, rt.overlap_pos)
-    neg_boxes = _sample_filtered(
-        rngs[1], lambda r, n: _uniform_boxes(r, init_box, n, 1.0, 1.6, img_hw),
-        init_box, rt.n_init_neg, rt.overlap_neg)
+    # init negatives: half uniform, half whole-image grid
+    # (run_tracker.py:150-154)
+    r_nu, r_nw = jax.random.split(rngs[1])
+    neg_boxes = jnp.concatenate([
+        _sample_filtered(
+            r_nu, lambda r, n: _uniform_boxes(r, init_box, n,
+                                              rt.trans_neg_init,
+                                              rt.scale_neg_init, img_hw),
+            init_box, rt.n_init_neg // 2, rt.overlap_neg),
+        _sample_filtered(
+            r_nw, lambda r, n: _whole_boxes(r, init_box, n, 1.0, img_hw),
+            init_box, rt.n_init_neg - rt.n_init_neg // 2, rt.overlap_neg),
+    ])
 
     pos_feats = _extract_patches(rt, model, params, frame, pos_boxes)
     neg_feats = _extract_patches(rt, model, params, frame, neg_boxes)
@@ -339,6 +478,10 @@ def mdnet_init_state(rt: MDNetRuntime, model: MDNet, params, frame,
         rt, model, params, fc_params, momentum,
         pos_feats, jnp.ones(rt.n_init_pos), neg_feats, jnp.ones(rt.n_init_neg),
         rt.init_iters, rt.lr_init, rngs[2])
+    # the reference's update_optimizer is a SEPARATE torch SGD from
+    # init_optimizer (run_tracker.py:139-141): online updates start with
+    # fresh momentum buffers, not the init optimizer's
+    momentum = jax.tree.map(jnp.zeros_like, momentum)
 
     g_state = {}
     if rt.vital and gnet is not None:
@@ -385,46 +528,67 @@ def mdnet_init_state(rt: MDNetRuntime, model: MDNet, params, frame,
             0, rt.g_pretrain_iters, pre_body, (g_params, g_mom, rngs[6]))
         g_state = {"g": g_params, "g_mom": g_mom}
 
-    # ridge bbox regressor on init pos samples (run_tracker.py bbreg section)
+    # ridge bbox regressor on init samples (run_tracker.py:165-171):
+    # uniform draw with aspect jitter, overlap filter at sampling time,
+    # then BBRegressor.train's own overlap AND scale-range re-filter
+    # (bbreg.py:24-29); features are the vis+event STREAM SUM
+    # (run_tracker.py:169 bbreg_feats = vis + event)
     bb_boxes = _sample_filtered(
-        rngs[3], lambda r, n: _uniform_boxes(r, init_box, n, 0.3, 1.6, img_hw),
+        rngs[3], lambda r, n: _uniform_boxes(r, init_box, n, rt.trans_bbreg,
+                                             rt.scale_bbreg, img_hw,
+                                             aspect=rt.aspect_bbreg),
         init_box, rt.n_bbreg, rt.bbreg_overlap)
     bb_feats = _extract_patches(rt, model, params, frame, bb_boxes)
-    Xb = bb_feats.reshape(rt.n_bbreg, -1)
+    Xb = bb_feats.sum(axis=1)
     Yb = _bbreg_targets(bb_boxes, init_box)
-    bb_alpha = _ridge_fit(Xb, Yb, rt.bbreg_lambda)
+    ious = _iou(bb_boxes, init_box)
+    s = (bb_boxes[:, 2] * bb_boxes[:, 3]) / (init_box[2] * init_box[3])
+    bb_valid = ((ious >= rt.bbreg_overlap[0]) & (ious <= rt.bbreg_overlap[1])
+                & (s >= rt.bbreg_scale_range[0])
+                & (s <= rt.bbreg_scale_range[1])).astype(jnp.float32)
+    bb_alpha, Xb_c, bb_mu_x, bb_mu_y = _ridge_fit(Xb, Yb, rt.bbreg_lambda,
+                                                  valid=bb_valid)
 
-    # memory ring buffers (per-frame sample batches)
+    # memory ring buffers (per-frame sample batches). The positive pool's
+    # first LIST entry is the full init batch — carried separately as
+    # pos_init (run_tracker.py:184 pos_feats_all = [pos_feats]); the
+    # negative pool's entry 0 is a FRESH n_neg_update draw with the
+    # update generator at the init overlap range (run_tracker.py:182-183),
+    # NOT the 5000 init-training negatives. The reference keeps exactly
+    # n_frames_short frames of negatives (:272-274).
     pos_mem = jnp.zeros((rt.n_frames_long, rt.n_pos_update, S, D), jnp.float32)
-    neg_mem = jnp.zeros((rt.n_frames_short + 10, rt.n_neg_update, S, D), jnp.float32)
-    pos_mem = pos_mem.at[0].set(pos_feats[:rt.n_pos_update])
-    neg_mem = neg_mem.at[0].set(neg_feats[:rt.n_neg_update])
+    neg_mem = jnp.zeros((rt.n_frames_short, rt.n_neg_update, S, D), jnp.float32)
+    neg_upd_boxes = _sample_filtered(
+        rngs[7], lambda r, n: _uniform_boxes(r, init_box, n, rt.trans_neg,
+                                             rt.scale_neg, img_hw),
+        init_box, rt.n_neg_update, rt.overlap_neg)
+    neg_mem = neg_mem.at[0].set(
+        _extract_patches(rt, model, params, frame, neg_upd_boxes))
 
     return {
         "box": init_box.astype(jnp.float32),
+        "pos_init": pos_feats,
         "fc": fc_params, "momentum": momentum,
         "pos_mem": pos_mem, "neg_mem": neg_mem,
         "pos_count": jnp.asarray(1, jnp.int32),
         "neg_count": jnp.asarray(1, jnp.int32),
         "trans_f": jnp.asarray(rt.trans, jnp.float32),
         "frame_num": jnp.asarray(1, jnp.int32),
-        "bbreg_X": Xb, "bbreg_alpha": bb_alpha,
+        "bbreg_X": Xb_c, "bbreg_alpha": bb_alpha,
+        "bbreg_mu_x": bb_mu_x, "bbreg_mu_y": bb_mu_y,
         "rng": rngs[4],
         "g_state": g_state,
     }
 
 
-def mdnet_track_step(rt: MDNetRuntime, model: MDNet, params, state, frame,
-                     gnet=None):
-    H, W = frame.shape[0], frame.shape[1]
-    img_hw = (H, W)
-    state = {**state, "frame_num": state["frame_num"] + 1}
-    rng, r_cand, r_pos, r_neg, r_train = jax.random.split(state["rng"], 5)
-    state = {**state, "rng": rng}
+def _mdnet_core(rt: MDNetRuntime, model: MDNet, params, state, cands, feats,
+                img_hw, collect_fn, r_train, inject_idx=None, dropout=True,
+                gnet=None):
+    """Shared per-frame protocol given candidate boxes + features.
 
-    cands = _gaussian_boxes(r_cand, state["box"], rt.batch_test,
-                            state["trans_f"], rt.scale_f, img_hw)
-    feats = _extract_patches(rt, model, params, frame, cands)
+    `collect_fn(raw_box) -> (pos_f, neg_f)` supplies the update-sample
+    features — device crops around the post-frame box in production,
+    injected reference crops in the parity harness."""
     scores = _score_fn(model, params, state["fc"], feats)[:, 1]
     top_scores, top_idx = jax.lax.top_k(scores, rt.topk)
     mean_score = top_scores.mean()
@@ -433,27 +597,36 @@ def mdnet_track_step(rt: MDNetRuntime, model: MDNet, params, state, frame,
     top_boxes = cands[top_idx]
     new_box = top_boxes.mean(axis=0)
 
-    # ridge bbox refinement of the top candidates on success
-    Xq = feats[top_idx].reshape(rt.topk, -1)
-    deltas = (Xq @ state["bbreg_X"].T) @ state["bbreg_alpha"]
-    refined = _bbreg_apply(top_boxes, deltas).mean(axis=0)
+    # ridge bbox refinement of the top candidates on success; features are
+    # the stream sum (run_tracker.py:246 bbreg_feats = vis + event),
+    # centered as sklearn Ridge's intercept does, clamps per sample
+    # BEFORE the mean (bbreg.py predict -> run_tracker.py:248 .mean)
+    Xq = feats[top_idx].sum(axis=1)
+    deltas = (((Xq - state["bbreg_mu_x"]) @ state["bbreg_X"].T)
+              @ state["bbreg_alpha"] + state["bbreg_mu_y"])
+    refined = _bbreg_apply(top_boxes, deltas, img_hw).mean(axis=0)
 
     box = jnp.where(success, refined, state["box"])
     raw_box = jnp.where(success, new_box, state["box"])
+    # expand the candidate spread gradually on failure
+    # (sample_generator.py:95 expand_trans: min(trans*1.1, trans_limit))
     state = {**state, "box": raw_box,
-             "trans_f": jnp.where(success, rt.trans, rt.trans_f_expand)}
+             "trans_f": jnp.where(
+                 success, rt.trans,
+                 jnp.minimum(state["trans_f"] * 1.1, rt.trans_f_expand))}
 
-    # collect samples on success
-    pos_boxes = _sample_filtered(
-        r_pos, lambda r, n: _gaussian_boxes(r, raw_box, n, 0.1, 1.2, img_hw),
-        raw_box, rt.n_pos_update, rt.overlap_pos)
-    neg_boxes = _sample_filtered(
-        r_neg, lambda r, n: _uniform_boxes(r, raw_box, n, 1.5, 1.2, img_hw),
-        raw_box, rt.n_neg_update, (0.0, 0.3))
-    pos_f = _extract_patches(rt, model, params, frame, pos_boxes)
-    neg_f = _extract_patches(rt, model, params, frame, neg_boxes)
+    # collect samples on success (options.yaml: trans_pos/scale_pos,
+    # trans_neg/scale_neg, overlap_neg_update)
+    pos_f, neg_f = collect_fn(raw_box)
 
-    pos_slot = state["pos_count"] % state["pos_mem"].shape[0]
+    # memory layout mirrors the reference's python lists
+    # (run_tracker.py:182-186, 253-274): the POSITIVE pool's entry 0 is
+    # the FULL 500-sample init batch, kept until n_frames_long frames
+    # accumulate (and inside the short-term window only while the list is
+    # shorter than n_frames_short); update frames are 50-sample entries.
+    # pos_count counts LIST entries incl. init (starts 1), so update
+    # frame k lands in ring slot k-1.
+    pos_slot = (state["pos_count"] - 1) % state["pos_mem"].shape[0]
     neg_slot = state["neg_count"] % state["neg_mem"].shape[0]
     upd_pos_mem = state["pos_mem"].at[pos_slot].set(pos_f[:rt.n_pos_update])
     upd_neg_mem = state["neg_mem"].at[neg_slot].set(neg_f[:rt.n_neg_update])
@@ -474,28 +647,170 @@ def mdnet_track_step(rt: MDNetRuntime, model: MDNet, params, state, frame,
     Ln = state["neg_mem"].shape[0]
     slots_p = jnp.arange(Lp)
     slots_n = jnp.arange(Ln)
-    filled_p = slots_p < jnp.minimum(state["pos_count"], Lp)
+    u = state["pos_count"] - 1            # update frames stored
+    filled_p = slots_p < jnp.minimum(u, Lp)
     filled_n = slots_n < jnp.minimum(state["neg_count"], Ln)
-    # short-term: restrict pos to the most recent n_frames_short slots
-    recent = ((state["pos_count"] - 1 - slots_p) % Lp) < rt.n_frames_short
+    # short-term: the last n_frames_short list entries — update slot age
+    # a = 0 for the newest write
+    age = (u - 1 - slots_p) % Lp
+    recent = age < rt.n_frames_short
     pos_sel = jnp.where(success, filled_p, filled_p & recent)
+    # init entry validity: dropped from the list after n_frames_long
+    # entries; inside the short-term window only while len <= n_frames_short
+    init_long = state["pos_count"] <= rt.n_frames_long
+    init_short = state["pos_count"] <= rt.n_frames_short
+    init_valid = jnp.where(success, init_long, init_long & init_short)
 
-    pos_flat = state["pos_mem"].reshape(Lp * rt.n_pos_update,
-                                        *state["pos_mem"].shape[2:])
+    pos_flat = jnp.concatenate([
+        state["pos_init"],
+        state["pos_mem"].reshape(Lp * rt.n_pos_update,
+                                 *state["pos_mem"].shape[2:])])
     neg_flat = state["neg_mem"].reshape(Ln * rt.n_neg_update,
                                         *state["neg_mem"].shape[2:])
-    pos_valid = jnp.repeat(pos_sel.astype(jnp.float32), rt.n_pos_update)
+    pos_valid = jnp.concatenate([
+        init_valid.astype(jnp.float32)
+        * jnp.ones(state["pos_init"].shape[0]),
+        jnp.repeat(pos_sel.astype(jnp.float32), rt.n_pos_update)])
     neg_valid = jnp.repeat(filled_n.astype(jnp.float32), rt.n_neg_update)
 
     fc, mom, _, g_state = _fc_train(
         rt, model, params, state["fc"], state["momentum"],
         pos_flat, pos_valid, neg_flat, neg_valid,
         n_iter, rt.lr_update, r_train,
-        gnet=gnet, g_state=state["g_state"] if state["g_state"] else None)
+        gnet=gnet, g_state=state["g_state"] if state["g_state"] else None,
+        inject_idx=inject_idx, dropout=dropout)
     state = {**state, "fc": fc, "momentum": mom,
              "g_state": g_state if g_state else state["g_state"]}
 
+    aux = {"scores": scores, "top_idx": top_idx, "success": success,
+           "raw_box": raw_box, "deltas": deltas, "refined": refined,
+           "do_update": do_update}
+    return state, box, mean_score, aux
+
+
+def mdnet_init_from_patches(rt: MDNetRuntime, model: MDNet, params,
+                            init_box, pos_patches, neg_patches,
+                            bbreg_patches, bbreg_boxes, neg_upd_patches,
+                            rng, inject_idx=None, dropout=True):
+    """Parity-harness init: the reference's own init pos/neg/bbreg crops
+    and training index streams are injected; everything downstream (init
+    SGD with mining + clip, centered ridge, memory seeding) is ours."""
+    pos_feats = _embed_patches(rt, model, params, pos_patches)
+    neg_feats = _embed_patches(rt, model, params, neg_patches)
+    S, D = pos_feats.shape[1], pos_feats.shape[2]
+
+    fc_params = {k: params["params"][k] for k in params["params"]
+                 if k.startswith("fc")}
+    momentum = jax.tree.map(jnp.zeros_like, fc_params)
+    fc_params, momentum, _, _ = _fc_train(
+        rt, model, params, fc_params, momentum,
+        pos_feats, jnp.ones(pos_feats.shape[0]),
+        neg_feats, jnp.ones(neg_feats.shape[0]),
+        rt.init_iters, rt.lr_init, rng,
+        inject_idx=inject_idx, dropout=dropout)
+    momentum = jax.tree.map(jnp.zeros_like, momentum)  # fresh update optim
+
+    bb_feats = _embed_patches(rt, model, params, bbreg_patches)
+    Xb = bb_feats.sum(axis=1)
+    Yb = _bbreg_targets(bbreg_boxes, init_box)
+    ious = _iou(bbreg_boxes, init_box)
+    s = (bbreg_boxes[:, 2] * bbreg_boxes[:, 3]) / (init_box[2] * init_box[3])
+    bb_valid = ((ious >= rt.bbreg_overlap[0]) & (ious <= rt.bbreg_overlap[1])
+                & (s >= rt.bbreg_scale_range[0])
+                & (s <= rt.bbreg_scale_range[1])).astype(jnp.float32)
+    bb_alpha, Xb_c, bb_mu_x, bb_mu_y = _ridge_fit(Xb, Yb, rt.bbreg_lambda,
+                                                  valid=bb_valid)
+
+    pos_mem = jnp.zeros((rt.n_frames_long, rt.n_pos_update, S, D),
+                        jnp.float32)
+    neg_mem = jnp.zeros((rt.n_frames_short, rt.n_neg_update, S, D),
+                        jnp.float32)
+    neg_mem = neg_mem.at[0].set(
+        _embed_patches(rt, model, params, neg_upd_patches))
+
+    return {
+        "box": init_box.astype(jnp.float32),
+        "pos_init": pos_feats,
+        "fc": fc_params, "momentum": momentum,
+        "pos_mem": pos_mem, "neg_mem": neg_mem,
+        "pos_count": jnp.asarray(1, jnp.int32),
+        "neg_count": jnp.asarray(1, jnp.int32),
+        "trans_f": jnp.asarray(rt.trans, jnp.float32),
+        "frame_num": jnp.asarray(1, jnp.int32),
+        "bbreg_X": Xb_c, "bbreg_alpha": bb_alpha,
+        "bbreg_mu_x": bb_mu_x, "bbreg_mu_y": bb_mu_y,
+        "rng": rng,
+        "g_state": {},
+    }
+
+
+def mdnet_track_step(rt: MDNetRuntime, model: MDNet, params, state, frame,
+                     gnet=None):
+    """Production step: device crops for candidates and update samples."""
+    H, W = frame.shape[0], frame.shape[1]
+    img_hw = (H, W)
+    state = {**state, "frame_num": state["frame_num"] + 1}
+    rng, r_cand, r_pos, r_neg, r_train = jax.random.split(state["rng"], 5)
+    state = {**state, "rng": rng}
+
+    cands = _gaussian_boxes(r_cand, state["box"], rt.batch_test,
+                            state["trans_f"], rt.scale_f, img_hw)
+    feats = _extract_patches(rt, model, params, frame, cands)
+
+    def collect_fn(raw_box):
+        pos_boxes = _sample_filtered(
+            r_pos, lambda r, n: _gaussian_boxes(r, raw_box, n, rt.trans_pos,
+                                                rt.scale_pos, img_hw),
+            raw_box, rt.n_pos_update, rt.overlap_pos)
+        neg_boxes = _sample_filtered(
+            r_neg, lambda r, n: _uniform_boxes(r, raw_box, n, rt.trans_neg,
+                                               rt.scale_neg, img_hw),
+            raw_box, rt.n_neg_update, (0.0, 0.3))
+        return (_extract_patches(rt, model, params, frame, pos_boxes),
+                _extract_patches(rt, model, params, frame, neg_boxes))
+
+    state, box, mean_score, _ = _mdnet_core(
+        rt, model, params, state, cands, feats, img_hw, collect_fn, r_train,
+        gnet=gnet)
     return state, box, mean_score
+
+
+def _embed_patches(rt: MDNetRuntime, model, params, patches):
+    """Embed injected raw crops (N, 107, 107, C) on the 0..255 scale —
+    the RegionExtractor path minus the crop (data_prov.py:50: float - 128)."""
+    def embed(ps):
+        return model.apply(params, ps - 128.0,
+                           method=type(model).extract_features)
+    n = patches.shape[0]
+    if n <= rt.extract_chunk:
+        return embed(patches)
+    pad = (-n) % rt.extract_chunk
+    padded = jnp.concatenate(
+        [patches, jnp.zeros((pad, *patches.shape[1:]), patches.dtype)])
+    chunks = padded.reshape(-1, rt.extract_chunk, *patches.shape[1:])
+    out = jax.lax.map(embed, chunks)
+    return out.reshape(-1, *out.shape[2:])[:n]
+
+
+def mdnet_step_from_patches(rt: MDNetRuntime, model: MDNet, params, state,
+                            cand_boxes, cand_patches, pos_patches,
+                            neg_patches, im_hw, inject_idx=None,
+                            dropout=True):
+    """Parity-harness step: candidate boxes + raw crops and the update
+    pos/neg crops are injected (the reference's own SampleGenerator draws
+    and crop_image2 crops), as are the training batch index streams."""
+    state = {**state, "frame_num": state["frame_num"] + 1}
+    rng, r_train = jax.random.split(state["rng"])
+    state = {**state, "rng": rng}
+    feats = _embed_patches(rt, model, params, cand_patches)
+
+    def collect_fn(raw_box):
+        return (_embed_patches(rt, model, params, pos_patches),
+                _embed_patches(rt, model, params, neg_patches))
+
+    return _mdnet_core(rt, model, params, state, cand_boxes, feats, im_hw,
+                       collect_fn, r_train, inject_idx=inject_idx,
+                       dropout=dropout)
 
 
 class MDNetTracker:

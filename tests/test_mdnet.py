@@ -78,15 +78,15 @@ def test_bbreg_roundtrip_and_ridge():
     boxes = jnp.asarray(rng.uniform(25, 45, (30, 2)))
     boxes = jnp.concatenate([boxes, jnp.asarray(rng.uniform(15, 30, (30, 2)))], axis=1)
     t = _bbreg_targets(boxes, gt)
-    back = _bbreg_apply(boxes, t)
+    back = _bbreg_apply(boxes, t, (480.0, 640.0))
     np.testing.assert_allclose(np.asarray(back), np.tile(np.asarray(gt), (30, 1)),
                                rtol=1e-4, atol=1e-3)
-    # ridge recovers a linear map
+    # centered ridge recovers an affine map (== sklearn Ridge w/ intercept)
     X = jnp.asarray(rng.randn(60, 16).astype(np.float32))
     Wtrue = jnp.asarray(rng.randn(16, 4).astype(np.float32))
-    Y = X @ Wtrue
-    alpha = _ridge_fit(X, Y, 1e-4)
-    pred = (X @ X.T) @ alpha
+    Y = X @ Wtrue + 3.0
+    alpha, Xc, mu_x, mu_y = _ridge_fit(X, Y, 1e-4)
+    pred = ((X - mu_x) @ Xc.T) @ alpha + mu_y
     np.testing.assert_allclose(np.asarray(pred), np.asarray(Y), atol=1e-2)
 
 
@@ -163,3 +163,31 @@ def test_extract_patches_chunked_matches_unchunked():
     # that scheduling noise only (values are O(50))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_crop_image2_dev_matches_cv2():
+    """The device crop must reproduce crop_image2 (pyMDNet modules/
+    utils.py:29-91): anisotropic padded-box warp at integer dst coords,
+    cv2's Scalar(128,0,0) border quirk included. Sub-LSB tolerance covers
+    cv2's 5-bit fixed-point interpolation + uint8 rounding."""
+    cv2 = pytest.importorskip("cv2")
+    from mmtrack_tpu.trackers.mdnet_tracker import _crop_image2_dev
+
+    rt = MDNetRuntime()
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (120, 160, 3)).astype(np.uint8)
+    for bbox in ([40.0, 30.0, 36.0, 22.0], [-5.0, 100.0, 50.0, 40.0],
+                 [130.0, 90.0, 60.0, 55.0], [10.0, 5.0, 15.0, 80.0]):
+        x, y, w, h = np.array(bbox, dtype="float32")
+        cx, cy = x + w / 2, y + h / 2
+        w2, h2 = w + 2 * 16 * w / 107, h + 2 * 16 * h / 107
+        t = np.asarray([[1, 0, -cx], [0, 1, -cy], [0, 0, 1]], np.float32)
+        s = np.asarray([[107 / w2, 0, 0], [0, 107 / h2, 0], [0, 0, 1]],
+                       np.float32)
+        r = np.asarray([[1, 0, 107 / 2], [0, 1, 107 / 2], [0, 0, 1]],
+                       np.float32)
+        ref = cv2.warpPerspective(img, r @ s @ t, (107, 107),
+                                  borderValue=128)
+        ours = np.asarray(_crop_image2_dev(rt, jnp.asarray(img),
+                                           jnp.asarray(bbox)))
+        assert np.abs(ours - ref.astype(np.float32)).max() <= 0.51, bbox
