@@ -109,12 +109,17 @@ class MDNet(nn.Module):
       'adapter' — shared trunk + per-modality adapters, conv3 concat -> fc
                   (MANet forward, MANet3x1x1_IC.py:210-260)
 
+    fc6_merge selects how the per-stream fc5 outputs feed fc6: 'concat'
+    (pyMDNet — Linear(512*2, 2), model.py:67) or 'sum' (pyVITAL —
+    Linear(512, 2) on x_vis + x_event, pyVITAL model.py:67,137).
+
     Tracking API: extract_features(patches) -> cached conv features;
     score(feats, ...) -> (N, 2) logits; only fc4/fc5/fc6 carry online
     gradients (set_learnable_params('fc') analog via an optimizer mask).
     """
     mode: str = "dual"
     num_branches: int = 1
+    fc6_merge: str = "concat"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -168,7 +173,10 @@ class MDNet(nn.Module):
             keep = jax.random.bernoulli(dropout_rng, 0.5, h.shape)
             h = jnp.where(keep, h / 0.5, 0.0)
         h = nn.relu(self.fc5(h))
-        h = h.reshape(h.shape[0], -1)  # concat streams (dual: 512*2)
+        if self.fc6_merge == "sum":    # pyVITAL: fc6 on x_vis + x_event
+            h = h.sum(axis=1)
+        else:
+            h = h.reshape(h.shape[0], -1)  # concat streams (dual: 512*2)
         # the reference branch head is Sequential(Dropout(0.5), Linear)
         # (pyMDNet model.py:65-66) — fc6 input is dropped during training
         if train and dropout_rng is not None:

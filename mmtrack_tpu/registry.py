@@ -236,15 +236,40 @@ def _siamfc():
     return build
 
 
-def _mdnet(mode: str, vital: bool = False):
+def _mdnet(mode: str, vital: bool = False, manet: bool = False):
     def build(seed=0, params=None):
         from mmtrack_tpu.models.mdnet import MDNet
         from mmtrack_tpu.trackers.mdnet_tracker import MDNetRuntime, MDNetTracker
-        model = MDNet(mode=mode)
+        # pyVITAL merges the two streams into fc6 by SUM (model.py:67,137)
+        # where pyMDNet concatenates
+        model = MDNet(mode=mode, fc6_merge="sum" if vital else "concat")
         if params is None:
             x = jnp.zeros((1, 107, 107, 6))
             params = jax.jit(lambda r: model.init(r, x))(jax.random.PRNGKey(seed))
-        return MDNetTracker(model, params, MDNetRuntime(vital=vital))
+        if manet:
+            # MANet's published online protocol (tracking/options.py +
+            # run_tracker.py): 512 candidates, init 500/5000 x 30 iters at
+            # lr 1e-4, updates at lr 2e-4 with a 20-frame short window and
+            # 10-frame long interval, sum-form BinaryLoss, memories seeded
+            # from the init-set slices (:180-181), result reverted to the
+            # previous frame at failure with a hard trans_f_expand spread
+            # (:237-256)
+            rt = MDNetRuntime(
+                n_samples=512, lr_init=1e-4, init_iters=30, lr_update=2e-4,
+                n_frames_short=20, long_interval=10,
+                scale_pos=1.2, trans_neg=1.5, scale_neg=1.2,
+                trans_neg_init=1.0, scale_neg_init=2.0, scale_bbreg=1.5,
+                loss_sum=True, manet_seed_memory=True, bbreg_reject=True,
+                revert_on_failure=True, hard_trans_expand=True)
+        elif vital:
+            # pyVITAL's published constants (tracking/options.yaml): focal
+            # BCE for init AND online updates (modules/model.py:159-171),
+            # lr_init 5e-3, lr_update 5e-4, lr_g 2e-4
+            rt = MDNetRuntime(vital=True, loss_focal=True,
+                              lr_init=5e-3, lr_update=5e-4, lr_g=2e-4)
+        else:
+            rt = MDNetRuntime()
+        return MDNetTracker(model, params, rt)
     return build
 
 
@@ -398,7 +423,7 @@ TRACKER_REGISTRY: dict[str, TrackerRecipe] = {
     # pyVITAL: dual MDNet + adversarial GNet masking in the online protocol
     # (g_pretrain at init + masked positives + G updates; models/vital.py)
     "pyvital": TrackerRecipe(_mdnet("dual", vital=True), "rgbe", "mdnet"),
-    "manet": TrackerRecipe(_mdnet("adapter"), "rgbe", "mdnet"),
+    "manet": TrackerRecipe(_mdnet("adapter", manet=True), "rgbe", "mdnet"),
     "apfnet": TrackerRecipe(_apfnet(), "rgbt", "mdnet"),
     "dafnet": TrackerRecipe(_dafnet(), "rgbt", "mdnet"),
     "macnet": TrackerRecipe(_macnet(), "rgbt", "mdnet"),

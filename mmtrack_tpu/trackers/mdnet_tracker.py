@@ -33,6 +33,7 @@ class MDNetRuntime:
     img_size: int = 107
     padding: int = 16
     batch_test: int = 256
+    n_samples: int = 256             # per-frame candidates (MANet: 512)
     trans: float = 0.6
     trans_f_expand: float = 1.5
     scale_f: float = 1.05
@@ -77,6 +78,31 @@ class MDNetRuntime:
     # g_pretrain at init): the GNet proposes (3,3) feature drop masks; the
     # classifier trains on masked positives, G trains to minimize the
     # classifier's positive score.
+    # MANet failure semantics (RGBE/models/MANet/tracking/run_tracker.py):
+    # the reported AND sampling boxes revert to the previous frame's result
+    # at failure (:252-256), and the candidate spread is hard-set to
+    # trans_f_expand (:239) instead of pyMDNet's gradual 1.1x expand walk.
+    revert_on_failure: bool = False
+    hard_trans_expand: bool = False
+    # MANet's BinaryLoss is the raw SUM of per-sample BCE terms
+    # (MANet3x1x1_IC.py:308-317) where pyMDNet's BCELoss divides by the
+    # combined count (model.py:162-170) — with grad_clip at 10 the sum
+    # saturates the clip nearly every step, so the two are NOT equivalent.
+    loss_sum: bool = False
+    # pyVITAL's BCELoss is focal-style with gamma=1 — (1-p) * (-log p) per
+    # sample on both the target and background terms, combined-count mean
+    # (pyVITAL modules/model.py:159-171) — used for its init AND online
+    # updates, not just the adversarial phase.
+    loss_focal: bool = False
+    # MANet seeds the update memories with the FIRST n_pos_update /
+    # n_neg_update rows of the init training sets (run_tracker.py:180-181:
+    # pos_feats_all = [pos_feats[:50]]) — pyMDNet keeps the full 500-row
+    # init entry and draws a fresh 200-negative update set.
+    manet_seed_memory: bool = False
+    # MANet's BBRegressor.predict (tracking/bbreg.py:35-55) REVERTS refined
+    # boxes whose overlap/scale vs the pre-refine box falls outside the
+    # trainer's filter ranges, then clamps; pyMDNet's predict only clamps.
+    bbreg_reject: bool = False
     vital: bool = False
     vital_drop_cells: int = 3      # lowest-G cells dropped (lines 113-127)
     vital_feat_hw: int = 3
@@ -284,7 +310,8 @@ def _apply_cell_mask(rt: MDNetRuntime, feats, mask):
 
 def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
               pos_feats, pos_valid, neg_feats, neg_valid, n_iter, lr, rng,
-              gnet=None, g_state=None, inject_idx=None, dropout=True):
+              gnet=None, g_state=None, inject_idx=None, dropout=True,
+              vital_active=True, inject_masks=None):
     """SGD+momentum fine-tuning with hard-negative mining (pyMDNet train(),
     run_tracker.py:52-117). pos/neg_feats: (Np, S, D)/(Nn, S, D) with
     validity masks; n_iter may be traced (0 = no-op).
@@ -299,14 +326,23 @@ def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
     dropout=False disables fc dropout (the harness runs both sides
     deterministic). With rt.vital (gnet + g_state given), positives are
     adversarially masked by GNet before the classifier loss, and G takes
-    its own SGD steps against the updated classifier afterwards. Returns
-    (fc, momentum, rng, g_state)."""
+    its own SGD steps against the updated classifier afterwards — but ONLY
+    when vital_active (a traced bool): the reference engages model_g on
+    LONG-TERM updates alone (pyVITAL run_tracker.py:373 passes None on the
+    short-term/failure path, :382 passes model_g on the long-term path).
+    inject_masks ((T, batch_pos, hw, hw), parity harness) replaces the
+    GNet-derived drop masks with the reference's own captured ASDN masks.
+    Returns (fc, momentum, rng, g_state)."""
     use_vital = rt.vital and gnet is not None and g_state is not None
 
-    def loss_fn(fc, pos_idx, neg_idx, drop_rng, g_params):
+    def loss_fn(fc, pos_idx, neg_idx, drop_rng, g_params, iter_mask):
         pf = pos_feats[pos_idx]
-        if use_vital:
-            pf = _apply_cell_mask(rt, pf, _vital_drop_mask(rt, gnet, g_params, pf))
+        if inject_masks is not None:
+            pf = _apply_cell_mask(rt, pf, iter_mask)
+        elif use_vital:
+            mask = _vital_drop_mask(rt, gnet, g_params, pf)
+            mask = jnp.where(vital_active, mask, jnp.ones_like(mask))
+            pf = _apply_cell_mask(rt, pf, mask)
         nf = neg_feats[neg_idx]
         r1, r2 = jax.random.split(drop_rng)
         pos_logits = _score_fn(model, params, fc, pf, rng=r1, train=dropout)
@@ -315,8 +351,14 @@ def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
         # BCELoss normalizes by the COMBINED count (model.py:162-170:
         # (pos.sum()+neg.sum())/(Npos+Nneg)) — per-set means would weight
         # each positive 3x a negative at the canonical 32/96 batch
-        pos_l = -jax.nn.log_softmax(pos_logits)[:, 1].sum()
-        neg_l = -jax.nn.log_softmax(neg_logits)[:, 0].sum()
+        pos_lp = -jax.nn.log_softmax(pos_logits)[:, 1]
+        neg_lp = -jax.nn.log_softmax(neg_logits)[:, 0]
+        if rt.loss_focal:   # pyVITAL: (1-p) * (-log p), gamma-1 focal
+            pos_lp = (1.0 - jax.nn.softmax(pos_logits)[:, 1]) * pos_lp
+            neg_lp = (1.0 - jax.nn.softmax(neg_logits)[:, 0]) * neg_lp
+        pos_l, neg_l = pos_lp.sum(), neg_lp.sum()
+        if rt.loss_sum:   # MANet BinaryLoss: raw sum, no normalization
+            return pos_l + neg_l
         n = pos_logits.shape[0] + neg_logits.shape[0]
         return (pos_l + neg_l) / n
 
@@ -344,7 +386,9 @@ def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
         neg_idx = cand_idx[top]
 
         g_params = g_st["g"] if use_vital else None
-        grads = jax.grad(loss_fn)(fc, pos_idx, neg_idx, r_drop, g_params)
+        iter_mask = inject_masks[i] if inject_masks is not None else None
+        grads = jax.grad(loss_fn)(fc, pos_idx, neg_idx, r_drop, g_params,
+                                  iter_mask)
         # clip_grad_norm_ over the data gradient, THEN weight decay — the
         # torch order (run_tracker.py:115 clips before optimizer.step,
         # which adds wd inside)
@@ -387,7 +431,9 @@ def _fc_train(rt: MDNetRuntime, model, params, fc_params, momentum,
             g = jax.tree.map(lambda p, m: p - rt.lr_g * m, g_st["g"], g_mom)
             return {"g": g, "g_mom": g_mom}, rng
 
-        g_iters = jnp.where(n_iter > 0, rt.g_update_iters, 0)
+        # G only steps on long-term updates (run_tracker.py:382)
+        g_iters = jnp.where((n_iter > 0) & jnp.asarray(vital_active),
+                            rt.g_update_iters, 0)
         g_state, rng = jax.lax.fori_loop(0, g_iters, g_body, (g_state, rng))
 
     return fc_params, momentum, rng, g_state
@@ -420,6 +466,34 @@ def _bbreg_apply(boxes, deltas, img_hw):
     w = jnp.minimum(w, W - boxes[:, 0])
     h = jnp.minimum(h, H - boxes[:, 1])
     return jnp.stack([x, y, w, h], axis=1)
+
+
+def _bbreg_apply_manet(rt, boxes, deltas, img_hw):
+    """MANet BBRegressor.predict (MANet tracking/bbreg.py:35-55): refine
+    WITHOUT clamps, revert any box whose IoU with the pre-refine box leaves
+    rt.bbreg_overlap or whose (old area / new area) ratio leaves
+    rt.bbreg_scale_range, then clamp xy >= 0 and wh <= img - OLD top-left."""
+    cx = boxes[:, 0] + boxes[:, 2] / 2 + deltas[:, 0] * boxes[:, 2]
+    cy = boxes[:, 1] + boxes[:, 3] / 2 + deltas[:, 1] * boxes[:, 3]
+    w = boxes[:, 2] * jnp.exp(deltas[:, 2])
+    h = boxes[:, 3] * jnp.exp(deltas[:, 3])
+    ref = jnp.stack([cx - w / 2, cy - h / 2, w, h], axis=1)
+    x1 = jnp.maximum(boxes[:, 0], ref[:, 0])
+    y1 = jnp.maximum(boxes[:, 1], ref[:, 1])
+    x2 = jnp.minimum(boxes[:, 0] + boxes[:, 2], ref[:, 0] + ref[:, 2])
+    y2 = jnp.minimum(boxes[:, 1] + boxes[:, 3], ref[:, 1] + ref[:, 3])
+    inter = jnp.clip(x2 - x1, 0) * jnp.clip(y2 - y1, 0)
+    union = boxes[:, 2] * boxes[:, 3] + ref[:, 2] * ref[:, 3] - inter
+    r = inter / jnp.maximum(union, 1e-9)
+    s = (boxes[:, 2] * boxes[:, 3]) / jnp.maximum(ref[:, 2] * ref[:, 3], 1e-9)
+    keep = ((r >= rt.bbreg_overlap[0]) & (r <= rt.bbreg_overlap[1])
+            & (s >= rt.bbreg_scale_range[0]) & (s <= rt.bbreg_scale_range[1]))
+    out = jnp.where(keep[:, None], ref, boxes)
+    H, W = img_hw
+    xy = jnp.maximum(out[:, :2], 0.0)
+    wh = jnp.minimum(out[:, 2:], jnp.stack(
+        [W - boxes[:, 0], H - boxes[:, 1]], axis=1))
+    return jnp.concatenate([xy, wh], axis=1)
 
 
 def _ridge_fit(X, Y, lam, valid=None):
@@ -558,16 +632,25 @@ def mdnet_init_state(rt: MDNetRuntime, model: MDNet, params, frame,
     # n_frames_short frames of negatives (:272-274).
     pos_mem = jnp.zeros((rt.n_frames_long, rt.n_pos_update, S, D), jnp.float32)
     neg_mem = jnp.zeros((rt.n_frames_short, rt.n_neg_update, S, D), jnp.float32)
-    neg_upd_boxes = _sample_filtered(
-        rngs[7], lambda r, n: _uniform_boxes(r, init_box, n, rt.trans_neg,
-                                             rt.scale_neg, img_hw),
-        init_box, rt.n_neg_update, rt.overlap_neg)
-    neg_mem = neg_mem.at[0].set(
-        _extract_patches(rt, model, params, frame, neg_upd_boxes))
+    if rt.manet_seed_memory:
+        # MANet seeds both memories with slices of the init training sets
+        # (run_tracker.py:180-181) — entry 0 is a normal n_pos_update-row
+        # entry, not pyMDNet's full init batch
+        pos_pool0 = pos_feats[:rt.n_pos_update]
+        neg_mem = neg_mem.at[0].set(neg_feats[:rt.n_neg_update])
+    else:
+        pos_pool0 = pos_feats
+        neg_upd_boxes = _sample_filtered(
+            rngs[7], lambda r, n: _uniform_boxes(r, init_box, n, rt.trans_neg,
+                                                 rt.scale_neg, img_hw),
+            init_box, rt.n_neg_update, rt.overlap_neg)
+        neg_mem = neg_mem.at[0].set(
+            _extract_patches(rt, model, params, frame, neg_upd_boxes))
 
     return {
         "box": init_box.astype(jnp.float32),
-        "pos_init": pos_feats,
+        "report_box": init_box.astype(jnp.float32),
+        "pos_init": pos_pool0,
         "fc": fc_params, "momentum": momentum,
         "pos_mem": pos_mem, "neg_mem": neg_mem,
         "pos_count": jnp.asarray(1, jnp.int32),
@@ -583,7 +666,7 @@ def mdnet_init_state(rt: MDNetRuntime, model: MDNet, params, frame,
 
 def _mdnet_core(rt: MDNetRuntime, model: MDNet, params, state, cands, feats,
                 img_hw, collect_fn, r_train, inject_idx=None, dropout=True,
-                gnet=None):
+                gnet=None, inject_masks=None):
     """Shared per-frame protocol given candidate boxes + features.
 
     `collect_fn(raw_box) -> (pos_f, neg_f)` supplies the update-sample
@@ -604,16 +687,27 @@ def _mdnet_core(rt: MDNetRuntime, model: MDNet, params, state, cands, feats,
     Xq = feats[top_idx].sum(axis=1)
     deltas = (((Xq - state["bbreg_mu_x"]) @ state["bbreg_X"].T)
               @ state["bbreg_alpha"] + state["bbreg_mu_y"])
-    refined = _bbreg_apply(top_boxes, deltas, img_hw).mean(axis=0)
+    refined = (_bbreg_apply_manet(rt, top_boxes, deltas, img_hw)
+               if rt.bbreg_reject
+               else _bbreg_apply(top_boxes, deltas, img_hw)).mean(axis=0)
 
-    box = jnp.where(success, refined, state["box"])
-    raw_box = jnp.where(success, new_box, state["box"])
-    # expand the candidate spread gradually on failure
-    # (sample_generator.py:95 expand_trans: min(trans*1.1, trans_limit))
-    state = {**state, "box": raw_box,
-             "trans_f": jnp.where(
-                 success, rt.trans,
-                 jnp.minimum(state["trans_f"] * 1.1, rt.trans_f_expand))}
+    if rt.revert_on_failure:
+        # MANet: both boxes revert to the previous frame's results at
+        # failure (run_tracker.py:252-256)
+        box = jnp.where(success, refined, state["report_box"])
+        raw_box = jnp.where(success, new_box, state["box"])
+    else:
+        # pyMDNet overwrites the box with the top-5 mean even on failure
+        # (run_tracker.py:234-237; bbreg skipped -> bbreg_bbox = target_bbox
+        # at :255; same in pyVITAL:320 and APFNet Run.py:245)
+        box = jnp.where(success, refined, new_box)
+        raw_box = new_box
+    # candidate spread on failure: hard set (MANet :239) or the gradual
+    # expand walk (sample_generator.py:95 expand_trans: min(trans*1.1, cap))
+    trans_fail = (rt.trans_f_expand if rt.hard_trans_expand
+                  else jnp.minimum(state["trans_f"] * 1.1, rt.trans_f_expand))
+    state = {**state, "box": raw_box, "report_box": box,
+             "trans_f": jnp.where(success, rt.trans, trans_fail)}
 
     # collect samples on success (options.yaml: trans_pos/scale_pos,
     # trans_neg/scale_neg, overlap_neg_update)
@@ -678,7 +772,8 @@ def _mdnet_core(rt: MDNetRuntime, model: MDNet, params, state, cands, feats,
         pos_flat, pos_valid, neg_flat, neg_valid,
         n_iter, rt.lr_update, r_train,
         gnet=gnet, g_state=state["g_state"] if state["g_state"] else None,
-        inject_idx=inject_idx, dropout=dropout)
+        inject_idx=inject_idx, dropout=dropout,
+        vital_active=success & long_update, inject_masks=inject_masks)
     state = {**state, "fc": fc, "momentum": mom,
              "g_state": g_state if g_state else state["g_state"]}
 
@@ -725,12 +820,18 @@ def mdnet_init_from_patches(rt: MDNetRuntime, model: MDNet, params,
                         jnp.float32)
     neg_mem = jnp.zeros((rt.n_frames_short, rt.n_neg_update, S, D),
                         jnp.float32)
-    neg_mem = neg_mem.at[0].set(
-        _embed_patches(rt, model, params, neg_upd_patches))
+    if rt.manet_seed_memory:
+        pos_pool0 = pos_feats[:rt.n_pos_update]
+        neg_mem = neg_mem.at[0].set(neg_feats[:rt.n_neg_update])
+    else:
+        pos_pool0 = pos_feats
+        neg_mem = neg_mem.at[0].set(
+            _embed_patches(rt, model, params, neg_upd_patches))
 
     return {
         "box": init_box.astype(jnp.float32),
-        "pos_init": pos_feats,
+        "report_box": init_box.astype(jnp.float32),
+        "pos_init": pos_pool0,
         "fc": fc_params, "momentum": momentum,
         "pos_mem": pos_mem, "neg_mem": neg_mem,
         "pos_count": jnp.asarray(1, jnp.int32),
@@ -753,7 +854,7 @@ def mdnet_track_step(rt: MDNetRuntime, model: MDNet, params, state, frame,
     rng, r_cand, r_pos, r_neg, r_train = jax.random.split(state["rng"], 5)
     state = {**state, "rng": rng}
 
-    cands = _gaussian_boxes(r_cand, state["box"], rt.batch_test,
+    cands = _gaussian_boxes(r_cand, state["box"], rt.n_samples,
                             state["trans_f"], rt.scale_f, img_hw)
     feats = _extract_patches(rt, model, params, frame, cands)
 
@@ -795,10 +896,11 @@ def _embed_patches(rt: MDNetRuntime, model, params, patches):
 def mdnet_step_from_patches(rt: MDNetRuntime, model: MDNet, params, state,
                             cand_boxes, cand_patches, pos_patches,
                             neg_patches, im_hw, inject_idx=None,
-                            dropout=True):
+                            dropout=True, inject_masks=None):
     """Parity-harness step: candidate boxes + raw crops and the update
     pos/neg crops are injected (the reference's own SampleGenerator draws
-    and crop_image2 crops), as are the training batch index streams."""
+    and crop_image2 crops), as are the training batch index streams (and,
+    for the VITAL check, the reference's own per-iter ASDN drop masks)."""
     state = {**state, "frame_num": state["frame_num"] + 1}
     rng, r_train = jax.random.split(state["rng"])
     state = {**state, "rng": rng}
@@ -810,7 +912,7 @@ def mdnet_step_from_patches(rt: MDNetRuntime, model: MDNet, params, state,
 
     return _mdnet_core(rt, model, params, state, cand_boxes, feats, im_hw,
                        collect_fn, r_train, inject_idx=inject_idx,
-                       dropout=dropout)
+                       dropout=dropout, inject_masks=inject_masks)
 
 
 class MDNetTracker:

@@ -93,7 +93,7 @@ def test_bbreg_roundtrip_and_ridge():
 @pytest.mark.slow
 def test_mdnet_tracker_end_to_end():
     rt = MDNetRuntime(n_init_pos=64, n_init_neg=128, init_iters=3,
-                      update_iters=2, batch_test=64, batch_pos=8,
+                      update_iters=2, batch_test=64, n_samples=64, batch_pos=8,
                       batch_neg=16, batch_neg_cand=64, n_pos_update=8,
                       n_neg_update=16, n_frames_long=6, n_frames_short=3,
                       n_bbreg=32, long_interval=2)
@@ -117,11 +117,15 @@ def test_pyvital_adversarial_protocol():
     """pyVITAL: the GNet is pretrained at init, masks positives during
     updates, and is itself updated adversarially (run_tracker.py:83-151,
     251). The recipe must actually exercise models/vital.py."""
+    # G engages only on LONG-TERM updates (pyVITAL run_tracker.py:373
+    # passes model_g=None on the short-term/failure path, :382 passes it
+    # on the long-interval path) — success_thr=-inf forces every frame to
+    # succeed so the long_interval=2 cadence deterministically fires
     rt = MDNetRuntime(n_init_pos=64, n_init_neg=128, init_iters=3,
-                      update_iters=2, batch_test=64, batch_pos=8,
+                      update_iters=2, batch_test=64, n_samples=64, batch_pos=8,
                       batch_neg=16, batch_neg_cand=64, n_pos_update=8,
                       n_neg_update=16, n_frames_long=6, n_frames_short=3,
-                      n_bbreg=32, long_interval=2,
+                      n_bbreg=32, long_interval=2, success_thr=-1e9,
                       vital=True, g_pretrain_iters=3, g_update_iters=1)
     model = MDNet(mode="dual")
     x = jnp.zeros((1, 107, 107, 6))

@@ -24,7 +24,7 @@ def test_dafnet_macnet_forward():
 
 def test_dafnet_runs_mdnet_protocol():
     rt = MDNetRuntime(n_init_pos=32, n_init_neg=64, init_iters=2,
-                      update_iters=1, batch_test=32, batch_pos=4,
+                      update_iters=1, batch_test=32, n_samples=32, batch_pos=4,
                       batch_neg=8, batch_neg_cand=32, n_pos_update=4,
                       n_neg_update=8, n_frames_long=4, n_frames_short=2,
                       n_bbreg=16, long_interval=2)
