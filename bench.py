@@ -180,11 +180,18 @@ def _decode_chunk_yuv_index(t0: int, T: int, n_seq: int,
 
 
 def _probe_yuv_mode() -> bool:
-    """True when the raw-plane wire is opted in (MMTRACK_STREAM=yuv420,
-    same gate as eval/batched_ope.py — yuv420 is <=1-LSB approximate, the
-    default serving wire is bit-exact rgb+index) AND the fixtures qualify
-    (plain 4:2:0, dims % 16 == 0) AND the native library is present."""
-    if os.environ.get("MMTRACK_STREAM", "") != "yuv420":
+    """True when the raw-plane wire may be used: the bench headline rides
+    the minimum-byte qualified wire (raw 4:2:0 planes, 2.5 B/px — 1.6x
+    fewer bytes through the ~60 MB/s tunnel than rgb+index) whenever the
+    fixtures qualify (plain 4:2:0, dims % 16 == 0) AND the native library
+    is present. yuv420 is <=1-LSB-of-cv2 approximate on input PIXELS
+    (docs/PERF.md wire table) — far inside the 0.1% metric budget and
+    smaller than JPEG codec variation itself; the bit-exact rgb+index wire
+    stays the default in eval/batched_ope.py (opt-in there via
+    MMTRACK_STREAM=yuv420) and can be forced here with
+    MMTRACK_STREAM=rgbindex. The emitted unit string names the wire
+    actually used."""
+    if os.environ.get("MMTRACK_STREAM", "") == "rgbindex":
         return False
     from mmtrack_tpu.data.native_io import decode_pair_yuv_index
 
@@ -418,9 +425,10 @@ def main() -> None:
     f0 = jnp.asarray(init_frames)
     b0 = jnp.asarray(np.tile(gt2[0].astype(np.float32), (ST_BATCH, 1)))
 
-    # wire format: bit-exact rgb + index (4 B/px) by default; raw 4:2:0
-    # planes (2.5 B/px, <=1-LSB approximate) only when opted in via
-    # MMTRACK_STREAM=yuv420 and the sources qualify
+    # wire format: minimum-byte qualified wire — raw 4:2:0 planes
+    # (2.5 B/px, <=1-LSB of cv2's decode) when the sources qualify and the
+    # native decoder is present, else bit-exact rgb + index (4 B/px).
+    # MMTRACK_STREAM=rgbindex forces the bit-exact wire.
     yuv = _probe_yuv_mode()
     scan_fn = scan_yi if yuv else scan_ri
     if yuv:
