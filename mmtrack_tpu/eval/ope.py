@@ -76,19 +76,35 @@ def result_path(results_root: str, dataset: str, config_name: str, seq_name: str
     return os.path.join(results_root, dataset, config_name, f"{seq_name}.txt")
 
 
-def save_result(path: str, result: dict, fmt: str = "%.14f", delimiter: str = ",") -> None:
+def save_result(path: str, result: dict, fmt: str = "%.14f", delimiter: str = ",",
+                time_style: str = "value") -> None:
     """Write the reference result layout: one xywh row per frame, row 0 = GT
     init box, plus companion *_time.value and *_confidence.value files
-    (pytracking running.py:77-113)."""
+    (pytracking running.py:77-113).
+
+    time_style="txt" switches the timing companion to the pytracking
+    save_time format — <seq>_time.txt, '%f' (OSTrack
+    lib/test/evaluation/running.py:30-32) — which the GOT-10k/TrackingNet
+    submission packagers (eval/submission.py) consume. Int box formats
+    ("%d") truncate like the reference's astype(int) in save_bb
+    (running.py:26-28).
+    """
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    np.savetxt(path, result["boxes"], fmt=fmt, delimiter=delimiter)
+    boxes = result["boxes"]
+    if fmt == "%d":
+        boxes = np.asarray(boxes).astype(int)
+    np.savetxt(path, boxes, fmt=fmt, delimiter=delimiter)
     base = path[:-4]
     # reference format: ONE execution time PER FRAME (pytracking
     # running.py save_time writes the full exec_times vector); per-frame
     # times are reconstructed as the mean when only the total was timed
     n = max(len(result["boxes"]), 1)
     times = result.get("times", np.full(n, result["elapsed"] / n))
-    np.savetxt(base + "_time.value", times, fmt="%.8f")
+    if time_style == "txt":
+        np.savetxt(base + "_time.txt", np.asarray(times, float),
+                   delimiter="\t", fmt="%f")
+    else:
+        np.savetxt(base + "_time.value", times, fmt="%.8f")
     np.savetxt(base + "_confidence.value",
                np.concatenate(([1.0], result["confidences"])), fmt="%.8f")
 
@@ -106,7 +122,8 @@ def run_dataset(tracker_factory, sequences: list[EvalSequence], results_root: st
             continue
         tracker = tracker_factory()
         res = run_sequence(tracker, seq)
-        save_result(path, res, fmt=seq.save_fmt, delimiter=seq.save_delimiter)
+        save_result(path, res, fmt=seq.save_fmt, delimiter=seq.save_delimiter,
+                    time_style=seq.time_style)
         if verbose:
             print(f"{seq.name} , fps:{res['fps']:.2f}")
         outputs.append(res)
