@@ -76,7 +76,9 @@ def half_to_full(c: np.ndarray) -> np.ndarray:
     return full
 
 
-def run_reference(tracker_name: str, frames, gt, rt):
+def run_reference(tracker_name: str, frames, gt, rt, freerun: bool = False):
+    """freerun=True runs the reference loop UNINTERRUPTED from frame 0 (no
+    per-frame pos forcing) — the deployment loop itself."""
     import torch
 
     patch_cuda_to_cpu()
@@ -199,9 +201,10 @@ def run_reference(tracker_name: str, frames, gt, rt):
 
             per_frame = []
             for t in range(1, len(frames)):
-                x, y, w, h = [np.float32(v) for v in gt[t - 1]]
-                tracker.pos = torch.Tensor([y + (h - 1) / 2,
-                                            x + (w - 1) / 2])
+                if not freerun:
+                    x, y, w, h = [np.float32(v) for v in gt[t - 1]]
+                    tracker.pos = torch.Tensor([y + (h - 1) / 2,
+                                                x + (w - 1) / 2])
                 n_sc = len(scores)
                 out = tracker.track(frames[t])
                 rec = {"box": [float(v) for v in out["target_bbox"]],
@@ -324,12 +327,37 @@ def run_ours(tracker_name: str, rt, init, per_frame, patches, frames, gt):
     return diag, out
 
 
+def run_ours_free(tracker_name: str, rt, frames, gt):
+    """OUR full tracker class free-running from frame 0: own crop path
+    (_crop's sample_patch twin), own localization, own filter updates."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    if tracker_name == "mosse":
+        from mmtrack_tpu.trackers.mosse_tracker import MOSSETracker
+        trk = MOSSETracker(rt)
+    else:
+        from mmtrack_tpu.trackers.scsrdcf_tracker import SCSRDCFTracker
+        trk = SCSRDCFTracker(rt)
+    trk.initialize(frames[0], {"init_bbox": [float(v) for v in gt[0]]})
+    return np.asarray([trk.track(frames[t])["target_bbox"]
+                       for t in range(1, len(frames))], np.float64)
+
+
+TOL_PX_FREE = 0.01  # free-running per-frame box lockstep tolerance
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--tracker", choices=("mosse", "scsrdcf"),
                     default="mosse")
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--freerun", action="store_true",
+                    help="run BOTH loops uninterrupted from frame 0 (no "
+                         "teacher forcing, no resync) and compare the "
+                         "emitted boxes over the full horizon")
     args = ap.parse_args(argv)
 
     if not reference_available():
@@ -347,6 +375,35 @@ def main(argv=None):
         rt = SCSRDCFRuntime(interp_f32_parity=True)
 
     frames, gt = make_sequence(args.frames, args.seed)
+
+    if args.freerun:
+        from tools.parity.freerun import compare_freerun
+
+        _, per_frame, _ = run_reference(args.tracker, frames, gt, rt,
+                                        freerun=True)
+        ref_boxes = np.asarray([r["box"] for r in per_frame], np.float64)
+        our_boxes = run_ours_free(args.tracker, rt, frames, gt)
+        n = len(ref_boxes)
+        res = {"family": f"{args.tracker}-freerun",
+               **compare_freerun(ref_boxes, our_boxes, tol_px=TOL_PX_FREE,
+                                 min_horizon=min(n, 40))}
+        if res["lockstep_horizon"] < n:
+            # attribute the break: the wraparound score maps of real
+            # spectra carry EXACT duplicate maxima (conjugate-symmetric
+            # twins) plus near-ties; if the reference's own top-2 gap at
+            # the break frame is inside the tie margin, the divergence is
+            # an argmax tie-break artifact, not a semantics difference —
+            # same excusal rule as the per-transition check.
+            s = np.asarray(per_frame[res["break_frame"]]["score_map"],
+                           np.float64).reshape(-1)
+            top2 = np.sort(s)[-2:]
+            res["break_top2_gap"] = float(top2[1] - top2[0])
+            res["break_is_tie"] = bool(res["break_top2_gap"] < EPS_TIE)
+            res["pass"] = bool(res["pass"] and res["break_is_tie"]
+                               and not res["event_mismatches"])
+        print(json.dumps(res))
+        return 0 if res["pass"] else 1
+
     init, per_frame, patches = run_reference(args.tracker, frames, gt, rt)
     diag, ours = run_ours(args.tracker, rt, init, per_frame, patches,
                           frames, gt)
