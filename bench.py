@@ -225,9 +225,15 @@ class _StreamPipeline:
 
     DEPTH = 2
 
-    def __init__(self, n_chunks: int, T: int, n_seq: int, mode: str = "rgb"):
+    def __init__(self, n_chunks: int, T: int, n_seq: int, mode: str = "rgb",
+                 trace: list | None = None):
         self.n_chunks, self.T, self.n_seq = n_chunks, T, n_seq
         self.mode = mode
+        # optional per-stage occupancy trace: (stage, chunk, t0, t1)
+        # records appended under the caller's clock (time.perf_counter) —
+        # the docs/PERF.md stage-timeline artifact (round-5 task: account
+        # for the streamed gap to the wire bound)
+        self.trace = trace
         if mode == "yuv":
             # raw 4:2:0 planes: 2.5 B/px on the wire
             self.bufs = [
@@ -275,12 +281,15 @@ class _StreamPipeline:
             if self._stop:
                 return
             self.buf_free[s].clear()
+            t0 = time.perf_counter()
             if self.mode == "yuv":
                 _decode_chunk_yuv_index(1 + i * self.T, self.T, self.n_seq,
                                         *self.bufs[s])
             else:
                 _decode_chunk_rgb_index(1 + i * self.T, self.T, self.n_seq,
                                         *self.bufs[s])
+            if self.trace is not None:
+                self.trace.append(("decode", i, t0, time.perf_counter()))
             self.decoded[i].set()
 
     def _upload_loop(self):
@@ -288,8 +297,11 @@ class _StreamPipeline:
             if not self.decoded[i].wait(timeout=300.0) or self._stop:
                 return
             s = i % self.DEPTH
+            t0 = time.perf_counter()
             dev = tuple(jax.device_put(b) for b in self.bufs[s])
             jax.block_until_ready(dev)  # staging buffer reusable now
+            if self.trace is not None:
+                self.trace.append(("upload", i, t0, time.perf_counter()))
             self.buf_free[s].set()
             if self._stop:
                 for a in dev:
@@ -456,11 +468,14 @@ def main() -> None:
     # instead of hanging, and the phase runs twice — the BEST pass is the
     # honest achievable throughput of the pipeline (the loser measures
     # transient tunnel state, not the framework).
+    trace_path = os.environ.get("MMTRACK_STREAM_TRACE", "")
+
     def streamed_pass(budget_s: float):
         state = init(f0, b0)
         np.asarray(jax.tree.leaves(state)[0][:1, :1])
+        trace: list | None = [] if trace_path else None
         pipe = _StreamPipeline(ST_CHUNKS, ST_CHUNK_T, ST_BATCH,
-                               mode="yuv" if yuv else "rgb")
+                               mode="yuv" if yuv else "rgb", trace=trace)
         done = 0
         t0 = time.perf_counter()
         pipe.start()
@@ -471,13 +486,27 @@ def main() -> None:
                     10.0, budget_s - (time.perf_counter() - t0))):
                 break
             arrs = pipe.get(i)
+            ts = time.perf_counter()
             state, boxes, _ = scan_fn(params, state, *arrs)
             np.asarray(boxes[-1, :1])  # chunk really finished
+            if trace is not None:
+                trace.append(("scan", i, ts, time.perf_counter()))
             for a in arrs:
                 a.delete()
             done = i + 1
         pipe.stop()  # aborted passes must not keep feeding the tunnel
         elapsed = time.perf_counter() - t0
+        if trace is not None:
+            import json as _json
+            rec = {"mode": "yuv" if yuv else "rgb", "t_start": 0.0,
+                   "elapsed_s": elapsed, "chunks_done": done,
+                   "events": [{"stage": st, "chunk": c,
+                               "t0": round(a - t0, 4),
+                               "t1": round(b - t0, 4)}
+                              for st, c, a, b in sorted(trace,
+                                                        key=lambda e: e[2])]}
+            with open(trace_path, "a") as f:
+                f.write(_json.dumps(rec) + "\n")
         return ST_BATCH * ST_CHUNK_T * done / elapsed, done
 
     def _streamed_partial(fps, done):

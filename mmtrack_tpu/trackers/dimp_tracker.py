@@ -56,6 +56,11 @@ class DiMPRuntime:
     displacement_scale: float = 0.8
     hard_negative_learning_rate: float = 0.02
     target_inside_ratio: float = 0.2
+    # dimp.py:87/125-131: with use_iou_net=False the IoUNet is skipped and
+    # update_state(new_pos, sample_scales[scale_ind]) re-quantizes the
+    # scale from the sample geometry (clamped to the init scale bounds,
+    # dimp.py:77-78 + 488-497) — classifier-only tracking
+    use_iou_net: bool = True
     iounet_k: int = 3
     num_init_random_boxes: int = 9
     box_jitter_pos: float = 0.1
@@ -277,6 +282,10 @@ def dimp_assemble_init_state(rt: DiMPRuntime, model: DiMPNet, params,
         "frame_num": jnp.asarray(1, jnp.int32),
         "iou_mod3": mod3[0], "iou_mod4": mod4[0],
         "rng": rng,
+        # localization flag of the most recent tracked frame (FLAG_*);
+        # -1 until the first track step — exposed for the free-running
+        # A/B's event-sequence comparison
+        "last_flag": jnp.asarray(-1, jnp.int32),
     }
 
 
@@ -495,21 +504,44 @@ def dimp_step_from_patch(rt: DiMPRuntime, model: DiMPNet, params, state: dict,
 
     # classifier position update, clamped inside the image (update_state)
     new_pos = sample_pos + translation
-    inside_offset = (rt.target_inside_ratio - 0.5) * state["target_sz"]
     img_sz = jnp.asarray([H, W], jnp.float32)
-    new_pos = jnp.maximum(jnp.minimum(new_pos, img_sz - inside_offset), inside_offset)
-    state = {**state, "pos": jnp.where(found, new_pos, state["pos"])}
+    if rt.use_iou_net:
+        inside_offset = (rt.target_inside_ratio - 0.5) * state["target_sz"]
+        new_pos = jnp.maximum(jnp.minimum(new_pos, img_sz - inside_offset),
+                              inside_offset)
+        state = {**state, "pos": jnp.where(found, new_pos, state["pos"])}
 
-    # IoUNet refinement
-    ref_pos, ref_sz, ref_scale, ref_ok = _refine_box(
-        rt, model, params, bfeat, state, sample_pos, sample_scale, rng_refine)
-    apply_ref = found & ref_ok
-    state = {
-        **state,
-        "pos": jnp.where(apply_ref, ref_pos, state["pos"]),
-        "target_sz": jnp.where(apply_ref, ref_sz, state["target_sz"]),
-        "target_scale": jnp.where(apply_ref, ref_scale, state["target_scale"]),
-    }
+        # IoUNet refinement
+        ref_pos, ref_sz, ref_scale, ref_ok = _refine_box(
+            rt, model, params, bfeat, state, sample_pos, sample_scale,
+            rng_refine)
+        apply_ref = found & ref_ok
+        state = {
+            **state,
+            "pos": jnp.where(apply_ref, ref_pos, state["pos"]),
+            "target_sz": jnp.where(apply_ref, ref_sz, state["target_sz"]),
+            "target_scale": jnp.where(apply_ref, ref_scale,
+                                      state["target_scale"]),
+        }
+    else:
+        # dimp.py:130-131: update_state(new_pos, sample_scales[scale_ind])
+        # — scale re-quantized from the integer crop geometry, clamped to
+        # the init bounds (dimp.py:77-78), target_sz re-derived, and the
+        # inside clamp uses the NEW size (update_state:490-497)
+        min_sf = jnp.max(10.0 / state["base_target_sz"])
+        max_sf = jnp.min(img_sz / state["base_target_sz"])
+        new_scale = jnp.clip(sample_scale, min_sf, max_sf)
+        new_sz = state["base_target_sz"] * new_scale
+        inside_offset = (rt.target_inside_ratio - 0.5) * new_sz
+        new_pos = jnp.maximum(jnp.minimum(new_pos, img_sz - inside_offset),
+                              inside_offset)
+        state = {
+            **state,
+            "pos": jnp.where(found, new_pos, state["pos"]),
+            "target_sz": jnp.where(found, new_sz, state["target_sz"]),
+            "target_scale": jnp.where(found, new_scale,
+                                      state["target_scale"]),
+        }
 
     # memory + filter update
     update_ok = (flag == FLAG_NORMAL) | (flag == FLAG_HARD_NEG)
@@ -529,7 +561,8 @@ def dimp_step_from_patch(rt: DiMPRuntime, model: DiMPNet, params, state: dict,
     new_filter = model.apply(
         params, state["filter"], state["memory_feat"], state["memory_boxes"],
         state["sample_weights"], num_iter, method="optimize_filter")
-    state = {**state, "filter": new_filter}
+    state = {**state, "filter": new_filter,
+             "last_flag": jnp.asarray(flag, jnp.int32)}
 
     box = jnp.concatenate([
         (state["pos"] - (state["target_sz"] - 1) / 2)[::-1],

@@ -445,20 +445,43 @@ def keeptrack_step_from_patch(rt: KeepTrackRuntime, model: DiMPNet, bundle,
             presence)
 
     new_pos = sample_pos + translation
-    inside_offset = (rt.target_inside_ratio - 0.5) * state["target_sz"]
     img_sz = jnp.asarray([H, W], jnp.float32)
-    new_pos = jnp.maximum(jnp.minimum(new_pos, img_sz - inside_offset), inside_offset)
-    state = {**state, "pos": jnp.where(found, new_pos, state["pos"])}
+    if rt.use_iou_net:
+        inside_offset = (rt.target_inside_ratio - 0.5) * state["target_sz"]
+        new_pos = jnp.maximum(jnp.minimum(new_pos, img_sz - inside_offset),
+                              inside_offset)
+        state = {**state, "pos": jnp.where(found, new_pos, state["pos"])}
 
-    ref_pos, ref_sz, ref_scale, ref_ok = _refine_box(
-        rt, model, params, bfeat, state, sample_pos, sample_scale, rng_refine)
-    apply_ref = found & ref_ok
-    state = {
-        **state,
-        "pos": jnp.where(apply_ref, ref_pos, state["pos"]),
-        "target_sz": jnp.where(apply_ref, ref_sz, state["target_sz"]),
-        "target_scale": jnp.where(apply_ref, ref_scale, state["target_scale"]),
-    }
+        ref_pos, ref_sz, ref_scale, ref_ok = _refine_box(
+            rt, model, params, bfeat, state, sample_pos, sample_scale,
+            rng_refine)
+        apply_ref = found & ref_ok
+        state = {
+            **state,
+            "pos": jnp.where(apply_ref, ref_pos, state["pos"]),
+            "target_sz": jnp.where(apply_ref, ref_sz, state["target_sz"]),
+            "target_scale": jnp.where(apply_ref, ref_scale,
+                                      state["target_scale"]),
+        }
+    else:
+        # classifier-only published mode (keep_track.py:532-533:
+        # update_state(new_pos, sample_scales[scale_ind]) — scale
+        # re-quantized from the crop geometry, clamped to the init scale
+        # bounds, inside clamp on the NEW size)
+        min_sf = jnp.max(10.0 / state["base_target_sz"])
+        max_sf = jnp.min(img_sz / state["base_target_sz"])
+        new_scale = jnp.clip(sample_scale, min_sf, max_sf)
+        new_sz = state["base_target_sz"] * new_scale
+        inside_offset = (rt.target_inside_ratio - 0.5) * new_sz
+        new_pos = jnp.maximum(jnp.minimum(new_pos, img_sz - inside_offset),
+                              inside_offset)
+        state = {
+            **state,
+            "pos": jnp.where(found, new_pos, state["pos"]),
+            "target_sz": jnp.where(found, new_sz, state["target_sz"]),
+            "target_scale": jnp.where(found, new_scale,
+                                      state["target_scale"]),
+        }
 
     # target-scale history: the PRE-refine scale is appended on every found
     # frame (track:526-527, before refine_target_box runs); while lost the

@@ -105,12 +105,15 @@ CFG = CONFIGS["det"]
 def make_sequence(n_frames: int, seed: int):
     """Synthetic sequence with a dimmed distractor copy of the target
     pasted 70 px down-right during frames 8-14 (inside the 5x search
-    area, beyond the displacement threshold -> 'hard_negative')."""
+    area, beyond the displacement threshold -> 'hard_negative').
+    Also returns the distractor's own xywh rows (NaN when absent) for
+    the freerun donor's secondary-peak supervision."""
     from mmtrack_tpu.data.synthetic import make_synthetic_sequence
 
     frames, gt = make_synthetic_sequence(n_frames=n_frames, height=240,
                                          width=320, seed=seed)
     frames = frames.copy()
+    dgt = np.full((n_frames, 4), np.nan)
     for t in range(8, min(15, n_frames)):
         x, y, w, h = [int(round(v)) for v in gt[t]]
         patch = frames[t, y:y + h, x:x + w].copy()
@@ -119,7 +122,8 @@ def make_sequence(n_frames: int, seed: int):
         if y2 + h <= 240 and x2 + w <= 320:
             frames[t, y2:y2 + h, x2:x2 + w] = (
                 patch.astype(np.float32) * 0.8).astype(np.uint8)
-    return np.ascontiguousarray(frames[..., :CFG["channels"]]), gt
+            dgt[t] = (x2, y2, w, h)
+    return np.ascontiguousarray(frames[..., :CFG["channels"]]), gt, dgt
 
 
 def forcing_values(gt_box):
@@ -195,7 +199,13 @@ def is_borderline(score_map, pos, target_sz, sample_pos, sample_scale,
     return False
 
 
-def run_reference(frames, gt, seed: int = 0):
+def run_reference(frames, gt, seed: int = 0, freerun: bool = False,
+                  overfit_steps: int = 0, distractor_gt=None):
+    """freerun=True: overfit the donor's classifier (decisive response),
+    switch to the published absolute not-found threshold and the
+    published classifier-only mode (use_iou_net=False, dimp.py:87/125-131
+    — random IoUNet weights would random-walk the scale), and run the
+    loop UNINTERRUPTED from frame 0 (no pos/scale forcing)."""
     import torch
 
     patch_cuda_to_cpu()
@@ -237,6 +247,16 @@ def run_reference(frames, gt, seed: int = 0):
                 alpha_eps=0.05, normalize_label=True,
                 init_initializer="zero")
         donor.eval()
+        if overfit_steps:
+            from tools.parity.overfit_donors import overfit_det_dimp_classifier
+            assert CFG is CONFIGS["det"], "freerun donor overfit is DeT-only"
+            mse = overfit_det_dimp_classifier(donor, frames, gt,
+                                              steps=overfit_steps, seed=seed,
+                                              S=S_IM,
+                                              search_area_scale=SAS,
+                                              distractor_gt=distractor_gt)
+            print(f"donor classifier overfit: final mse {mse:.5f}",
+                  file=sys.stderr)
 
         class InMemoryNet(nw_mod.NetWithBackbone):
             def __init__(self, net):
@@ -279,7 +299,14 @@ def run_reference(frames, gt, seed: int = 0):
         # would run. Scale it down IDENTICALLY on both sides (the rest of
         # the lattice is ratio-based and keeps its published constants) so
         # memory updates, hard negatives and re-optimization are exercised.
+        # the scaled not-found threshold (module constant rationale above)
+        # applies to the freerun too: the overfit donor's SD-optimized
+        # response peaks at ~0.09 (the augmented init samples hold the
+        # joint solve below the initializer-proxy amplitude), DECISIVELY
+        # above 0.02 — the ratio gates are scale-free either way
         p.target_not_found_threshold = CFG["nf_th"]
+        if freerun:
+            p.use_iou_net = False
         p.distractor_threshold = 0.8
         p.hard_negative_threshold = 0.5
         p.target_neighborhood_scale = 2.2
@@ -364,10 +391,16 @@ def run_reference(frames, gt, seed: int = 0):
             excused, resync = [], {}
             for t in range(1, len(frames)):
                 pos, tsz, ts, bts = forcing_values(gt[t - 1])
-                tracker.pos = torch.from_numpy(pos.copy())
-                tracker.target_sz = torch.from_numpy(tsz.copy())
-                tracker.target_scale = torch.tensor(ts)
-                tracker.base_target_sz = torch.from_numpy(bts.copy())
+                if not freerun:
+                    tracker.pos = torch.from_numpy(pos.copy())
+                    tracker.target_sz = torch.from_numpy(tsz.copy())
+                    tracker.target_scale = torch.tensor(ts)
+                    tracker.base_target_sz = torch.from_numpy(bts.copy())
+                else:
+                    # the borderline probe below must see the state the
+                    # tracker ACTUALLY localized from
+                    pos = tracker.pos.numpy().copy()
+                    tsz = tracker.target_sz.numpy().copy()
                 out = tracker.track(frames[t])
                 boxes.append(out["target_bbox"])
                 confs.append(out.get("confidence", float("nan")))
@@ -590,11 +623,72 @@ def run_ours(sd_np, init, ref, frames, gt):
     }
 
 
+def run_ours_free(sd_np, frames, gt):
+    """Our full DiMPTracker free-running from frame 0: own augmented init
+    (ops/augment.py, validated by check_augmentation.py), own sample_patch
+    -twin crops, own localization/memory/filter loop — no resync."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mmtrack_tpu.models.convert import convert_dimp_checkpoint, load_into
+    from mmtrack_tpu.models.dimp import DiMPNet
+    from mmtrack_tpu.trackers.dimp_tracker import (
+        FLAG_HARD_NEG,
+        FLAG_NORMAL,
+        FLAG_NOT_FOUND,
+        FLAG_UNCERTAIN,
+        DiMPRuntime,
+        DiMPTracker,
+    )
+
+    # classifier-only mode mirrors the reference's p.use_iou_net=False;
+    # not-found threshold scaled identically to the reference side
+    rt = DiMPRuntime(aug_dropout_num=0, random_shift_factor=0.0,
+                     num_init_random_boxes=0, use_iou_net=False,
+                     target_not_found_threshold=CFG["nf_th"])
+    net = DiMPNet(merge_type="max")
+
+    tr = jnp.zeros((1, S_IM, S_IM, CFG["channels"]), jnp.float32)
+    shapes = jax.eval_shape(net.init, jax.random.PRNGKey(0), tr, tr,
+                            jnp.zeros((1, 4)), jnp.zeros((1, 1, 4)))
+    zeros = jax.tree.map(lambda a: np.zeros(a.shape, a.dtype),
+                         shapes)["params"]
+    params, missing, _ = load_into(zeros, convert_dimp_checkpoint(sd_np))
+    if missing:
+        raise AssertionError(f"unconverted flax leaves: {missing[:8]}")
+
+    flag_names = {FLAG_NORMAL: "normal", FLAG_NOT_FOUND: "not_found",
+                  FLAG_UNCERTAIN: "uncertain", FLAG_HARD_NEG: "hard_negative"}
+    tracker = DiMPTracker(net, {"params": params}, rt)
+    tracker.initialize(frames[0], {"init_bbox": [float(v) for v in gt[0]]})
+    boxes, flags = [], []
+    for t in range(1, len(frames)):
+        out = tracker.track(frames[t])
+        boxes.append(out["target_bbox"])
+        flags.append(flag_names[int(tracker.state["last_flag"])])
+    return {"boxes": np.asarray(boxes, np.float64), "flags": flags}
+
+
+TOL_PX_FREE = 1.0  # free-running lockstep tolerance: our init-augmentation
+                   # pipeline is numerically (not bit) equal to torch's
+                   # (init_filter_dev <= 1e-3 in the forced check), so the
+                   # two loops start ~1e-3 apart and drift compounds
+                   # through the crop feedback
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=26)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--config", choices=tuple(CONFIGS), default="det")
+    ap.add_argument("--freerun", action="store_true",
+                    help="overfit the donor classifier, then run BOTH "
+                         "loops uninterrupted from frame 0 (no forcing, "
+                         "no resync; classifier-only published mode)")
+    ap.add_argument("--overfit", type=int, default=300,
+                    help="classifier overfit steps for --freerun")
     args = ap.parse_args(argv)
 
     global CFG, S_IM, SAS
@@ -606,7 +700,30 @@ def main(argv=None):
         print(json.dumps({"skipped": "reference tree not found"}))
         return 0
 
-    frames, gt = make_sequence(args.frames, args.seed)
+    frames, gt, dgt = make_sequence(args.frames, args.seed)
+
+    if args.freerun:
+        from tools.parity.freerun import box_iou_xywh, compare_freerun
+
+        sd, init, ref = run_reference(frames, gt, args.seed, freerun=True,
+                                      overfit_steps=args.overfit,
+                                      distractor_gt=dgt)
+        ours = run_ours_free(sd, frames, gt)
+        n = len(ref["boxes"])
+        res = {"family": "det_dimp50_max-freerun",
+               **compare_freerun(ref["boxes"], ours["boxes"],
+                                 tol_px=TOL_PX_FREE,
+                                 ref_events=[(f,) for f in ref["flags"]],
+                                 our_events=[(f,) for f in ours["flags"]],
+                                 min_horizon=min(n, 40))}
+        res["ref_flag_counts"] = {
+            f: ref["flags"].count(f) for f in set(ref["flags"])}
+        res["mean_gt_iou_ref"] = float(np.mean([
+            box_iou_xywh(ref["boxes"][t], gt[t + 1]) for t in range(n)]))
+        res["pass"] = bool(res["pass"] and res["mean_gt_iou_ref"] >= 0.5)
+        print(json.dumps(res))
+        return 0 if res["pass"] else 1
+
     sd, init, ref = run_reference(frames, gt, args.seed)
     ours = run_ours(sd, init, ref, frames, gt)
 

@@ -170,7 +170,10 @@ def match_borderline(cap_t):
 
 
 def run_reference(frames, gt, seed: int = 0, overfit: bool = True,
-                  distractor_gt=None):
+                  distractor_gt=None, freerun: bool = False):
+    """freerun=True: published classifier-only mode (use_iou_net=False —
+    random IoUNet weights would random-walk the scale) and NO per-frame
+    forcing: the loop runs uninterrupted from frame 0."""
     import torch
 
     patch_cuda_to_cpu()
@@ -295,6 +298,8 @@ def run_reference(frames, gt, seed: int = 0, overfit: bool = True,
         p.disable_chronological_occlusion_redetection_logic = True
         p.skip_running_matching_network_for_single_peak_cases = True
         p.id0_weight_increase = True
+        if freerun:
+            p.use_iou_net = False
         p.net = InMemoryNet(donor)
         p.peak_match_net = InMemoryWrapper(pmnet)
 
@@ -411,11 +416,12 @@ def run_reference(frames, gt, seed: int = 0, overfit: bool = True,
 
             per_frame = []
             for t in range(1, len(frames)):
-                pos, tsz, ts, bts = forcing_values(gt[t - 1])
-                tracker.pos = torch.from_numpy(pos.copy())
-                tracker.target_sz = torch.from_numpy(tsz.copy())
-                tracker.target_scale = torch.tensor(ts)
-                tracker.base_target_sz = torch.from_numpy(bts.copy())
+                if not freerun:
+                    pos, tsz, ts, bts = forcing_values(gt[t - 1])
+                    tracker.pos = torch.from_numpy(pos.copy())
+                    tracker.target_sz = torch.from_numpy(tsz.copy())
+                    tracker.target_scale = torch.tensor(ts)
+                    tracker.base_target_sz = torch.from_numpy(bts.copy())
                 n_match_before = len(match_caps)
                 n_ex_before = len(cap["ex"])
                 n_xm_before = xm_calls[0]
@@ -758,8 +764,91 @@ def run_ours(sd_main, sd_pm, init, ref, frames, gt):
     return init_filter_dev, out
 
 
+def run_ours_free(sd_main, sd_pm, frames, gt):
+    """Our full KeepTrackTracker free-running from frame 0: own augmented
+    init, own inside_major crops, own peak extraction/matching/certainty
+    machinery — no forcing, no resync. Published classifier-only mode
+    (use_iou_net=False) mirroring the reference side."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from mmtrack_tpu.models.convert import (convert_peak_matching_checkpoint,
+                                            convert_super_dimp_checkpoint,
+                                            load_into)
+    from mmtrack_tpu.models.dimp import build_super_dimp50
+    from mmtrack_tpu.models.peak_matching import (DescriptorExtractor,
+                                                  PeakMatcher)
+    from mmtrack_tpu.trackers.dimp_tracker import (FLAG_HARD_NEG, FLAG_NORMAL,
+                                                   FLAG_NOT_FOUND,
+                                                   FLAG_UNCERTAIN)
+    from mmtrack_tpu.trackers.keeptrack_tracker import (KeepTrackRuntime,
+                                                        KeepTrackTracker)
+
+    rt = KeepTrackRuntime(aug_dropout_num=0, random_shift_factor=0.0,
+                          num_init_random_boxes=0, use_iou_net=False)
+    net = build_super_dimp50()
+    D = rt.descriptor_dim
+
+    tr = jnp.zeros((1, S_IM, S_IM, 3), jnp.float32)
+    shapes = jax.eval_shape(net.init, jax.random.PRNGKey(0), tr, tr,
+                            jnp.zeros((1, 4)), jnp.zeros((1, 1, 4)))
+    zeros = jax.tree.map(lambda a: np.zeros(a.shape, a.dtype),
+                         shapes)["params"]
+    params, missing, unexpected = load_into(
+        zeros, convert_super_dimp_checkpoint(sd_main))
+    if missing or unexpected:
+        raise AssertionError((missing[:6], unexpected[:6]))
+
+    desc_mod = DescriptorExtractor(D)
+    matcher = PeakMatcher(descriptor_dim=D, input_dim=D)
+    conv = convert_peak_matching_checkpoint(sd_pm)
+    dz = desc_mod.init(jax.random.PRNGKey(0),
+                       jnp.zeros((rt.feat_sz, rt.feat_sz, rt.desc_feat_dim)),
+                       jnp.zeros((K, 2)))
+    dp, miss, unexp = load_into(dz["params"], conv["desc"]["params"])
+    assert not miss and not unexp, (miss, unexp)
+    d0 = jnp.zeros((1, K, D))
+    k0 = jnp.zeros((1, K, 2))
+    s0 = jnp.zeros((1, K))
+    v0 = jnp.ones((1, K), bool)
+    mz = matcher.init(jax.random.PRNGKey(0), d0, k0, s0, v0, d0, k0, s0, v0)
+    mp_params = dict(mz)
+    mp_loaded, miss, unexp = load_into(mz["params"],
+                                       conv["matcher"]["params"])
+    assert not miss and not unexp, (miss, unexp)
+    mp_params["params"] = mp_loaded
+    if "batch_stats" in conv["matcher"]:
+        bs, miss, unexp = load_into(mz["batch_stats"],
+                                    conv["matcher"]["batch_stats"])
+        assert not miss and not unexp, (miss, unexp)
+        mp_params["batch_stats"] = bs
+    matcher_params = {"desc": {**dz, "params": dp}, "matcher": mp_params}
+
+    flag_names = {FLAG_NORMAL: "normal", FLAG_NOT_FOUND: "not_found",
+                  FLAG_UNCERTAIN: "uncertain", FLAG_HARD_NEG: "hard_negative"}
+    tracker = KeepTrackTracker(net, {"params": params}, rt,
+                               matcher_params=matcher_params)
+    tracker.initialize(frames[0], {"init_bbox": [float(v) for v in gt[0]]})
+    boxes, flags, used_match = [], [], []
+    for t in range(1, len(frames)):
+        out = tracker.track(frames[t])
+        boxes.append(out["target_bbox"])
+        flags.append(flag_names[int(tracker.state["last_flag"])])
+        used_match.append(bool(tracker.state["last_use_match"]))
+    return {"boxes": np.asarray(boxes, np.float64), "flags": flags,
+            "used_match": used_match}
+
+
+TOL_PX_FREE = 1.0  # same rationale as check_trajectory_dimp.TOL_PX_FREE
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    ap.add_argument("--freerun", action="store_true",
+                    help="run BOTH loops uninterrupted from frame 0 "
+                         "(classifier-only published mode, overfit donor)")
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--donor", choices=("overfit", "random"),
@@ -775,6 +864,41 @@ def main(argv=None):
         return 0
 
     frames, gt, dgt = make_sequence(args.frames, args.seed)
+
+    if args.freerun:
+        from tools.parity.freerun import box_iou_xywh, compare_freerun
+
+        sd_main, sd_pm, init, ref = run_reference(
+            frames, gt, args.seed, overfit=args.donor == "overfit",
+            distractor_gt=dgt, freerun=True)
+        ours = run_ours_free(sd_main, sd_pm, frames, gt)
+        ref_boxes = np.asarray([r["box"] for r in ref["frames"]], np.float64)
+        n = len(ref_boxes)
+        res = {"family": "keeptrack-freerun",
+               **compare_freerun(
+                   ref_boxes, ours["boxes"], tol_px=TOL_PX_FREE,
+                   ref_events=[(r["flag"], bool(r["matched"]))
+                               for r in ref["frames"]],
+                   our_events=list(zip(ours["flags"], ours["used_match"])),
+                   min_horizon=min(n, 40))}
+        res["ref_flag_counts"] = {}
+        for r in ref["frames"]:
+            res["ref_flag_counts"][r["flag"]] = \
+                res["ref_flag_counts"].get(r["flag"], 0) + 1
+        res["matcher_frames_ref"] = sum(bool(r["matcher_ran"])
+                                        for r in ref["frames"])
+        res["mean_gt_iou_ref"] = float(np.mean([
+            box_iou_xywh(ref_boxes[t], gt[t + 1]) for t in range(n)]))
+        if res["lockstep_horizon"] < n:
+            res["break_excused"] = bool(excused_frame(
+                ref["frames"][res["break_frame"]], gt[res["break_frame"]]))
+            res["pass"] = bool(res["lockstep_horizon"] >= 40
+                               and not res["event_mismatches"]
+                               and res["break_excused"])
+        res["pass"] = bool(res["pass"] and res["mean_gt_iou_ref"] >= 0.4)
+        print(json.dumps(res))
+        return 0 if res["pass"] else 1
+
     sd_main, sd_pm, init, ref = run_reference(frames, gt, args.seed,
                                               overfit=args.donor == "overfit",
                                               distractor_gt=dgt)

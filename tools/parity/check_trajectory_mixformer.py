@@ -92,7 +92,12 @@ def _small_cfg(cfg_mod, root):
 
 
 def run_reference(frames, gt, seed=0, update_interval=None,
-                  online_size=None, re_constrain=None):
+                  online_size=None, re_constrain=None, overfit_steps=0,
+                  freerun=False):
+    """overfit_steps > 0 trains the donor's corner head at tracking
+    geometry (decisive, consistent boxes — the 'complex' scale gate can
+    then ACCEPT); freerun=True drops the per-frame state forcing so the
+    loop runs uninterrupted from frame 0."""
     import torch
 
     patch_cuda_to_cpu()
@@ -109,6 +114,12 @@ def run_reference(frames, gt, seed=0, update_interval=None,
         torch.manual_seed(seed)
         donor = model_mod.build_mixformer_rgbd_online_score(c, train=False)
         donor.eval()
+        if overfit_steps:
+            from tools.parity.overfit_donors import overfit_mixformer_head
+            l1 = overfit_mixformer_head(donor, c, frames, gt,
+                                        steps=overfit_steps, seed=seed)
+            print(f"donor head overfit ({overfit_steps} steps): final "
+                  f"l1 {l1:.5f}", file=sys.stderr)
         sd = donor.state_dict()
         sd["score_branch.score_head.layers.2.bias"] = (
             sd["score_branch.score_head.layers.2.bias"] + SCORE_BIAS)
@@ -184,7 +195,8 @@ def run_reference(frames, gt, seed=0, update_interval=None,
                     tracker.template.numpy().copy(),
                     cap["z_crops"][0].copy())
                 for t in range(1, len(frames)):
-                    tracker.state = [float(v) for v in gt[t - 1]]
+                    if not freerun:
+                        tracker.state = [float(v) for v in gt[t - 1]]
                     ring = (tracker.online_template
                             if tracker.online_size > 1
                             else tracker.online_template)
@@ -342,6 +354,103 @@ def run_ours(sd_np, ref, frames, gt):
     return out
 
 
+def run_ours_free(sd_np, ref, frames, gt):
+    """OUR MixFormer loop FREE-RUNNING from frame 0: own state feedback,
+    own bit-exact cv2-twin crops (sample_target_np) at OUR OWN boxes, own
+    ring/meter updates — no forcing, no resync. The nomination candidate
+    needs the post-constraint box before it can be cropped on the host, so
+    each frame runs the pure step twice: once with a dummy candidate to
+    obtain the box, then with the candidate cropped at that box (the step
+    is a pure function; the second call is the adopted transition)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from functools import partial
+
+    from mmtrack_tpu.models.convert import (convert_mixformer_checkpoint,
+                                            load_into)
+    from mmtrack_tpu.models.mixformer import MixFormer
+    from mmtrack_tpu.ops.crop import sample_target_np
+    from mmtrack_tpu.trackers.mixformer_tracker import (
+        MixFormerRuntime, mixformer_step_from_patch)
+    from mmtrack_tpu.trackers.vipt_tracker import MEAN_6CH, STD_6CH
+
+    rt = MixFormerRuntime(update_interval=ref["update_interval"],
+                          online_size=ref["online_size"],
+                          max_score_decay=ref["decay"],
+                          re_constrain=ref["re_constrain"])
+    model = MixFormer(in_channels=6, **ref["spec"])
+    K = rt.online_size
+
+    z = jnp.zeros((1, 128, 128, 6))
+    x = jnp.zeros((1, 320, 320, 6))
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), z,
+                            jnp.zeros((1, K, 128, 128, 6)), x)
+    zeros = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
+                         shapes)["params"]
+    params, missing, _ = load_into(zeros,
+                                   convert_mixformer_checkpoint(sd_np))
+    if missing:
+        raise AssertionError(f"unconverted flax leaves: {missing[:8]}")
+    P = {"params": params}
+
+    mean = np.asarray(MEAN_6CH, np.float32)
+    std = np.asarray(STD_6CH, np.float32)
+
+    def host_norm(crop):
+        return jnp.asarray((crop.astype(np.float32) / 255.0 - mean) / std)
+
+    step = jax.jit(partial(mixformer_step_from_patch, rt, model, P),
+                   static_argnames=("im_hw",))
+
+    H, W = frames.shape[1], frames.shape[2]
+    z_crop, _, _ = sample_target_np(frames[0], gt[0].astype(np.float64),
+                                    rt.template_factor, rt.template_size)
+    template = host_norm(z_crop)
+    box0 = np.asarray(gt[0], np.float32)
+    state = {
+        "box": jnp.asarray(box0),
+        "template": template,
+        "online_templates": jnp.tile(np.asarray(template)[None],
+                                     (K, 1, 1, 1)),
+        "n_online": jnp.asarray(1, jnp.int32),
+        "online_max_template": template,
+        "max_pred_score": jnp.asarray(-1.0),
+        "forget_id": jnp.asarray(0, jnp.int32),
+        "frame_num": jnp.asarray(0, jnp.int32),
+        "his_sum": jnp.stack([jnp.asarray(box0[2]), jnp.asarray(box0[3])]),
+        "his_count": jnp.asarray(1.0),
+    }
+    dummy = jnp.zeros((rt.template_size, rt.template_size, 6), jnp.float32)
+
+    out = {"boxes": [], "scores": [], "nominated": [], "n_online": [],
+           "forget": []}
+    for t in range(1, len(frames)):
+        prev = np.asarray(state["box"], np.float64)
+        crop, rf, _ = sample_target_np(frames[t], prev,
+                                       rt.search_factor, rt.search_size)
+        search = host_norm(crop)
+        _s, box, _sc, _aux = step(state=state, search=search,
+                                  resize_factor=jnp.float32(rf), cand=dummy,
+                                  im_hw=(float(H), float(W)))
+        cand_crop, _, _ = sample_target_np(
+            frames[t], np.asarray(box, np.float64),
+            rt.template_factor, rt.template_size)
+        state, box, score, aux = step(state=state, search=search,
+                                      resize_factor=jnp.float32(rf),
+                                      cand=host_norm(cand_crop),
+                                      im_hw=(float(H), float(W)))
+        out["boxes"].append(np.asarray(box, np.float64))
+        out["scores"].append(float(score))
+        out["nominated"].append(bool(aux["nominate"]))
+        out["n_online"].append(int(state["n_online"]))
+        out["forget"].append(int(state["forget_id"]))
+    out["boxes"] = np.asarray(out["boxes"])
+    return out
+
+
 def _gate_margins(raw, decay_pre_max, score):
     """Distance of each binary decision from its threshold, for excusals."""
     kind, prev, curr, cscore, his_w, his_h = raw
@@ -419,6 +528,12 @@ def run_phase(frames, gt, seed, **kw):
         "rejections": int(sum(
             1 for t in range(n)
             if not np.allclose(ref["raw"][t][2], ref_boxes[t], atol=1e-9))),
+        # frames where the 'complex' 3-gate chain ACCEPTED the new state
+        # (final box == the pre-constraint box through all three gates)
+        "complex_accepts": int(sum(
+            1 for t in range(n)
+            if ref["raw"][t][0] == "complex"
+            and np.allclose(ref["raw"][t][2], ref_boxes[t], atol=1e-9))),
         "pass": bool(
             ours["crop_mismatch"] == 0
             and ours["init_crop_equal"]
@@ -434,10 +549,19 @@ def run_phase(frames, gt, seed, **kw):
     }
 
 
+TOL_PX_FREE = 0.05  # free-running lockstep tolerance (bit-equal crops)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--freerun", action="store_true",
+                    help="overfit the corner head, then run BOTH loops "
+                         "uninterrupted from frame 0 (interval 5 / K=3 / "
+                         "'complex': ring growth + wraparound + the "
+                         "3-gate accept path all free-running)")
+    ap.add_argument("--overfit", type=int, default=300)
     args = ap.parse_args(argv)
 
     if not reference_available():
@@ -451,6 +575,38 @@ def main(argv=None):
         channels=6)
     frames = np.ascontiguousarray(frames)
 
+    if args.freerun:
+        from tools.parity.freerun import box_iou_xywh, compare_freerun
+
+        sd, ref = run_reference(frames, gt, args.seed, freerun=True,
+                                overfit_steps=args.overfit,
+                                update_interval=5, online_size=3,
+                                re_constrain="complex")
+        ours = run_ours_free(sd, ref, frames, gt)
+        ref_boxes = np.asarray(ref["boxes"], np.float64)
+        n = len(ref_boxes)
+        res = {"family": "mixformer-freerun",
+               **compare_freerun(
+                   ref_boxes, ours["boxes"], tol_px=TOL_PX_FREE,
+                   ref_events=list(zip(ref["nominated"], ref["n_online"],
+                                       ref["forget"])),
+                   our_events=list(zip(ours["nominated"], ours["n_online"],
+                                       ours["forget"])),
+                   min_horizon=min(n, 40))}
+        res["nominations_ref"] = int(sum(ref["nominated"]))
+        res["complex_accepts_ref"] = int(sum(
+            1 for t in range(n)
+            if ref["raw"][t][0] == "complex"
+            and np.allclose(ref["raw"][t][2], ref_boxes[t], atol=1e-9)))
+        res["mean_gt_iou_ref"] = float(np.mean([
+            box_iou_xywh(ref_boxes[t], gt[t + 1]) for t in range(n)]))
+        res["max_score_dev"] = float(np.abs(
+            np.asarray(ref["scores"]) - np.asarray(ours["scores"])).max())
+        res["pass"] = bool(res["pass"] and res["mean_gt_iou_ref"] >= 0.5
+                           and res["nominations_ref"] >= 1)
+        print(json.dumps(res))
+        return 0 if res["pass"] else 1
+
     # Phase A: the published VOT2022RGBD deployment (interval 10, K=5,
     # decay 0.98, 'simple'): ring grows 1 -> 3 over 24 frames.
     phase_pub = run_phase(frames, gt, args.seed)
@@ -462,6 +618,15 @@ def main(argv=None):
     # Phase C: online_size=1 scalar-replace branch (joint forward path).
     phase_k1 = run_phase(frames[:10], gt[:10], args.seed,
                          update_interval=3, online_size=1)
+    # Phase D: the 'complex' re-constraint ACCEPT path. The corner head is
+    # overfit at tracking geometry so predictions are consistent with the
+    # his_w/his_h history and the 1.35x scale gate passes (round-4 caveat:
+    # the random-weight donor's scale gate rejected every frame).
+    phase_acc = run_phase(frames[:16], gt[:16], args.seed,
+                          update_interval=2, online_size=3,
+                          re_constrain="complex", overfit_steps=300)
+    phase_acc["pass"] = bool(phase_acc["pass"]
+                             and phase_acc["complex_accepts"] >= 1)
 
     res = {
         "family": "mixformer-rgbd-online-trajectory",
@@ -469,8 +634,9 @@ def main(argv=None):
         "published": phase_pub,
         "wrap_complex": phase_wrap,
         "k1": phase_k1,
+        "complex_accept": phase_acc,
         "pass": bool(phase_pub["pass"] and phase_wrap["pass"]
-                     and phase_k1["pass"]),
+                     and phase_k1["pass"] and phase_acc["pass"]),
         "tol": {"px": TOL_PX, "score": TOL_SCORE, "his": TOL_HIS},
     }
     print(json.dumps(res))

@@ -285,3 +285,383 @@ def overfit_super_dimp_classifier(donor, frames, gt, steps=300, lr=1e-3,
     for p in donor.parameters():
         p.grad = None
     return float(loss)
+
+
+def overfit_vipt_head(donor, cfg, frames, gt, steps=1400, lr=2e-3, seed=0,
+                      every=2, n_jitter=3, sigma=1.0, log_every=0):
+    """Train donor.box_head (CenterPredictor) on FROZEN random backbone
+    features so the ViPT response decisively peaks at the synthetic target
+    (free-running ViPT A/B donor).
+
+    With random weights the free-running box walks off target within ~2
+    frames and the crop degenerates to padding, where the CE cut lands in
+    exact attention-tie groups (check_trajectory_vipt.py docstring). Only
+    the CENTER head is trained: the ViT backbone, prompt blocks, and
+    candidate elimination keep their seeded random values, so the full
+    attention/CE machinery under test runs exactly as in the forced check.
+    Backbone features for the cached crop set are computed ONCE under
+    no_grad, making the overfit cheap on one CPU core.
+
+    Supervision mirrors cal_bbox's decode (ViPT/lib/models/layers/
+    head.py:142-160): MSE of the sigmoid score_map against a Gaussian at
+    the target's grid cell, L1 on size_map/offset_map at that cell. Crops
+    use the reference's own cv2 sample_target at tracking geometry with
+    pos/scale jitter (off-center crops occur when free-running). Runs in
+    eval() mode throughout. Must be called inside reference_path("ViPT").
+    """
+    import torch
+
+    from lib.test.tracker.data_utils import PreprocessorMM
+    from lib.train.data.processing_utils import sample_target
+    from lib.utils.ce_utils import generate_mask_cond
+
+    donor.eval()
+    rng = np.random.RandomState(seed)
+    pre = PreprocessorMM()
+
+    tf = cfg.TEST.TEMPLATE_FACTOR
+    tsz = cfg.TEST.TEMPLATE_SIZE
+    sf = cfg.TEST.SEARCH_FACTOR
+    ssz = cfg.TEST.SEARCH_SIZE
+    stride = cfg.MODEL.BACKBONE.STRIDE
+    feat_sz = ssz // stride
+
+    z_patch, _, _ = sample_target(frames[0], [float(v) for v in gt[0]],
+                                  tf, output_sz=tsz)
+    z = pre.process(z_patch)
+    box_mask_z = None
+    if cfg.MODEL.BACKBONE.CE_LOC:
+        # CTR_POINT masks only the template's center token; the bbox
+        # argument is unused on that path (ce_utils.py:22-35)
+        box_mask_z = generate_mask_cond(cfg, 1, z.device,
+                                        torch.zeros(1, 4))
+
+    # collect crops + labels first (features are cached after BN
+    # calibration below)
+    crops = []
+    k = np.arange(feat_sz, dtype=np.float64)
+    for t in range(0, len(frames), every):
+        x0, y0, w, h = [float(v) for v in gt[t]]
+        cx, cy = x0 + 0.5 * w, y0 + 0.5 * h
+        for j in range(n_jitter + 1):
+            if j == 0:
+                jb = [x0, y0, w, h]
+            else:
+                # position jitter wide (free-running crops go off-center);
+                # scale jitter NARROW: the size labels must stay nearly
+                # constant, because a constant-size bias feeds back
+                # multiplicatively through the crop (w' ~ size_pred * 4 *
+                # sqrt(wh)) and a few percent of over-prediction grows the
+                # box exponentially until the target is lost
+                dx, dy = rng.uniform(-0.25, 0.25, 2) * math.sqrt(w * h)
+                # WIDE scale jitter: the size labels then vary with the
+                # target's APPARENT size in the crop (w*rf/ssz spans
+                # ~+-25%), which teaches the head to READ size instead of
+                # predicting a constant — turning the crop-size feedback
+                # loop from neutrally stable (any residual bias compounds
+                # exponentially) into contractive (over-scaled crop ->
+                # smaller apparent target -> smaller predicted size).
+                # The residual MEAN bias is still cancelled exactly by
+                # the logit-space calibration below.
+                ds = math.exp(rng.uniform(-0.25, 0.25))
+                jw, jh = w * ds, h * ds
+                jb = [cx + dx - 0.5 * jw, cy + dy - 0.5 * jh, jw, jh]
+            x_patch, rf, _ = sample_target(frames[t], jb, sf, output_sz=ssz)
+            xs = pre.process(x_patch)
+            # target center in crop coords: the crop is centered on jb
+            jcx, jcy = jb[0] + 0.5 * jb[2], jb[1] + 0.5 * jb[3]
+            ccx = (cx - jcx) * rf + 0.5 * ssz
+            ccy = (cy - jcy) * rf + 0.5 * ssz
+            gx, gy = ccx / stride, ccy / stride  # grid coords
+            ix, iy = int(gx), int(gy)
+            if not (0 <= ix < feat_sz and 0 <= iy < feat_sz):
+                continue
+            lab = np.exp(-0.5 * ((k[None, :] - gx) ** 2
+                                 + (k[:, None] - gy) ** 2) / sigma ** 2)
+            score_lab = torch.tensor(lab.astype(np.float32))[None, None]
+            size_lab = torch.tensor([w * rf / ssz, h * rf / ssz],
+                                    dtype=torch.float32)
+            off_lab = torch.tensor([gx - ix, gy - iy], dtype=torch.float32)
+            # size is supervised on the 3x3 neighborhood of the target
+            # cell (the tracking-time argmax can land on an adjacent
+            # cell; the target's size is the same there)
+            nb = [(iy + dy) * feat_sz + (ix + dx)
+                  for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                  if 0 <= iy + dy < feat_sz and 0 <= ix + dx < feat_sz]
+            crops.append((xs, score_lab, size_lab, off_lab,
+                          iy * feat_sz + ix, torch.tensor(nb)))
+
+    # BN CALIBRATION: the donor's running stats were set from uniform
+    # junk inputs (the converter-parity exercise); real crop features
+    # then land far outside those stats, saturating the head's sigmoid
+    # branches (head.py:177 clamp) with exactly-zero gradients. A few
+    # train()-mode forwards on REAL crops re-estimate the stats so the
+    # eval-mode overfit (and tracking) sees live gradients.
+    donor.train()
+    with torch.no_grad():
+        for xs, *_rest in crops[:8]:
+            donor(z, xs, ce_template_mask=box_mask_z)
+    donor.eval()
+
+    # cache frozen backbone features once
+    caches = []
+    with torch.no_grad():
+        for xs, score_lab, size_lab, off_lab, idx, nb in crops:
+            feat, _aux = donor.backbone(z=z, x=xs,
+                                        ce_template_mask=box_mask_z)
+            caches.append((feat.detach(), score_lab, size_lab, off_lab,
+                           idx, nb))
+
+    # Train on PRE-sigmoid logits: get_score_map's clamp(sigmoid, 1e-4)
+    # (head.py:177-179) has exactly-zero gradient once a cell saturates,
+    # and MSE on the clamped output collapses the whole map into the dead
+    # zone within a few Adam steps. BCE-with-logits on the conv5 outputs
+    # keeps gradients alive; tracking then uses the clamped sigmoid of
+    # the same trained logits.
+    head = donor.box_head
+    fln = donor.feat_len_s
+
+    def branch(x, n):
+        for i in range(1, 5):
+            x = getattr(head, f"conv{i}_{n}")(x)
+        return getattr(head, f"conv5_{n}")(x)
+
+    def head_maps(feat):
+        enc_opt = feat[:, -fln:]
+        opt_f = enc_opt.unsqueeze(-1).permute((0, 3, 2, 1)).contiguous()
+        opt_f = opt_f.view(-1, opt_f.shape[2], feat_sz, feat_sz)
+        return (branch(opt_f, "ctr"), branch(opt_f, "size"),
+                branch(opt_f, "offset"))
+
+    opt = torch.optim.Adam(head.parameters(), lr=lr)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=max(steps // 2, 1),
+                                            gamma=0.25)
+    bce = torch.nn.BCEWithLogitsLoss()
+    loss = None
+    for it in range(steps):
+        feat, score_lab, size_lab, off_lab, idx, nb = caches[it % len(caches)]
+        ctr_l, size_l, off_l = head_maps(feat)
+        sc = bce(ctr_l, score_lab)
+        # soft-target BCE: gradient (sigmoid(x) - target) stays alive even
+        # when the branch starts saturated
+        sz = torch.nn.functional.binary_cross_entropy_with_logits(
+            size_l.flatten(2)[0, :, nb],
+            size_lab[:, None].expand(-1, len(nb)))
+        of = torch.abs(off_l.flatten(2)[0, :, idx] - off_lab).mean()
+        loss = sc + 2.0 * sz + 0.2 * of
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sched.step()
+        if log_every and it % log_every == 0:
+            print(f"  vipt head overfit step {it}: loss {float(loss):.5f}"
+                  f" (score {float(sc):.5f})")
+
+    # SIZE-BIAS CALIBRATION: the crop-size feedback loop is neutrally
+    # stable (next crop side = SEARCH_FACTOR * sqrt(w*h) of the predicted
+    # box, so sqrt(cw*ch)*factor == 1 at the truth); a few percent of
+    # systematic size over-prediction therefore grows the box
+    # EXPONENTIALLY until the target is lost. Cancel the residual mean
+    # bias exactly with a logit-space shift of the size branch's final
+    # conv bias — a deterministic donor surgery shipped to both sides.
+    with torch.no_grad():
+        dsum, n = torch.zeros(2), 0
+        for feat, _sl, size_lab, _ol, idx, _nb in caches:
+            _c, size_l, _o = head_maps(feat)
+            lab_logit = torch.log(size_lab / (1 - size_lab))
+            dsum += lab_logit - size_l.flatten(2)[0, :, idx]
+            n += 1
+        delta = dsum / n
+        head.conv5_size.bias += delta
+        if log_every:
+            print(f"  vipt size-bias calibration: logit delta "
+                  f"{[round(float(v), 4) for v in delta]}")
+    for p in donor.parameters():
+        p.grad = None
+    return float(loss)
+
+
+def overfit_det_dimp_classifier(donor, frames, gt, steps=300, lr=1e-3,
+                                seed=0, S=288, search_area_scale=5.0,
+                                label_sigma=1.5, distractor_gt=None,
+                                distractor_amp=0.65, log_every=0):
+    """Train the DeT DiMPnet donor's classification feature extractors so
+    the online-learned filter's response decisively peaks at the synthetic
+    target (free-running DiMP A/B donor).
+
+    DeT twin of overfit_super_dimp_classifier: the donor is
+    dimpnet.dimp50_DeT (dual RGB/depth backbones + max merge,
+    DeT/ltr/models/tracking/dimpnet.py:15-120), input is the raw 6-channel
+    patch normalized per triplet exactly as the tracker's
+    NetWithBackbone.preprocess_image does (net_wrappers.py:57-81). Only
+    classifier.feature_extractor trains; both backbones, the filter
+    initializer, the steepest-descent optimizer, and the IoUNet keep their
+    seeded random values, so the online machinery under test runs exactly
+    as in the per-transition check. The proxy regresses the
+    filter-initializer filter's response from the frame-0 crop against a
+    Gaussian at the target (differentiable; the SD init only sharpens it
+    at tracking time). Runs in eval() mode throughout. Must be called
+    inside ``reference_path("RGBD/models/DeT")``.
+    """
+    import torch
+
+    from pytracking.features.preprocessing import numpy_to_torch, sample_patch
+
+    donor.eval()
+    rng = np.random.RandomState(seed)
+    mean = torch.tensor(IMAGENET_MEAN).view(1, 3, 1, 1)
+    std = torch.tensor(IMAGENET_STD).view(1, 3, 1, 1)
+    S_f = S // 16
+    S_sc = S_f + 1  # even filter size 4 -> score support S_f + 1
+
+    def normalize6(patch):
+        color = (patch[:, :3] / 255.0 - mean) / std
+        depth = (patch[:, 3:] / 255.0 - mean) / std
+        return torch.cat((color, depth), 1)
+
+    caches = []
+    for t in range(len(frames)):
+        im = numpy_to_torch(np.ascontiguousarray(frames[t]))
+        x, y, w, h = [float(v) for v in gt[t]]
+        cy, cx = y + (h - 1) / 2, x + (w - 1) / 2
+        base_side = search_area_scale * math.sqrt(w * h)
+        for j in range(2):
+            if j == 0:
+                pos, side = torch.tensor([cy, cx]), base_side
+            else:
+                pos = torch.tensor([cy, cx]) + torch.tensor(
+                    rng.uniform(-0.2, 0.2, 2) * math.sqrt(w * h)).float()
+                side = base_side * math.exp(rng.uniform(-0.2, 0.2))
+            patch, coords = sample_patch(im, pos,
+                                         torch.tensor([side, side]),
+                                         torch.tensor([S, S]))
+            c = coords[0].numpy().astype(np.float64)
+            sample_pos = 0.5 * (c[:2] + c[2:] - 1)
+            scale = (c[2] - c[0]) / S
+            with torch.no_grad():
+                bf = donor.extract_backbone_features(normalize6(patch))
+                l3 = donor.get_backbone_clf_feat(bf)
+            bb = torch.tensor([[(x - c[1]) / scale, (y - c[0]) / scale,
+                                w / scale, h / scale]], dtype=torch.float32)
+            k = np.arange(S_sc, dtype=np.float64) - (S_f - 1) / 2
+
+            def gauss(cyx, amp):
+                norm = (np.asarray(cyx) - sample_pos) / (scale * S)
+                center = S_f * norm + 0.5
+                gy = np.exp(-0.5 * (k - center[0]) ** 2 / label_sigma ** 2)
+                gx = np.exp(-0.5 * (k - center[1]) ** 2 / label_sigma ** 2)
+                return amp * gy[:, None] * gx[None, :]
+
+            lab = gauss([cy, cx], 1.0)
+            # supervise the distractor as a DECISIVE secondary peak: at
+            # amp 0.65 the reference's own localize_advanced ratio sits
+            # firmly between the 0.5 hard-negative and 0.8 distractor
+            # thresholds — without this, the pasted 0.8-dimmed copy's
+            # learned response lands ON the 0.5x boundary and free-running
+            # flags flip on sub-1e-3 noise
+            if distractor_gt is not None \
+                    and not np.any(np.isnan(distractor_gt[t])):
+                ddx, ddy, dw, dh = [float(v) for v in distractor_gt[t]]
+                lab = np.maximum(lab, gauss([ddy + (dh - 1) / 2,
+                                             ddx + (dw - 1) / 2],
+                                            distractor_amp))
+            label = torch.tensor(lab.astype(np.float32))[None, None]
+            caches.append((l3.detach(), bb, label))
+
+    fe = donor.classifier.feature_extractor
+    opt = torch.optim.Adam(fe.parameters(), lr=lr)
+    l3_0, bb_0, _ = caches[0]
+    loss = None
+    for it in range(steps):
+        l3, bb, label = caches[it % len(caches)]
+        f0 = donor.classifier.extract_classification_feat(l3_0)
+        w0 = donor.classifier.filter_initializer(f0, bb_0)
+        ft = donor.classifier.extract_classification_feat(l3)
+        scores = donor.classifier.classify(w0, ft)
+        loss = torch.mean((scores.view(1, 1, S_sc, S_sc) - label) ** 2)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if log_every and it % log_every == 0:
+            print(f"  det_dimp overfit step {it}: mse {float(loss):.5f}")
+    for p in donor.parameters():
+        p.grad = None
+    return float(loss)
+
+
+def overfit_mixformer_head(donor, cfg, frames, gt, steps=400, lr=2e-3,
+                           seed=0, every=2, n_jitter=2, log_every=0):
+    """Train donor.box_head (corner soft-argmax) so MixFormer's predicted
+    boxes track the synthetic target (free-running A/B donor + the
+    'complex' re-constraint ACCEPT path).
+
+    With a random corner head the predicted size vs the his_w/his_h
+    history violates the 1.35x scale gate every frame, so the 'complex'
+    re-constraint accept branch (tracker_utils.py:146-166) never runs.
+    Training ONLY the head — the dual-CVT backbone, mixed attention, and
+    score branch (bias-shifted separately) keep their seeded values — at
+    tracking geometry makes predictions consistent: the scale/displacement
+    gates then pass on confident frames and tracking is stable enough to
+    free-run. Backbone features are cached under no_grad (joint
+    template/online/search forward, mixformerrgbd_online.py:720-731).
+    Losses are plain L1 on the soft-argmax cxcywh (no sigmoid dead zone).
+    Scale jitter is kept narrow for the same size-feedback reason as
+    overfit_vipt_head. Must be called inside
+    ``reference_path("RGBD/models/MixFormer_RGBD")``.
+    """
+    import torch
+
+    from lib.test.tracker.tracker_utils import Preprocessor_wo_mask_rgbd
+    from lib.train.data.processing_utils import sample_target
+
+    donor.eval()
+    rng = np.random.RandomState(seed)
+    pre = Preprocessor_wo_mask_rgbd()
+
+    tf = cfg.TEST.TEMPLATE_FACTOR
+    tsz = cfg.TEST.TEMPLATE_SIZE
+    sf = cfg.TEST.SEARCH_FACTOR
+    ssz = cfg.TEST.SEARCH_SIZE
+
+    z_patch, _, _ = sample_target(frames[0], [float(v) for v in gt[0]],
+                                  tf, output_sz=tsz)
+    z = pre.process(z_patch)
+
+    caches = []
+    for t in range(0, len(frames), every):
+        x0, y0, w, h = [float(v) for v in gt[t]]
+        cx, cy = x0 + 0.5 * w, y0 + 0.5 * h
+        for j in range(n_jitter + 1):
+            if j == 0:
+                jb = [x0, y0, w, h]
+            else:
+                dx, dy = rng.uniform(-0.25, 0.25, 2) * math.sqrt(w * h)
+                ds = math.exp(rng.uniform(-0.05, 0.05))
+                jw, jh = w * ds, h * ds
+                jb = [cx + dx - 0.5 * jw, cy + dy - 0.5 * jh, jw, jh]
+            x_patch, rf, _ = sample_target(frames[t], jb, sf, output_sz=ssz)
+            xs = pre.process(x_patch)
+            with torch.no_grad():
+                _t, _ot, s_feat = donor.backbone(z, z, xs)
+            jcx, jcy = jb[0] + 0.5 * jb[2], jb[1] + 0.5 * jb[3]
+            ccx = (cx - jcx) * rf + 0.5 * ssz
+            ccy = (cy - jcy) * rf + 0.5 * ssz
+            lab = torch.tensor([ccx / ssz, ccy / ssz,
+                                w * rf / ssz, h * rf / ssz],
+                               dtype=torch.float32)
+            caches.append((s_feat.detach(), lab))
+
+    opt = torch.optim.Adam(donor.box_head.parameters(), lr=lr)
+    loss = None
+    for it in range(steps):
+        s_feat, lab = caches[it % len(caches)]
+        _out, coord = donor.forward_box_head(s_feat)
+        loss = torch.abs(coord.view(4) - lab).mean()
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        if log_every and it % log_every == 0:
+            print(f"  mixformer head overfit step {it}: l1 {float(loss):.5f}")
+    for p in donor.parameters():
+        p.grad = None
+    return float(loss)
