@@ -642,7 +642,13 @@ def overfit_mixformer_head(donor, cfg, frames, gt, steps=400, lr=2e-3,
             x_patch, rf, _ = sample_target(frames[t], jb, sf, output_sz=ssz)
             xs = pre.process(x_patch)
             with torch.no_grad():
-                _t, _ot, s_feat = donor.backbone(z, z, xs)
+                # RGBD 6-ch split: dual CVTs + merge, exactly as the
+                # model's own forward (mixformerrgbd_online.py:851-857)
+                _t_rgb, s_rgb = donor.backbone(z[:, :3], z[:, :3],
+                                               xs[:, :3])
+                _t_dp, s_dp = donor.backbone_depth(z[:, 3:], z[:, 3:],
+                                                   xs[:, 3:])
+                s_feat = donor.merge(s_rgb, s_dp)
             jcx, jcy = jb[0] + 0.5 * jb[2], jb[1] + 0.5 * jb[3]
             ccx = (cx - jcx) * rf + 0.5 * ssz
             ccy = (cy - jcy) * rf + 0.5 * ssz
